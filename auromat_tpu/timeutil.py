@@ -1,0 +1,73 @@
+"""Host-side time-scale arithmetic.
+
+The reference uses astropy.time.Time to obtain Julian dates
+(reference: auromat/coordinates/transform.py:525-532). astropy is not a
+dependency here; UTC datetime -> JD is plain calendar arithmetic
+(Fliegel & Van Flandern algorithm), which matches astropy's UTC ``jd``
+attribute to well below a millisecond for modern dates.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+from auromat_tpu.constants import JD_J2000, SECONDS_PER_DAY
+
+
+def julian_date(t: datetime) -> float:
+    """UTC datetime -> Julian date (float days)."""
+    if t.tzinfo is not None:
+        t = t.astimezone(timezone.utc).replace(tzinfo=None)
+    y, m = t.year, t.month
+    if m <= 2:
+        y -= 1
+        m += 12
+    a = y // 100
+    b = 2 - a + a // 4
+    jd0 = int(365.25 * (y + 4716)) + int(30.6001 * (m + 1)) + t.day + b - 1524.5
+    frac = (
+        t.hour + (t.minute + (t.second + t.microsecond / 1e6) / 60.0) / 60.0
+    ) / 24.0
+    return jd0 + frac
+
+
+def ephemeris_seconds(t: datetime) -> float:
+    """UTC datetime -> seconds since the J2000.0 epoch.
+
+    Reference: auromat/coordinates/transform.py:525-532 (``date2es``).
+    """
+    return (julian_date(t) - JD_J2000) * SECONDS_PER_DAY
+
+
+def julian_centuries_since_j2000(et: float) -> float:
+    """Ephemeris seconds -> Julian centuries since J2000.0 (``T0`` in Hapgood)."""
+    return (et / SECONDS_PER_DAY) / 36525.0
+
+
+def hours_since_midnight(et: float) -> float:
+    """Ephemeris seconds -> hours since the preceding UT midnight.
+
+    Reference: auromat/coordinates/transform.py:541-551 (``H``).
+    """
+    jd = (et / SECONDS_PER_DAY) - 0.5
+    dfrac = jd - int(jd)
+    hh = dfrac * 24.0
+    if hh < 0.0:
+        hh += 24.0
+    return hh
+
+
+def datetime_from_julian_date(jd: float) -> datetime:
+    """Julian date -> UTC datetime (inverse of :func:`julian_date`)."""
+    # offset from the Unix epoch in days
+    days = jd - 2440587.5
+    return datetime(1970, 1, 1) + timedelta(days=days)
+
+
+def fractional_year_index(et: float) -> tuple:
+    """Ephemeris seconds -> (index, fraction) into the 5-year IGRF epochs.
+
+    The IGRF tables start at 1900; 157788000 s is five Julian years.
+    Reference: auromat/coordinates/transform.py:497-523.
+    """
+    frac_year_index = (et + 3155803200.0) / 157788000.0
+    frac_year = frac_year_index % 1.0
+    return frac_year_index, frac_year

@@ -1,0 +1,76 @@
+"""Full-chain parity vs the reference implementation on real ISS frames.
+
+Golden data (tests/resources/golden_georef_*.npz) was produced by running the
+reference implementation (auromat.coordinates.{wcs,intersection,transform})
+on strided pixel grids of the two checked-in astrometric solutions. Gates:
+
+* direction vectors (TAN unprojection)  < 1e-12
+* per-pixel lat/lon                     < 1e-6 deg (north star; actual ~1e-12)
+* per-pixel MLat/MLT                    < 1e-6 deg / 1e-7 h
+* identical NaN masks (ray misses)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from auromat_tpu.constants import WGS84_A, WGS84_B
+from auromat_tpu.coordinates.frames import FrameMatrices
+from auromat_tpu.coordinates.intersection import ellipsoid_line_intersection
+from auromat_tpu.coordinates.transform import j2000_to_latlon, j2000_to_mlat_mlt
+from auromat_tpu.coordinates.wcs import TanWcs, tan_pix2world, tan_pix2world_cartesian
+from auromat_tpu.io import fits
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+FRAMES = ["ISS030-E-102170_dc", "ISS029-E-8492"]
+
+
+@pytest.mark.parametrize("name", FRAMES)
+def test_georef_chain_parity(name):
+    golden = np.load(os.path.join(RES, f"golden_georef_{name}.npz"))
+    header = fits.read_header(os.path.join(RES, f"{name}.wcs"))
+    wcs = TanWcs(header)
+    shifted = fits.get_shifted_spacecraft_position(header)
+    pos = np.array(shifted[:3]) if shifted else np.array(fits.get_spacecraft_position(header))
+    np.testing.assert_allclose(pos, golden["camera_pos"])
+    photo_time = fits.get_photo_time(header)
+    alt = float(golden["altitude"])
+
+    px, py = np.meshgrid(golden["xs"] - 0.5, golden["ys"] - 0.5)
+
+    # 1. TAN unprojection: ra/dec and direction vectors
+    ra, dec = tan_pix2world(wcs, px, py)
+    np.testing.assert_allclose(np.asarray(ra), golden["ra"], atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dec), golden["dec"], atol=1e-11)
+    dirs = np.asarray(tan_pix2world_cartesian(wcs, px, py))
+
+    # 2. ray/ellipsoid intersection at emission altitude + 3. frame chain
+    inter = np.asarray(
+        ellipsoid_line_intersection(WGS84_A + alt, WGS84_B + alt, pos, dirs)
+    )
+    fm = FrameMatrices(photo_time)
+    lat, lon = j2000_to_latlon(inter, fm.j2000_to_geo)
+    lat, lon = np.asarray(lat), np.asarray(lon)
+
+    assert np.array_equal(np.isnan(lat), np.isnan(golden["lat"])), "NaN mask mismatch"
+    m = ~np.isnan(golden["lat"])
+    assert np.abs(lat[m] - golden["lat"][m]).max() < 1e-6
+    assert np.abs(lon[m] - golden["lon"][m]).max() < 1e-6
+
+    # 4. MLat/MLT directly from J2000 intersections
+    mlat, mlt = j2000_to_mlat_mlt(inter, fm.j2000_to_sm)
+    mlat, mlt = np.asarray(mlat), np.asarray(mlt)
+    assert np.abs(mlat[m] - golden["mlat"][m]).max() < 1e-6
+    assert np.abs(mlt[m] - golden["mlt"][m]).max() < 1e-7
+
+
+def test_golden_sanity():
+    golden = np.load(os.path.join(RES, "golden_georef_ISS030-E-102170_dc.npz"))
+    lat = golden["lat"]
+    # the aurora in this frame sits over central Canada
+    assert 47 < np.nanmin(lat) < 49
+    assert 60 < np.nanmax(lat) < 62
+    # sky at top of frame, earth at bottom
+    assert np.isnan(lat[0]).all()
+    assert not np.isnan(lat[-1]).any()

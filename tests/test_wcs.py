@@ -1,0 +1,161 @@
+"""TAN projection tests.
+
+Validation strategy (the reference validates against astropy,
+auromat/test/wcs_test.py:14-36; astropy is unavailable here):
+
+1. anchor: the reference pixel maps exactly to (CRVAL1, CRVAL2);
+2. an independent *forward* TAN projection (world->pix) written directly from
+   the FITS Paper II equations must invert our pix->world to <1e-8 px;
+3. direction vectors are unit and consistent with (ra, dec).
+"""
+
+import os
+
+import numpy as np
+from numpy.testing import assert_allclose
+
+from auromat_tpu.coordinates.wcs import (
+    TanWcs,
+    pixel_directions,
+    pixel_grid,
+    tan_pix2world,
+    tan_pix2world_cartesian,
+)
+from auromat_tpu.io import fits
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+
+
+def load_wcs():
+    header = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+    return TanWcs(header)
+
+
+def independent_world2pix(wcs, ra_deg, dec_deg):
+    """Celestial -> pixel, written independently from the inverse equations."""
+    ra = np.deg2rad(np.asarray(ra_deg, dtype=np.float64))
+    dec = np.deg2rad(np.asarray(dec_deg, dtype=np.float64))
+    v = np.stack(
+        [np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra), np.sin(dec)], axis=-1
+    )
+    # celestial -> native spherical
+    n = v @ wcs.rotmat  # R^T @ v
+    phi = np.arctan2(n[..., 1], n[..., 0])
+    theta = np.arctan2(n[..., 2], np.hypot(n[..., 0], n[..., 1]))
+    # native spherical -> projection plane (TAN): R_theta = (180/pi) cot(theta)
+    r = (180.0 / np.pi) / np.tan(theta)
+    x = r * np.sin(phi)
+    y = -r * np.cos(phi)
+    # projection plane -> pixel offsets via CD^-1
+    inv = np.linalg.inv(wcs.cd)
+    dx = inv[0, 0] * x + inv[0, 1] * y
+    dy = inv[1, 0] * x + inv[1, 1] * y
+    # 0-based pixels
+    return dx + wcs.px_ref - 1, dy + wcs.py_ref - 1
+
+
+class TestTanPix2World:
+    def test_reference_pixel_anchor(self):
+        wcs = load_wcs()
+        ra, dec = tan_pix2world(
+            wcs, np.array([wcs.px_ref - 1.0]), np.array([wcs.py_ref - 1.0])
+        )
+        assert_allclose(float(np.asarray(ra)[0]), wcs.ra_ref, atol=1e-10)
+        assert_allclose(float(np.asarray(dec)[0]), wcs.dec_ref, atol=1e-10)
+
+    def test_roundtrip_against_independent_forward(self):
+        wcs = load_wcs()
+        rng = np.random.default_rng(42)
+        px = rng.uniform(0, wcs.width - 1, 2000)
+        py = rng.uniform(0, wcs.height - 1, 2000)
+        ra, dec = tan_pix2world(wcs, px, py)
+        rpx, rpy = independent_world2pix(wcs, np.asarray(ra), np.asarray(dec))
+        assert_allclose(rpx, px, atol=1e-8)
+        assert_allclose(rpy, py, atol=1e-8)
+
+    def test_grid_roundtrip_corner(self):
+        wcs = load_wcs()
+        px, py = pixel_grid(64, 48, corner=True)
+        assert px.shape == (49, 65)
+        ra, dec = tan_pix2world(wcs, px, py)
+        rpx, rpy = independent_world2pix(wcs, np.asarray(ra), np.asarray(dec))
+        assert_allclose(rpx, np.asarray(px), atol=1e-8)
+        assert_allclose(rpy, np.asarray(py), atol=1e-8)
+
+    def test_cartesian_consistency(self):
+        wcs = load_wcs()
+        px = np.array([0.0, 100.0, 2000.0])
+        py = np.array([0.0, 50.0, 1500.0])
+        v = np.asarray(tan_pix2world_cartesian(wcs, px, py))
+        assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-12)
+        ra, dec = tan_pix2world(wcs, px, py)
+        expected = np.stack(
+            [
+                np.cos(np.deg2rad(dec)) * np.cos(np.deg2rad(ra)),
+                np.cos(np.deg2rad(dec)) * np.sin(np.deg2rad(ra)),
+                np.sin(np.deg2rad(dec)),
+            ],
+            axis=-1,
+        )
+        assert_allclose(v, np.asarray(expected), atol=1e-12)
+
+    def test_ra_in_0_360(self):
+        wcs = load_wcs()
+        px, py = pixel_grid(200, 150, corner=False)
+        ra, _ = tan_pix2world(wcs, px, py)
+        ra = np.asarray(ra)
+        assert np.all(ra >= 0) and np.all(ra < 360)
+
+    def test_pixel_directions_shapes(self):
+        wcs = load_wcs()
+        assert wcs.width == 4256 and wcs.height == 2832
+        # small synthetic wcs for shape checks: reuse header but shrink
+        wcs.width, wcs.height = 32, 16
+        corners = pixel_directions(wcs, corner=True)
+        centers = pixel_directions(wcs, corner=False)
+        assert corners.shape == (17, 33, 3)
+        assert centers.shape == (16, 32, 3)
+        # centres lie between the 4 surrounding corners (direction-wise)
+        c = np.asarray(corners)
+        mean4 = (c[:-1, :-1] + c[:-1, 1:] + c[1:, :-1] + c[1:, 1:]) / 4
+        mean4 /= np.linalg.norm(mean4, axis=-1, keepdims=True)
+        assert_allclose(np.asarray(centers), mean4, atol=1e-7)
+
+
+class TestHeaderIO:
+    def test_read_wcs_header(self):
+        header = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+        assert header["CTYPE1"] == "RA---TAN"
+        assert header["IMAGEW"] == 4256
+        assert header["NORADID"] == "25544"
+        assert header["POSX"] == -4784.05705129671
+        shifted = fits.get_shifted_spacecraft_position(header)
+        assert shifted is not None
+        assert shifted[3] == -13.0
+        t = fits.get_photo_time(header)
+        assert t.year == 2012 and t.microsecond == 60000
+
+    def test_write_read_roundtrip(self, tmp_path):
+        header = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+        out = tmp_path / "roundtrip.wcs"
+        fits.write_header(header, out)
+        header2 = fits.read_header(out)
+        for key in ("CTYPE1", "CRVAL1", "CRVAL2", "CD1_1", "CD2_2", "IMAGEW",
+                    "POSX", "POSXSHIF", "DATESHIF", "DATE-OBS", "NORADID"):
+            assert header2[key] == header[key], key
+        assert (len(out.read_bytes()) % 2880) == 0
+
+    def test_set_position_cards(self, tmp_path):
+        h = fits.FitsHeader()
+        from datetime import datetime
+
+        fits.set_spacecraft_position(h, (1.0, 2.0, 3.0), datetime(2012, 1, 25, 9, 27, 8))
+        fits.set_shifted_spacecraft_position(h, (4.0, 5.0, 6.0), -13.0)
+        fits.set_norad_id(h, 25544)
+        out = tmp_path / "pos.wcs"
+        fits.write_header(h, out)
+        h2 = fits.read_header(out)
+        assert fits.get_spacecraft_position(h2) == (1.0, 2.0, 3.0)
+        assert fits.get_shifted_spacecraft_position(h2) == (4.0, 5.0, 6.0, -13.0)
+        assert fits.get_norad_id(h2) == 25544
+        assert fits.get_photo_time(h2) == datetime(2012, 1, 25, 9, 27, 8)
