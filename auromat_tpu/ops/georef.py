@@ -1,0 +1,224 @@
+"""Fused per-pixel georeferencing: camera -> sky -> Earth in one jitted chain.
+
+This replaces the reference's lazy-property pyramid
+(auromat/mapping/astrometry.py:49-212, which materialises ~8 full-image
+temporaries) with one fused device computation:
+
+    pixel grid -> CD matmul -> TAN unproject -> celestial rotation (J2000 dirs)
+    -> ray/ellipsoid intersection at emission altitude -> GEO rotation ->
+    Bowring geodetic -> lat/lon/elevation (+ optional MLat/MLT from J2000)
+
+All per-frame scalars (WCS solution, camera position, frame matrices) are
+host-computed float64 and closed over / passed as small arrays; per-pixel math
+is dtype-configurable (float64 for CPU parity, float32 on TPU — see
+auromat_tpu.ops for precision strategy).
+
+Frame-convention note (parity-relevant): like the reference, the ellipsoid is
+treated as axis-aligned in the GCRS/J2000 frame (ignoring the ~0.07 deg
+precession tilt of the true-of-date pole, reference mapping.py:1474-1510), and
+ICRS directions are used as GCRS (astrometry.py:245-269).
+"""
+
+from dataclasses import dataclass
+from datetime import datetime
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auromat_tpu.constants import WGS84_A, WGS84_B
+from auromat_tpu.coordinates.frames import FrameMatrices
+from auromat_tpu.coordinates.wcs import TanWcs
+
+
+@dataclass(frozen=True)
+class GeorefParams:
+    """Static (hashable) per-frame scalar calibration for the georef kernel.
+
+    Arrays are stored as nested tuples so instances can be jit static args;
+    use :meth:`from_wcs` to build from a parsed WCS header + camera state.
+    """
+
+    width: int
+    height: int
+    cd: tuple  # 2x2
+    px_ref: float
+    py_ref: float
+    rotmat: tuple  # 3x3 native->celestial (ICRS~GCRS)
+    camera_pos: tuple  # (3,) GCRS km
+    altitude: float  # emission altitude km
+    mat_j2000_to_geo: tuple  # 3x3
+    mat_j2000_to_sm: tuple  # 3x3
+
+    @staticmethod
+    def from_wcs(wcs: TanWcs, camera_pos, photo_time: datetime, altitude=110.0,
+                 frame_matrices: FrameMatrices = None):
+        fm = frame_matrices or FrameMatrices(photo_time)
+        t = lambda a: tuple(map(tuple, np.asarray(a, dtype=np.float64)))
+        return GeorefParams(
+            width=int(wcs.width),
+            height=int(wcs.height),
+            cd=t(wcs.cd),
+            px_ref=float(wcs.px_ref),
+            py_ref=float(wcs.py_ref),
+            rotmat=t(wcs.rotmat),
+            camera_pos=tuple(float(v) for v in np.asarray(camera_pos)),
+            altitude=float(altitude),
+            mat_j2000_to_geo=t(fm.j2000_to_geo),
+            mat_j2000_to_sm=t(fm.j2000_to_sm),
+        )
+
+
+def _pixel_dirs(p: GeorefParams, px, py):
+    """TAN unprojection to unit J2000 direction components (fused)."""
+    cd = p.cd
+    dx = px - (p.px_ref - 1.0)
+    dy = py - (p.py_ref - 1.0)
+    x = cd[0][0] * dx + cd[0][1] * dy
+    y = cd[1][0] * dx + cd[1][1] * dy
+    r = jnp.sqrt(x * x + y * y)
+    phi = jnp.arctan2(x, -y)
+    theta = jnp.arctan((180.0 / jnp.pi) / r)
+    cos_t = jnp.cos(theta)
+    l_ = cos_t * jnp.cos(phi)
+    m_ = cos_t * jnp.sin(phi)
+    n_ = jnp.sin(theta)
+    rm = p.rotmat
+    vx = rm[0][0] * l_ + rm[0][1] * m_ + rm[0][2] * n_
+    vy = rm[1][0] * l_ + rm[1][1] * m_ + rm[1][2] * n_
+    vz = rm[2][0] * l_ + rm[2][1] * m_ + rm[2][2] * n_
+    return vx, vy, vz
+
+
+def _intersect(p: GeorefParams, vx, vy, vz, dtype):
+    """Directed ray/inflated-ellipsoid intersection (origin = camera)."""
+    a = WGS84_A + p.altitude
+    b = WGS84_B + p.altitude
+    ox, oy, oz = p.camera_pos
+    inside = (ox / a) ** 2 + (oy / a) ** 2 + (oz / b) ** 2 < 1.0  # python bool
+    # scaled-space quadratic (identical formulation to the reference,
+    # intersection.py:58-104, for bit-level parity)
+    inv_a, inv_b = 1.0 / a, 1.0 / b
+    dsx, dsy, dsz = vx * inv_a, vy * inv_a, vz * inv_b
+    osx = jnp.asarray(-ox * inv_a, dtype=dtype)
+    osy = jnp.asarray(-oy * inv_a, dtype=dtype)
+    osz = jnp.asarray(-oz * inv_b, dtype=dtype)
+    b_q = dsx * osx + dsy * osy + dsz * osz
+    a_q = dsx * dsx + dsy * dsy + dsz * dsz
+    c_q = osx * osx + osy * osy + osz * osz
+    root = jnp.sqrt(b_q * b_q - c_q * a_q + a_q)
+    d = (b_q + root) if inside else (b_q - root)
+    d = jnp.where(d < 0, jnp.nan, d) / a_q
+    return ox + d * vx, oy + d * vy, oz + d * vz
+
+
+def _bowring(x, y, z, a=WGS84_A, b=WGS84_B):
+    e2 = (a * a - b * b) / (a * a)
+    d = (a * a - b * b) / b
+    p2 = x * x + y * y
+    p = jnp.sqrt(p2)
+    r = jnp.sqrt(p2 + z * z)
+    tu = b * z * (1.0 + d / r) / (a * p)
+    tu2 = tu * tu
+    cu = 1.0 / jnp.sqrt(1.0 + tu2)
+    cu3 = cu * cu * cu
+    su3 = cu3 * tu2 * tu
+    lat = jnp.arctan((z + d * su3) / (p - e2 * a * cu3))
+    lon = jnp.arctan2(y, x)
+    return lat, lon
+
+
+def _rot(m, x, y, z):
+    return (
+        m[0][0] * x + m[0][1] * y + m[0][2] * z,
+        m[1][0] * x + m[1][1] * y + m[1][2] * z,
+        m[2][0] * x + m[2][1] * y + m[2][2] * z,
+    )
+
+
+def _grid(p: GeorefParams, corner: bool, dtype):
+    off = -0.5 if corner else 0.0
+    extra = 1 if corner else 0
+    xs = jnp.arange(off, off + p.width + extra, dtype=dtype)
+    ys = jnp.arange(off, off + p.height + extra, dtype=dtype)
+    return jnp.meshgrid(xs, ys)
+
+
+def _latlon_from_j2000(p, ix, iy, iz):
+    gx, gy, gz = _rot(p.mat_j2000_to_geo, ix, iy, iz)
+    lat, lon = _bowring(gx, gy, gz)
+    return jnp.rad2deg(lat), jnp.rad2deg(lon)
+
+
+def _mlatmlt_from_j2000(p, ix, iy, iz):
+    sx, sy, sz = _rot(p.mat_j2000_to_sm, ix, iy, iz)
+    mlat = jnp.rad2deg(jnp.arctan2(sz, jnp.sqrt(sx * sx + sy * sy)))
+    mlt = jnp.rad2deg(jnp.arctan2(sy, sx)) * (24.0 / 360.0) + 12.0
+    return mlat, mlt
+
+
+def _elevation_deg(vx, vy, vz, ix, iy, iz):
+    """90 deg minus angle(-ray, unit(intersection)).
+
+    Reference: auromat/mapping/astrometry.py:200-212 — note the ray direction
+    is used as-is (it is unit in the exact path, slightly short in the
+    fast-centre path; replicated for parity).
+    """
+    ilen = jnp.sqrt(ix * ix + iy * iy + iz * iz)
+    dot = -(vx * ix + vy * iy + vz * iz) / ilen
+    alpha = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    return 90.0 - jnp.rad2deg(alpha)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def georeference(params: GeorefParams, fast_center=False, with_mlatmlt=True,
+                 dtype=jnp.float64):
+    """Fully georeference one frame.
+
+    :param fast_center: compute pixel-centre values as the mean of the 4
+        surrounding corner values instead of a second full evaluation
+        (reference astrometry.py:154-160). Halves the work; centres then have
+        NaN wherever *any* corner is NaN, which pre-satisfies the mask
+        invariants (reference astrometry.py:35-40).
+    :returns: dict with keys lats, lons (h+1, w+1); lats_center, lons_center,
+        elevation (h, w); and mlat, mlt, mlat_center, mlt_center if requested.
+        All NaN-masked where rays miss the inflated ellipsoid.
+    """
+    px, py = _grid(params, corner=True, dtype=dtype)
+    vx, vy, vz = _pixel_dirs(params, px, py)
+    ix, iy, iz = _intersect(params, vx, vy, vz, dtype)
+    lats, lons = _latlon_from_j2000(params, ix, iy, iz)
+    out = {"lats": lats, "lons": lons}
+
+    if fast_center:
+        mean4 = lambda a: (a[:-1, :-1] + a[:-1, 1:] + a[1:, 1:] + a[1:, :-1]) * 0.25
+        cvx, cvy, cvz = mean4(vx), mean4(vy), mean4(vz)
+        cix, ciy, ciz = mean4(ix), mean4(iy), mean4(iz)
+    else:
+        cpx, cpy = _grid(params, corner=False, dtype=dtype)
+        cvx, cvy, cvz = _pixel_dirs(params, cpx, cpy)
+        cix, ciy, ciz = _intersect(params, cvx, cvy, cvz, dtype)
+
+    lats_c, lons_c = _latlon_from_j2000(params, cix, ciy, ciz)
+    out["lats_center"] = lats_c
+    out["lons_center"] = lons_c
+    out["elevation"] = _elevation_deg(cvx, cvy, cvz, cix, ciy, ciz)
+
+    if with_mlatmlt:
+        out["mlat"], out["mlt"] = _mlatmlt_from_j2000(params, ix, iy, iz)
+        out["mlat_center"], out["mlt_center"] = _mlatmlt_from_j2000(
+            params, cix, ciy, ciz
+        )
+    return out
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def georeference_points(params: GeorefParams, px, py, dtype=jnp.float64):
+    """Georeference arbitrary pixel coordinates (same chain, explicit grid)."""
+    px = jnp.asarray(px, dtype=dtype)
+    py = jnp.asarray(py, dtype=dtype)
+    vx, vy, vz = _pixel_dirs(params, px, py)
+    ix, iy, iz = _intersect(params, vx, vy, vz, dtype)
+    lat, lon = _latlon_from_j2000(params, ix, iy, iz)
+    return lat, lon

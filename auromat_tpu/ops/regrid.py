@@ -1,0 +1,204 @@
+"""Plate-carree regridding: multi-channel mean binning on device.
+
+Replaces the reference's histogram2d-with-weight-list rebinning
+(auromat/resample.py:328-351, auromat/util/histogram.py:32-49): count, all
+image channels and elevation are accumulated in ONE pass over the pixels,
+then divided.
+
+TPU mapping: the scatter-add over bins is expressed as a segment-sum over
+sorted bin ids (XLA lowers unsorted scatter-adds on TPU poorly; sorting keys
+is a fast O(n log n) bitonic pass on the VPU and neighbouring pixels land in
+neighbouring bins, so the sort is nearly-ordered data). A direct scatter-add
+variant is kept for comparison/benchmarking.
+
+Grid alignment: all resamplings share one global grid per resolution
+(reference resample.py:281-299 ``fixedGrid``) so mosaics line up cell-exact.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """A fixed plate-carree grid (host-side, static under jit).
+
+    Latitudes DEcrease along rows (north at row 0), longitudes increase along
+    columns — the reference's output orientation (resample.py:228-237).
+    ``lat0``/``lon0`` are the *centre* coordinates of the first (north-west)
+    cell; ``lat_step`` is positive.
+    """
+
+    n_lat: int
+    n_lon: int
+    lat0: float
+    lon0: float
+    lat_step: float
+    lon_step: float
+
+    @property
+    def lat_centers(self):
+        return self.lat0 - np.arange(self.n_lat) * self.lat_step
+
+    @property
+    def lon_centers(self):
+        return self.lon0 + np.arange(self.n_lon) * self.lon_step
+
+    @property
+    def lat_corners(self):
+        return self.lat0 + self.lat_step / 2 - np.arange(self.n_lat + 1) * self.lat_step
+
+    @property
+    def lon_corners(self):
+        return self.lon0 - self.lon_step / 2 + np.arange(self.n_lon + 1) * self.lon_step
+
+    def corner_grids(self):
+        """(lats, lons) 2D corner arrays of shape (n_lat+1, n_lon+1)."""
+        return np.meshgrid(self.lon_corners, self.lat_corners)[::-1]
+
+    def center_grids(self):
+        return np.meshgrid(self.lon_centers, self.lat_centers)[::-1]
+
+
+def fixed_grid(px_per_deg, lat_min, lat_max, lon_min, lon_max):
+    """Align a bounding box to the global fixed grid; return a GridSpec.
+
+    Semantics follow the reference exactly (auromat/resample.py:281-299 plus
+    the first/last trimming at resample.py:229-237): the returned grid's
+    *centre* rows/columns are the global grid lines strictly inside the
+    aligned box (first and last alignment line dropped).
+
+    :param px_per_deg: (lat_px_per_deg, lon_px_per_deg) or a scalar
+    :param lon_min, lon_max: must NOT contain the discontinuity
+    """
+    try:
+        lat_ppd, lon_ppd = px_per_deg
+    except TypeError:
+        lat_ppd = lon_ppd = float(px_per_deg)
+    assert lat_ppd > 0 and lon_ppd > 0
+
+    n_lat_all = int(round(lat_ppd * 180 + 1))
+    n_lon_all = int(round(lon_ppd * 360 + 1))
+    lat_all = np.linspace(-90, 90, n_lat_all)
+    lon_all = np.linspace(-180, 180, n_lon_all)
+    lat_lo = lat_all[np.argmax(lat_all > lat_min) - 1]
+    lat_hi = lat_all[np.argmax(lat_all >= lat_max)]
+    lon_lo = lon_all[np.argmax(lon_all > lon_min) - 1]
+    lon_hi = lon_all[np.argmax(lon_all >= lon_max)]
+    n_lat = int(round(lat_ppd * (lat_hi - lat_lo) + 1))
+    n_lon = int(round(lon_ppd * (lon_hi - lon_lo) + 1))
+    assert n_lat > 2 and n_lon > 2, (n_lat, n_lon)
+
+    # canonical global steps (identical for every bbox at this resolution,
+    # unlike the reference's per-bbox linspace retstep which carries float
+    # jitter in the last ulps, resample.py:229-230)
+    lat_step = 180.0 / (n_lat_all - 1)
+    lon_step = 360.0 / (n_lon_all - 1)
+    # drop the outermost centre lines (reference resample.py:232-237)
+    return GridSpec(
+        n_lat=n_lat - 2,
+        n_lon=n_lon - 2,
+        lat0=lat_hi - lat_step,
+        lon0=lon_lo + lon_step,
+        lat_step=lat_step,
+        lon_step=lon_step,
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _bin_sum_segment(flat_idx, weights, data, n_bins, n_ch):
+    """Sorted segment-sum accumulation: (n_bins, n_ch+1) of [count, sums...]."""
+    order = jnp.argsort(flat_idx)
+    sidx = flat_idx[order]
+    vals = jnp.concatenate([weights[:, None], data], axis=1)[order]
+    return jax.ops.segment_sum(vals, sidx, num_segments=n_bins + 1,
+                               indices_are_sorted=True)[:-1]
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _bin_sum_scatter(flat_idx, weights, data, n_bins, n_ch):
+    vals = jnp.concatenate([weights[:, None], data], axis=1)
+    acc = jnp.zeros((n_bins + 1, n_ch + 1), dtype=data.dtype)
+    return acc.at[flat_idx].add(vals)[:-1]
+
+
+def bin_indices(grid: GridSpec, lats, lons):
+    """Flat bin index per sample; out-of-range/NaN -> n_bins (dump slot).
+
+    Bin edges are centre +- step/2, matching the reference's histogram2d
+    ranges (resample.py:330-338). Following numpy histogram semantics the
+    right-most edge is inclusive.
+    """
+    lat_hi_edge = grid.lat0 + grid.lat_step / 2
+    lon_lo_edge = grid.lon0 - grid.lon_step / 2
+    fy = (lat_hi_edge - lats) / grid.lat_step
+    fx = (lons - lon_lo_edge) / grid.lon_step
+    iy = jnp.floor(fy).astype(jnp.int32)
+    ix = jnp.floor(fx).astype(jnp.int32)
+    # inclusive right-most edge: clamp samples exactly on the far edge
+    iy = jnp.where((fy == grid.n_lat) & (iy == grid.n_lat), grid.n_lat - 1, iy)
+    ix = jnp.where((fx == grid.n_lon) & (ix == grid.n_lon), grid.n_lon - 1, ix)
+    valid = (iy >= 0) & (iy < grid.n_lat) & (ix >= 0) & (ix < grid.n_lon)
+    valid &= jnp.isfinite(lats) & jnp.isfinite(lons)
+    flat = jnp.where(valid, iy * grid.n_lon + ix, grid.n_lat * grid.n_lon)
+    return flat, valid
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def bin_mean(grid: GridSpec, lats, lons, data, method="segment"):
+    """Mean-bin multi-channel samples onto the grid.
+
+    :param lats, lons: sample coordinates (any shape), NaN = masked
+    :param data: (..., C) channel values per sample (NaN allowed; a NaN
+        sample with valid coordinates is averaged as NaN, matching the
+        reference which bins img+elevation filled with NaN)
+    :returns: (count (n_lat, n_lon), means (n_lat, n_lon, C)); means are NaN
+        where count == 0
+    """
+    n_ch = data.shape[-1]
+    flat_lats = jnp.ravel(lats)
+    flat_lons = jnp.ravel(lons)
+    flat_data = jnp.reshape(data, (-1, n_ch))
+    flat_idx, valid = bin_indices(grid, flat_lats, flat_lons)
+    weights = valid.astype(flat_data.dtype)
+    # zero out data of invalid samples so the dump slot stays finite
+    flat_data = jnp.where(valid[:, None], flat_data, 0.0)
+    n_bins = grid.n_lat * grid.n_lon
+    fn = _bin_sum_segment if method == "segment" else _bin_sum_scatter
+    acc = fn(flat_idx, weights, flat_data, n_bins, n_ch)
+    count = acc[:, 0].reshape(grid.n_lat, grid.n_lon)
+    sums = acc[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)
+    means = jnp.where(count[..., None] > 0, sums / count[..., None], jnp.nan)
+    return count, means
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def bin_partial(grid: GridSpec, lats, lons, data, method="segment"):
+    """Per-shard partial accumulation: (count, sums) WITHOUT the divide.
+
+    Used by the sharded mosaic path: shards accumulate locally, a psum /
+    reduce-scatter combines (count, sums) across the mesh, and the divide
+    happens once after the reduction (SURVEY.md P6).
+    """
+    n_ch = data.shape[-1]
+    flat_lats = jnp.ravel(lats)
+    flat_lons = jnp.ravel(lons)
+    flat_data = jnp.reshape(data, (-1, n_ch))
+    flat_idx, valid = bin_indices(grid, flat_lats, flat_lons)
+    weights = valid.astype(flat_data.dtype)
+    flat_data = jnp.where(valid[:, None], flat_data, 0.0)
+    n_bins = grid.n_lat * grid.n_lon
+    fn = _bin_sum_segment if method == "segment" else _bin_sum_scatter
+    acc = fn(flat_idx, weights, flat_data, n_bins, n_ch)
+    count = acc[:, 0].reshape(grid.n_lat, grid.n_lon)
+    sums = acc[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)
+    return count, sums
+
+
+def finalize_mean(count, sums):
+    """Divide reduced partial sums by counts; NaN where empty."""
+    return jnp.where(count[..., None] > 0, sums / count[..., None], jnp.nan)

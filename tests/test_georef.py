@@ -1,0 +1,116 @@
+"""Fused georeference op tests: parity with goldens + internal consistency."""
+
+import os
+
+import numpy as np
+import pytest
+
+from auromat_tpu.coordinates.wcs import TanWcs
+from auromat_tpu.io import fits
+from auromat_tpu.ops.georef import GeorefParams, georeference, georeference_points
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+
+
+def _params(name="ISS030-E-102170_dc", altitude=110.0):
+    header = fits.read_header(os.path.join(RES, f"{name}.wcs"))
+    wcs = TanWcs(header)
+    shifted = fits.get_shifted_spacecraft_position(header)
+    pos = shifted[:3] if shifted else fits.get_spacecraft_position(header)
+    return GeorefParams.from_wcs(wcs, pos, fits.get_photo_time(header), altitude)
+
+
+@pytest.mark.parametrize("name", ["ISS030-E-102170_dc", "ISS029-E-8492"])
+def test_fused_chain_matches_reference_goldens(name):
+    golden = np.load(os.path.join(RES, f"golden_georef_{name}.npz"))
+    p = _params(name, float(golden["altitude"]))
+    px, py = np.meshgrid(golden["xs"] - 0.5, golden["ys"] - 0.5)
+    lat, lon = georeference_points(p, px, py)
+    lat, lon = np.asarray(lat), np.asarray(lon)
+    assert np.array_equal(np.isnan(lat), np.isnan(golden["lat"]))
+    m = ~np.isnan(golden["lat"])
+    assert np.abs(lat[m] - golden["lat"][m]).max() < 1e-6
+    assert np.abs(lon[m] - golden["lon"][m]).max() < 1e-6
+
+
+def test_full_frame_georeference_shapes_and_masks():
+    p = _params()
+    out = georeference(p, fast_center=True)
+    h, w = p.height, p.width
+    assert np.asarray(out["lats"]).shape == (h + 1, w + 1)
+    assert np.asarray(out["lats_center"]).shape == (h, w)
+    assert np.asarray(out["elevation"]).shape == (h, w)
+    assert np.asarray(out["mlat"]).shape == (h + 1, w + 1)
+
+    lats = np.asarray(out["lats"])
+    lats_c = np.asarray(out["lats_center"])
+    # sky at top, earth at bottom (reference intersection_test semantics)
+    assert np.isnan(lats[0, w // 2]) and not np.isnan(lats[-1, w // 2])
+    # fast centres: centre defined iff all 4 corners defined
+    corner_ok = ~np.isnan(lats)
+    all4 = corner_ok[:-1, :-1] & corner_ok[:-1, 1:] & corner_ok[1:, :-1] & corner_ok[1:, 1:]
+    assert np.array_equal(~np.isnan(lats_c), all4)
+    # masks consistent across outputs
+    assert np.array_equal(np.isnan(lats_c), np.isnan(np.asarray(out["elevation"])))
+    assert np.array_equal(np.isnan(lats), np.isnan(np.asarray(out["mlat"])))
+
+    elev = np.asarray(out["elevation"])
+    e = elev[~np.isnan(elev)]
+    assert e.min() > -90 and e.max() <= 90
+    # the horizon is visible in this frame -> elevations near 0 exist
+    assert e.min() < 1.0
+    assert e.max() > 10.0
+
+
+def test_exact_centers_close_to_fast_centers():
+    p = _params()
+    exact = georeference(p, fast_center=False, with_mlatmlt=False)
+    fast = georeference(p, fast_center=True, with_mlatmlt=False)
+    lc_e = np.asarray(exact["lats_center"])
+    lc_f = np.asarray(fast["lats_center"])
+    both = ~np.isnan(lc_e) & ~np.isnan(lc_f)
+    # interior pixels: corner-mean approximation is sub-pixel accurate
+    d = np.abs(lc_e[both] - lc_f[both])
+    assert np.median(d) < 1e-4
+
+
+def test_mlat_mlt_ranges():
+    p = _params()
+    out = georeference(p, fast_center=True)
+    mlat = np.asarray(out["mlat"])
+    mlt = np.asarray(out["mlt"])
+    m = ~np.isnan(mlat)
+    assert mlat[m].min() > -90 and mlat[m].max() < 90
+    assert mlt[m].min() >= 0 and mlt[m].max() <= 24
+    # winter-evening aurora over Canada: high magnetic latitude
+    assert 55 < np.nanmean(mlat) < 75
+
+
+def test_altitude_monotonic():
+    # higher emission altitude -> intersections further along the ray ->
+    # footprint shifts; the unmasked area must grow (larger inflated earth)
+    p90 = _params(altitude=90.0)
+    p150 = _params(altitude=150.0)
+    px, py = np.meshgrid(np.linspace(0, 4255, 60), np.linspace(0, 2831, 40))
+    lat90, _ = georeference_points(p90, px, py)
+    lat150, _ = georeference_points(p150, px, py)
+    n90 = np.isnan(np.asarray(lat90)).sum()
+    n150 = np.isnan(np.asarray(lat150)).sum()
+    assert n150 < n90
+
+
+def test_float32_chain_accuracy():
+    """f32 end-to-end: documents the precision floor that motivates the
+    compensated TPU path (~1e-3..1e-2 deg vs f64)."""
+    import jax.numpy as jnp
+
+    golden = np.load(os.path.join(RES, "golden_georef_ISS030-E-102170_dc.npz"))
+    p = _params(altitude=float(golden["altitude"]))
+    px, py = np.meshgrid(golden["xs"] - 0.5, golden["ys"] - 0.5)
+    lat, lon = georeference_points(p, px.astype(np.float32), py.astype(np.float32),
+                                   dtype=jnp.float32)
+    lat = np.asarray(lat)
+    m = ~np.isnan(golden["lat"]) & ~np.isnan(lat)
+    assert m.mean() > 0.5
+    err = np.abs(lat[m] - golden["lat"][m])
+    assert np.median(err) < 0.05  # f32 is coarse; parity requires f64/df64

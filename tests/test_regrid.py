@@ -1,0 +1,129 @@
+"""Regrid op tests: parity with a numpy histogram2d oracle + grid alignment.
+
+The oracle replicates the reference's 'mean' rebinning semantics
+(auromat/resample.py:328-351): one histogram2d pass over unmasked pixel
+centres with weight list [count, ch0, ch1, ...], divide, NaN where empty,
+flip to decreasing latitudes.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from auromat_tpu.ops.regrid import (
+    GridSpec,
+    bin_mean,
+    bin_partial,
+    finalize_mean,
+    fixed_grid,
+)
+
+
+def numpy_mean_rebin(grid: GridSpec, lats, lons, data):
+    lats, lons = np.ravel(lats), np.ravel(lons)
+    flat = data.reshape(-1, data.shape[-1])
+    ok = ~np.isnan(lats)
+    lats, lons, flat = lats[ok], lons[ok], flat[ok]
+    lat_edges = np.sort(grid.lat_corners)
+    lon_edges = grid.lon_corners
+    count, _, _ = np.histogram2d(lons, lats, bins=[lon_edges, lat_edges])
+    out = []
+    for c in range(flat.shape[1]):
+        s, _, _ = np.histogram2d(lons, lats, bins=[lon_edges, lat_edges], weights=flat[:, c])
+        with np.errstate(invalid="ignore"):
+            m = np.where(count > 0, s / count, np.nan)
+        out.append(np.flipud(m.T))
+    return np.flipud(count.T), np.dstack(out)
+
+
+def synthetic_mapping(n=80, lat0=60.0, lon0=-100.0):
+    rng = np.random.default_rng(7)
+    lats = lat0 + np.cumsum(rng.random((n, n)) * 0.01, axis=0)
+    lons = lon0 + np.cumsum(rng.random((n, n)) * 0.01, axis=1)
+    # circular masked hole
+    yy, xx = np.mgrid[:n, :n]
+    hole = (yy - n / 2) ** 2 + (xx - n / 2) ** 2 < (n / 6) ** 2
+    lats[hole] = np.nan
+    lons[hole] = np.nan
+    data = rng.random((n, n, 4)) * 255
+    return lats, lons, data
+
+
+class TestFixedGrid:
+    def test_global_alignment(self):
+        """Grids from different bboxes at the same resolution share cells."""
+        g1 = fixed_grid(25, 50.1, 60.2, -110.3, -95.4)
+        g2 = fixed_grid(25, 55.7, 65.9, -101.2, -90.8)
+        # centre coordinates are on the same global lattice
+        k_lat = (g1.lat0 - g2.lat0) / g1.lat_step
+        k_lon = (g1.lon0 - g2.lon0) / g1.lon_step
+        assert abs(k_lat - round(k_lat)) < 1e-9
+        assert abs(k_lon - round(k_lon)) < 1e-9
+        assert g1.lat_step == g2.lat_step
+
+    def test_covers_bbox(self):
+        g = fixed_grid((25, 20), 50.0, 60.0, -110.0, -95.0)
+        assert g.lat_corners[0] >= 60.0 - g.lat_step
+        assert np.all(np.diff(g.lat_centers) < 0)
+        assert np.all(np.diff(g.lon_centers) > 0)
+
+    def test_anisotropic(self):
+        g = fixed_grid((25, 10), 50.0, 60.0, -110.0, -95.0)
+        assert abs(g.lat_step - 1 / 25) < 1e-9
+        assert abs(g.lon_step - 1 / 10) < 1e-9
+
+
+class TestBinMean:
+    @pytest.mark.parametrize("method", ["segment", "scatter"])
+    def test_matches_numpy_oracle(self, method):
+        lats, lons, data = synthetic_mapping()
+        g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats), np.nanmin(lons), np.nanmax(lons))
+        count, means = bin_mean(g, lats, lons, data, method)
+        ref_count, ref_means = numpy_mean_rebin(g, lats, lons, data)
+        assert_allclose(np.asarray(count), ref_count)
+        assert np.array_equal(np.isnan(np.asarray(means)), np.isnan(ref_means))
+        m = ~np.isnan(ref_means)
+        assert_allclose(np.asarray(means)[m], ref_means[m], atol=1e-9)
+
+    def test_empty_cells_nan(self):
+        lats = np.array([50.0, 50.0])
+        lons = np.array([-100.0, -100.0])
+        data = np.array([[1.0], [3.0]])
+        g = fixed_grid(1, 45.0, 55.0, -105.0, -95.0)
+        count, means = bin_mean(g, lats, lons, data)
+        count, means = np.asarray(count), np.asarray(means)
+        assert count.sum() == 2
+        filled = count > 0
+        assert means[filled][0, 0] == 2.0
+        assert np.isnan(means[~filled]).all()
+
+    def test_out_of_range_dropped(self):
+        lats = np.array([50.0, 89.0, np.nan])
+        lons = np.array([-100.0, 10.0, -100.0])
+        data = np.ones((3, 1))
+        g = fixed_grid(1, 45.0, 55.0, -105.0, -95.0)
+        count, _ = bin_mean(g, lats, lons, data)
+        assert np.asarray(count).sum() == 1
+
+    def test_partial_plus_finalize_equals_mean(self):
+        lats, lons, data = synthetic_mapping(40)
+        g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats), np.nanmin(lons), np.nanmax(lons))
+        count, means = bin_mean(g, lats, lons, data)
+        # split samples into two "shards", accumulate partials, reduce, divide
+        half = lats.shape[0] // 2
+        c1, s1 = bin_partial(g, lats[:half], lons[:half], data[:half])
+        c2, s2 = bin_partial(g, lats[half:], lons[half:], data[half:])
+        merged = finalize_mean(np.asarray(c1) + np.asarray(c2), np.asarray(s1) + np.asarray(s2))
+        mm = ~np.isnan(np.asarray(means))
+        assert np.array_equal(np.isnan(np.asarray(merged)), ~mm)
+        assert_allclose(np.asarray(merged)[mm], np.asarray(means)[mm], atol=1e-9)
+
+    def test_uint8_image_channels(self):
+        # image data arrives as float64-cast uint8 (reference resample.py:119)
+        lats, lons, data = synthetic_mapping(30)
+        data = np.round(data).astype(np.uint8).astype(np.float64)
+        g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats), np.nanmin(lons), np.nanmax(lons))
+        count, means = bin_mean(g, lats, lons, data)
+        ref_count, ref_means = numpy_mean_rebin(g, lats, lons, data)
+        m = ~np.isnan(ref_means)
+        assert_allclose(np.asarray(means)[m], ref_means[m], atol=1e-9)
