@@ -22,6 +22,7 @@ ICRS directions are used as GCRS (astrometry.py:245-269).
 from dataclasses import dataclass
 from datetime import datetime
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -70,20 +71,27 @@ class GeorefParams:
         )
 
 
-def _pixel_dirs(p: GeorefParams, px, py):
-    """TAN unprojection to unit J2000 direction components (fused)."""
+def _pixel_dirs(p, px, py):
+    """TAN unprojection to unit J2000 direction components (fused).
+
+    Trig-free: with u = (180/pi)/R the native-spherical direction is
+        (cos t cos phi, cos t sin phi, sin t)
+      = (-y, x, u) / sqrt(x^2 + y^2 + u^2)
+    since cos(arctan2(x,-y)) = -y/R, sin = x/R, and sin(arctan u') with
+    u' = u/R collapses against R. Equivalent to the reference formulation
+    (auromat/coordinates/wcs.py:106-141) to ~1 ulp but with zero
+    transcendentals — only one rsqrt per pixel on the VPU.
+    """
     cd = p.cd
     dx = px - (p.px_ref - 1.0)
     dy = py - (p.py_ref - 1.0)
     x = cd[0][0] * dx + cd[0][1] * dy
     y = cd[1][0] * dx + cd[1][1] * dy
-    r = jnp.sqrt(x * x + y * y)
-    phi = jnp.arctan2(x, -y)
-    theta = jnp.arctan((180.0 / jnp.pi) / r)
-    cos_t = jnp.cos(theta)
-    l_ = cos_t * jnp.cos(phi)
-    m_ = cos_t * jnp.sin(phi)
-    n_ = jnp.sin(theta)
+    u = 180.0 / jnp.pi
+    inv = jax.lax.rsqrt(x * x + y * y + u * u)
+    l_ = -y * inv
+    m_ = x * inv
+    n_ = u * inv
     rm = p.rotmat
     vx = rm[0][0] * l_ + rm[0][1] * m_ + rm[0][2] * n_
     vy = rm[1][0] * l_ + rm[1][1] * m_ + rm[1][2] * n_
@@ -91,12 +99,14 @@ def _pixel_dirs(p: GeorefParams, px, py):
     return vx, vy, vz
 
 
-def _intersect(p: GeorefParams, vx, vy, vz, dtype):
+def _intersect(p, vx, vy, vz, dtype):
     """Directed ray/inflated-ellipsoid intersection (origin = camera)."""
     a = WGS84_A + p.altitude
     b = WGS84_B + p.altitude
-    ox, oy, oz = p.camera_pos
-    inside = (ox / a) ** 2 + (oy / a) ** 2 + (oz / b) ** 2 < 1.0  # python bool
+    ox, oy, oz = p.camera_pos[0], p.camera_pos[1], p.camera_pos[2]
+    # works for both static python floats and traced per-frame scalars;
+    # for static params XLA constant-folds the select
+    inside = (ox / a) ** 2 + (oy / a) ** 2 + (oz / b) ** 2 < 1.0
     # scaled-space quadratic (identical formulation to the reference,
     # intersection.py:58-104, for bit-level parity)
     inv_a, inv_b = 1.0 / a, 1.0 / b
@@ -108,7 +118,7 @@ def _intersect(p: GeorefParams, vx, vy, vz, dtype):
     a_q = dsx * dsx + dsy * dsy + dsz * dsz
     c_q = osx * osx + osy * osy + osz * osz
     root = jnp.sqrt(b_q * b_q - c_q * a_q + a_q)
-    d = (b_q + root) if inside else (b_q - root)
+    d = jnp.where(inside, b_q + root, b_q - root)
     d = jnp.where(d < 0, jnp.nan, d) / a_q
     return ox + d * vx, oy + d * vy, oz + d * vz
 
@@ -210,6 +220,61 @@ def georeference(params: GeorefParams, fast_center=False, with_mlatmlt=True,
         out["mlat_center"], out["mlt_center"] = _mlatmlt_from_j2000(
             params, cix, ciy, ciz
         )
+    return out
+
+
+class DynGeorefParams(NamedTuple):
+    """Per-frame calibration as a pytree of arrays — vmappable over frames.
+
+    Same fields as :class:`GeorefParams` minus the static image shape. Use
+    :meth:`stack` to batch a frame sequence: the per-frame scalars become the
+    leading axis and the whole chain vmaps (SURVEY.md P2: the reference's
+    NuMap process pipeline becomes a batched device call).
+    """
+
+    cd: jnp.ndarray  # (2, 2)
+    px_ref: jnp.ndarray  # ()
+    py_ref: jnp.ndarray  # ()
+    rotmat: jnp.ndarray  # (3, 3)
+    camera_pos: jnp.ndarray  # (3,)
+    altitude: jnp.ndarray  # ()
+    mat_j2000_to_geo: jnp.ndarray  # (3, 3)
+    mat_j2000_to_sm: jnp.ndarray  # (3, 3)
+
+    @staticmethod
+    def from_static(p: GeorefParams, dtype=jnp.float64):
+        a = lambda v: jnp.asarray(np.asarray(v), dtype=dtype)
+        return DynGeorefParams(
+            cd=a(p.cd), px_ref=a(p.px_ref), py_ref=a(p.py_ref), rotmat=a(p.rotmat),
+            camera_pos=a(p.camera_pos), altitude=a(p.altitude),
+            mat_j2000_to_geo=a(p.mat_j2000_to_geo), mat_j2000_to_sm=a(p.mat_j2000_to_sm),
+        )
+
+    @staticmethod
+    def stack(params_list, dtype=jnp.float64):
+        dyns = [DynGeorefParams.from_static(p, dtype) for p in params_list]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *dyns)
+
+
+def georef_dirs_dyn(p: DynGeorefParams, px, py):
+    """Pixel coords -> J2000 unit directions with traced per-frame params."""
+    return _pixel_dirs(p, px, py)
+
+
+def georef_latlon_dyn(p: DynGeorefParams, px, py, dtype=jnp.float32,
+                      with_elevation=False, with_mlatmlt=False):
+    """Georeference pixel coords with traced params (vmap/shard_map safe).
+
+    :returns: dict with lat, lon (+ elevation, mlat, mlt when requested)
+    """
+    vx, vy, vz = _pixel_dirs(p, px, py)
+    ix, iy, iz = _intersect(p, vx, vy, vz, dtype)
+    lat, lon = _latlon_from_j2000(p, ix, iy, iz)
+    out = {"lat": lat, "lon": lon}
+    if with_elevation:
+        out["elevation"] = _elevation_deg(vx, vy, vz, ix, iy, iz)
+    if with_mlatmlt:
+        out["mlat"], out["mlt"] = _mlatmlt_from_j2000(p, ix, iy, iz)
     return out
 
 

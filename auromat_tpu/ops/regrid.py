@@ -119,6 +119,64 @@ def _bin_sum_segment(flat_idx, weights, data, n_bins, n_ch):
                                indices_are_sorted=True)[:-1]
 
 
+def _two_sum(a, b):
+    """Knuth error-free transformation: a+b = s + e exactly."""
+    s = a + b
+    v = s - a
+    e = (a - v) + (b - (s - v))
+    return s, e
+
+
+def _compensated_cumsum(x, axis=0):
+    """Cumulative sum as a (hi, lo) float pair via associative scan.
+
+    Gives ~2x-precision prefix sums in f32 — needed because a plain f32
+    cumsum over 12M image samples loses ~8 bits at the tail, which would
+    corrupt per-bin sums extracted as csum[end] - csum[start].
+    """
+
+    def combine(a, b):
+        (ah, al), (bh, bl) = a, b
+        s, e = _two_sum(ah, bh)
+        return s, e + al + bl
+
+    hi, lo = jax.lax.associative_scan(
+        combine, (x, jnp.zeros_like(x)), axis=axis
+    )
+    return hi, lo
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):
+    """Sort-free-of-scatter accumulation: sort keys with payloads, per-bin
+    ranges via vectorized binary search, sums via compensated prefix sums.
+
+    Avoids XLA's serialized scatter-add on TPU entirely (measured: scatter
+    ~757 ms for 12M samples on v5e vs ~10 ms of dense work here + the sort).
+    """
+    operands = [flat_idx] + [data[:, c] for c in range(n_ch)]
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    sidx = sorted_ops[0]
+    bins = jnp.arange(n_bins, dtype=sidx.dtype)
+    starts = jnp.searchsorted(sidx, bins, side="left")
+    ends = jnp.searchsorted(sidx, bins, side="right")
+    count = (ends - starts).astype(data.dtype)
+
+    def seg_sums(v):
+        hi, lo = _compensated_cumsum(v)
+        # inclusive prefix: segment sum = csum[end-1] - csum[start-1]
+        h_end = jnp.where(ends > 0, hi[jnp.maximum(ends - 1, 0)], 0.0)
+        l_end = jnp.where(ends > 0, lo[jnp.maximum(ends - 1, 0)], 0.0)
+        h_sta = jnp.where(starts > 0, hi[jnp.maximum(starts - 1, 0)], 0.0)
+        l_sta = jnp.where(starts > 0, lo[jnp.maximum(starts - 1, 0)], 0.0)
+        return (h_end - h_sta) + (l_end - l_sta)
+
+    sums = [seg_sums(sorted_ops[1 + c]) for c in range(n_ch)]
+    return jnp.concatenate(
+        [count[:, None]] + [s[:, None] for s in sums], axis=1
+    )
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def _bin_sum_scatter(flat_idx, weights, data, n_bins, n_ch):
     vals = jnp.concatenate([weights[:, None], data], axis=1)
@@ -148,6 +206,13 @@ def bin_indices(grid: GridSpec, lats, lons):
     return flat, valid
 
 
+_BIN_METHODS = {
+    "segment": _bin_sum_segment,
+    "scatter": _bin_sum_scatter,
+    "sorted": _bin_sum_sorted,
+}
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def bin_mean(grid: GridSpec, lats, lons, data, method="segment"):
     """Mean-bin multi-channel samples onto the grid.
@@ -168,7 +233,7 @@ def bin_mean(grid: GridSpec, lats, lons, data, method="segment"):
     # zero out data of invalid samples so the dump slot stays finite
     flat_data = jnp.where(valid[:, None], flat_data, 0.0)
     n_bins = grid.n_lat * grid.n_lon
-    fn = _bin_sum_segment if method == "segment" else _bin_sum_scatter
+    fn = _BIN_METHODS[method]
     acc = fn(flat_idx, weights, flat_data, n_bins, n_ch)
     count = acc[:, 0].reshape(grid.n_lat, grid.n_lon)
     sums = acc[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)
@@ -192,7 +257,7 @@ def bin_partial(grid: GridSpec, lats, lons, data, method="segment"):
     weights = valid.astype(flat_data.dtype)
     flat_data = jnp.where(valid[:, None], flat_data, 0.0)
     n_bins = grid.n_lat * grid.n_lon
-    fn = _bin_sum_segment if method == "segment" else _bin_sum_scatter
+    fn = _BIN_METHODS[method]
     acc = fn(flat_idx, weights, flat_data, n_bins, n_ch)
     count = acc[:, 0].reshape(grid.n_lat, grid.n_lon)
     sums = acc[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)

@@ -1,0 +1,99 @@
+"""Headline benchmark: georeference + regrid a 12 MP ISS frame on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "MPix/s/chip", "vs_baseline": N}
+
+vs_baseline is measured throughput relative to the driver's north-star target
+of <10 ms for the 12.05 MPix frame (BASELINE.json) == 1205 MPix/s.
+
+Runs on whatever the default jax backend is (the real TPU chip under the
+driver; CPU with JAX_PLATFORMS forced). Everything timed is inside ONE jitted
+function — no host roundtrips in the loop.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from auromat_tpu.coordinates.wcs import TanWcs
+    from auromat_tpu.io import fits
+    from auromat_tpu.ops.georef import DynGeorefParams, GeorefParams, georef_latlon_dyn
+    from auromat_tpu.ops.regrid import bin_partial, finalize_mean, fixed_grid
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    header = fits.read_header(
+        os.path.join(repo, "tests", "resources", "ISS030-E-102170_dc.wcs")
+    )
+    wcs = TanWcs(header)
+    params = GeorefParams.from_wcs(
+        wcs,
+        fits.get_shifted_spacecraft_position(header)[:3],
+        fits.get_photo_time(header),
+        altitude=110.0,
+    )
+    h, w = params.height, params.width
+    mpix = h * w / 1e6
+    dtype = jnp.float32
+    dyn = DynGeorefParams.from_static(params, dtype=dtype)
+    grid = fixed_grid((36, 25), 47.0, 62.0, -112.0, -91.0)
+
+    try:
+        from PIL import Image
+
+        img_u8 = np.asarray(
+            Image.open(os.path.join(repo, "tests", "resources", "ISS030-E-102170_dc.jpg"))
+        )
+        img = img_u8.astype(np.float32)
+    except Exception:
+        img = np.zeros((h, w, 3), dtype=np.float32)
+
+    @jax.jit
+    def forward(img):
+        px = jnp.broadcast_to(jnp.arange(w, dtype=dtype)[None, :], (h, w))
+        py = jnp.broadcast_to(jnp.arange(h, dtype=dtype)[:, None], (h, w))
+        out = georef_latlon_dyn(dyn, px, py, dtype=dtype, with_elevation=True)
+        data = jnp.concatenate([img, out["elevation"][..., None]], axis=-1)
+        count, sums = bin_partial(grid, out["lat"], out["lon"], data, "sorted")
+        return count, finalize_mean(count, sums)
+
+    img_dev = jax.device_put(img)
+    backend = jax.default_backend()
+    print(f"backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
+
+    t0 = time.time()
+    count, means = jax.block_until_ready(forward(img_dev))
+    print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    assert float(np.asarray(count).sum()) > 1e6, "georef+regrid produced no samples"
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(forward(img_dev))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(f"median step: {dt*1e3:.2f} ms (min {min(times)*1e3:.2f})", file=sys.stderr)
+
+    value = mpix / dt
+    baseline = 12.05 / 10e-3  # north-star: 12 MPix in 10 ms
+    print(
+        json.dumps(
+            {
+                "metric": f"georef+regrid 12MP ISS frame ({backend}, f32)",
+                "value": round(value, 2),
+                "unit": "MPix/s/chip",
+                "vs_baseline": round(value / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,7 @@ class TestFixedGrid:
 
 
 class TestBinMean:
-    @pytest.mark.parametrize("method", ["segment", "scatter"])
+    @pytest.mark.parametrize("method", ["segment", "scatter", "sorted"])
     def test_matches_numpy_oracle(self, method):
         lats, lons, data = synthetic_mapping()
         g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats), np.nanmin(lons), np.nanmax(lons))

@@ -1,0 +1,128 @@
+"""Multi-device tests on the 8-device virtual CPU mesh.
+
+The sharded mosaic step (frames over dp, rows over sp, psum of partial bins)
+must produce bit-identical results to the unsharded computation.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from numpy.testing import assert_allclose
+
+from auromat_tpu.io import fits
+from auromat_tpu.coordinates.wcs import TanWcs
+from auromat_tpu.ops.georef import DynGeorefParams, GeorefParams, georef_latlon_dyn
+from auromat_tpu.ops.regrid import bin_mean, fixed_grid
+from auromat_tpu.parallel import make_mesh, make_sharded_mosaic_step, sharded_batch_georef
+
+import os
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+
+
+def _base_params():
+    header = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+    wcs = TanWcs(header)
+    pos = fits.get_shifted_spacecraft_position(header)[:3]
+    return GeorefParams.from_wcs(wcs, pos, fits.get_photo_time(header), 110.0)
+
+
+def _burst(n_frames, h=64, w=128):
+    """Synthetic frame burst: slightly varying camera positions (an ISS video
+    burst), downscaled pixel grid mapped onto the real WCS via stride."""
+    base = _base_params()
+    params = []
+    for i in range(n_frames):
+        pos = tuple(c + 5.0 * i for c in base.camera_pos)
+        params.append(GeorefParams(
+            width=w, height=h, cd=tuple(tuple(v * 32 for v in row) for row in base.cd),
+            px_ref=base.px_ref / 32, py_ref=base.py_ref / 32, rotmat=base.rotmat,
+            camera_pos=pos, altitude=base.altitude,
+            mat_j2000_to_geo=base.mat_j2000_to_geo,
+            mat_j2000_to_sm=base.mat_j2000_to_sm,
+        ))
+    return params
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mosaic_step_matches_unsharded():
+    # f64 so op-ordering jitter between the vmap'd sharded path and the
+    # per-frame oracle cannot flip borderline samples across bin edges
+    h, w, B = 64, 128, 4
+    params = _burst(B, h, w)
+    rng = np.random.default_rng(0)
+    imgs = rng.random((B, h, w, 3)).astype(np.float64) * 255
+
+    grid = fixed_grid(2, 30.0, 75.0, -140.0, -60.0)
+    mesh = make_mesh(dp=4, sp=2)
+    step = make_sharded_mosaic_step(mesh, grid, h, w, channels=3, dtype=jnp.float64)
+    dyn = DynGeorefParams.stack(params, dtype=jnp.float64)
+    count_sh, means_sh = step(dyn, imgs)
+
+    # unsharded oracle: accumulate all frames' samples through bin_mean
+    px, py = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    all_lat, all_lon, all_data = [], [], []
+    for i, p in enumerate(params):
+        d = DynGeorefParams.from_static(p, dtype=jnp.float64)
+        out = georef_latlon_dyn(d, jnp.asarray(px), jnp.asarray(py),
+                                dtype=jnp.float64, with_elevation=True)
+        all_lat.append(np.asarray(out["lat"]))
+        all_lon.append(np.asarray(out["lon"]))
+        all_data.append(np.concatenate([imgs[i], np.asarray(out["elevation"])[..., None]], axis=-1))
+    count_ref, means_ref = bin_mean(
+        grid,
+        np.stack(all_lat), np.stack(all_lon), np.stack(all_data),
+    )
+
+    assert_allclose(np.asarray(count_sh), np.asarray(count_ref))
+    a, b = np.asarray(means_sh), np.asarray(means_ref)
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    m = ~np.isnan(b)
+    assert_allclose(a[m], b[m], rtol=1e-9)  # summation-order jitter only
+
+
+def test_mosaic_step_f32_smoke():
+    """f32 path: totals must match exactly, cell-level bins may differ by
+    ulp-level coordinate jitter on edge samples."""
+    h, w, B = 64, 128, 4
+    params = _burst(B, h, w)
+    imgs = np.random.default_rng(1).random((B, h, w, 3)).astype(np.float32)
+    grid = fixed_grid(2, 30.0, 75.0, -140.0, -60.0)
+    mesh = make_mesh(dp=2, sp=4)
+    step = make_sharded_mosaic_step(mesh, grid, h, w, channels=3, dtype=jnp.float32)
+    dyn = DynGeorefParams.stack(params, dtype=jnp.float32)
+    count, means = step(dyn, imgs)
+    count = np.asarray(count)
+    assert count.sum() > 0
+    assert np.isfinite(np.asarray(means)[count > 0]).all()
+
+
+def test_sharded_batch_georef_matches_single():
+    h, w, B = 64, 128, 8
+    params = _burst(B, h, w)
+    mesh = make_mesh(dp=4, sp=2)
+    fn = sharded_batch_georef(mesh, h, w, dtype=jnp.float64)
+    dyn = DynGeorefParams.stack(params, dtype=jnp.float64)
+    out = fn(dyn)
+    assert np.asarray(out["lat"]).shape == (B, h, w)
+
+    px, py = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    for i in (0, 3, 7):
+        d = DynGeorefParams.from_static(params[i])
+        ref = georef_latlon_dyn(d, jnp.asarray(px), jnp.asarray(py), dtype=jnp.float64)
+        a = np.asarray(out["lat"])[i]
+        b = np.asarray(ref["lat"])
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(b)
+        assert_allclose(a[m], b[m], atol=1e-12)
+
+
+def test_mesh_factorisation():
+    mesh = make_mesh()
+    assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+    mesh2 = make_mesh(jax.devices()[:6])
+    assert mesh2.shape["dp"] * mesh2.shape["sp"] == 6
