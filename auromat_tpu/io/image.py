@@ -1,0 +1,91 @@
+"""Image file I/O (host side), mirroring auromat/util/image.py.
+
+Loads via PIL; grayscale is widened to RGB, alpha dropped. EXIF time /
+exposure readers use PIL's EXIF support (the reference uses exifread).
+"""
+
+import numpy as np
+
+
+def load_image(path):
+    """Load an image as (h, w, 3) uint8/uint16 RGB (alpha dropped)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode in ("I;16", "I;16B", "I"):
+            arr = np.asarray(im)
+            if arr.ndim == 2:
+                arr = np.repeat(arr[:, :, None], 3, 2)
+            return arr.astype(np.uint16)
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        return np.asarray(im)
+
+
+def save_image(path, img):
+    """Save (h, w[, 3]) uint8 (or uint16 -> scaled to uint8) image data."""
+    from PIL import Image
+
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        img = (img.astype(np.float64) * (255 / 65535)).astype(np.uint8)
+    if np.ma.isMaskedArray(img):
+        img = img.filled(0)
+    Image.fromarray(img).save(path)
+
+
+def cropped_image(img, divisible_by=16):
+    """Crop so both dimensions are divisible by ``divisible_by``.
+
+    Crops bottom/right (reference: auromat/util/image.py:59-72).
+    """
+    h, w = img.shape[0], img.shape[1]
+    return img[: h - h % divisible_by, : w - w % divisible_by]
+
+
+def _exif(path):
+    from PIL import Image
+    from PIL.ExifTags import TAGS
+
+    with Image.open(path) as im:
+        raw = im.getexif()
+        tags = {TAGS.get(k, k): v for k, v in raw.items()}
+        try:
+            ifd = raw.get_ifd(0x8769)  # Exif SubIFD
+            tags.update({TAGS.get(k, k): v for k, v in ifd.items()})
+        except Exception:
+            pass
+    return tags
+
+
+def read_exif_time(path):
+    """Capture time incl. sub-second part, or None.
+
+    Reference: auromat/util/image.py:113-144.
+    """
+    from datetime import datetime
+
+    tags = _exif(path)
+    raw = tags.get("DateTimeOriginal") or tags.get("DateTime")
+    if raw is None:
+        return None
+    t = datetime.strptime(str(raw), "%Y:%m:%d %H:%M:%S")
+    sub = tags.get("SubsecTimeOriginal") or tags.get("SubsecTime")
+    if sub is not None:
+        frac = str(sub).strip()
+        if frac.isdigit():
+            t = t.replace(microsecond=int(float("0." + frac) * 1e6))
+    return t
+
+
+def read_focal_length_35mm(path):
+    """35mm-equivalent focal length in mm, or None."""
+    tags = _exif(path)
+    v = tags.get("FocalLengthIn35mmFilm")
+    return float(v) if v else None
+
+
+def read_exposure_time(path):
+    tags = _exif(path)
+    v = tags.get("ExposureTime")
+    return float(v) if v else None

@@ -1,0 +1,69 @@
+"""Astrometric mappings: build a Mapping from a WCS solution + camera state.
+
+The reference's BaseAstrometryMapping lazy pyramid (auromat/mapping/
+astrometry.py:18-218) becomes one call into the fused device chain
+(auromat_tpu.ops.georef.georeference); MLat/MLT is computed straight from the
+J2000 intersections like the reference (astrometry.py:170-198) to minimise
+numerical error.
+"""
+
+from datetime import datetime
+
+import jax.numpy as jnp
+import numpy as np
+
+from auromat_tpu.coordinates.frames import FrameMatrices
+from auromat_tpu.coordinates.wcs import TanWcs
+from auromat_tpu.mapping.mapping import Mapping
+from auromat_tpu.ops.georef import GeorefParams, georeference
+
+
+class AstrometryMapping(Mapping):
+    """Mapping whose MLat/MLT was computed from the J2000 intersections."""
+
+
+def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
+                   altitude=110.0, identifier=None, metadata=None,
+                   fast_center=True, with_mlatmlt=True, dtype=jnp.float64,
+                   frame_matrices=None) -> AstrometryMapping:
+    """Georeference an image with a TAN WCS solution into a Mapping.
+
+    :param wcs_header: FITS header dict (astrometry.net .wcs solution)
+    :param img: (h, w[, C]) uint8/uint16 image matching IMAGEW/IMAGEH
+    :param camera_pos: (3,) GCRS km
+    :param fast_center: centre coords as 4-corner means (reference
+        fastCenterCalculation, astrometry.py:154-160); mask invariants then
+        hold by construction
+    :param dtype: device compute dtype (float64 for CPU parity)
+    """
+    wcs = TanWcs(wcs_header)
+    img = np.asarray(img)
+    h, w = img.shape[0], img.shape[1]
+    assert (w, h) == (wcs.width, wcs.height), ((w, h), (wcs.width, wcs.height))
+    fm = frame_matrices or FrameMatrices(photo_time)
+    params = GeorefParams.from_wcs(wcs, camera_pos, photo_time, altitude, fm)
+    out = georeference(params, fast_center=fast_center, with_mlatmlt=with_mlatmlt,
+                       dtype=dtype)
+    get = lambda k: np.array(out[k], dtype=np.float64)  # writable host copy
+    mapping = AstrometryMapping(
+        get("lats"), get("lons"), get("lats_center"), get("lons_center"),
+        get("elevation"), altitude, img, camera_pos, photo_time,
+        identifier, metadata=metadata, sanitized=fast_center,
+        frame_matrices=fm,
+    )
+    if with_mlatmlt:
+        import numpy.ma as ma
+
+        # align the J2000-derived magnetic coords with the (possibly
+        # sanitize-extended) lat/lon masks
+        def masked(key, mask):
+            a = get(key)
+            a[mask] = np.nan
+            return ma.masked_invalid(a, copy=False)
+
+        cm, ccm = mapping.corner_mask, mapping.center_mask
+        mapping._mlatmlt = (masked("mlat", cm), masked("mlt", cm))
+        mapping._mlatmlt_center = (
+            masked("mlat_center", ccm), masked("mlt_center", ccm),
+        )
+    return mapping

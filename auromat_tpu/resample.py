@@ -1,0 +1,202 @@
+"""Resample mappings onto regular plate-carree grids (geographic or magnetic).
+
+High-level orchestration mirroring auromat/resample.py: pole rotation /
+discontinuity shifting on the host, the hot multi-channel mean binning on
+device (auromat_tpu.ops.regrid). 'nearest'/'linear'/'cubic' interpolation
+methods go through scipy.griddata with outline masking, like the reference.
+"""
+
+from functools import partial as _partial
+
+import numpy as np
+import numpy.ma as ma
+
+from auromat_tpu.coordinates import geodesic
+from auromat_tpu.coordinates.geodesic import Location
+from auromat_tpu.coordinates.transform import rotate_pole, wrap_longitude
+from auromat_tpu.mapping.mapping import (
+    BoundingBox,
+    Mapping,
+    MappingCollection,
+    convert_mapping_to_sm,
+    convert_sm_mapping_to_geo,
+)
+from auromat_tpu.ops.regrid import bin_mean, fixed_grid
+from auromat_tpu.utils import points_inside_polygon
+
+
+def plate_carree_resolution(bounding_box: BoundingBox, arcsec_per_px):
+    """(lat_px_per_deg, lon_px_per_deg) approximating a spherical resolution
+    at the bbox centre. Reference: auromat/resample.py:36-61."""
+    deg_per_px = arcsec_per_px / 3600.0
+    lat_px_per_deg = 1.0 / deg_per_px
+    lat_middle = (bounding_box.latNorth + bounding_box.latSouth) / 2
+    middle_left = Location(lat_middle, bounding_box.lonWest)
+    middle_right = Location(lat_middle, bounding_box.lonEast)
+    lon_middle_distance = geodesic.angular_distance(middle_left, middle_right)
+    px = lon_middle_distance / deg_per_px
+    lon_east = bounding_box.lonEast
+    if bounding_box.lonWest > lon_east:
+        lons = lon_east + 360 - bounding_box.lonWest
+    else:
+        lons = lon_east - bounding_box.lonWest
+    return lat_px_per_deg, px / lons
+
+
+def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
+             contains_pole=None, method="mean"):
+    """Resample image+elevation onto a regular lat/lon grid.
+
+    With 'mean' binning, high target resolutions produce empty cells at low
+    elevations — mask by elevation first (reference resample.py:79-84).
+
+    :param px_per_deg: scalar or (lat, lon) pixels per degree
+    :param arcsec_per_px: spherical resolution (overrides px_per_deg)
+    :param method: 'mean' (device binning) | 'nearest' | 'linear' | 'cubic'
+    :rtype: Mapping or MappingCollection
+    """
+    if isinstance(mapping_or_collection, MappingCollection):
+        return MappingCollection(
+            [resample(m, px_per_deg, arcsec_per_px, contains_pole, method)
+             for m in mapping_or_collection.mappings],
+            mapping_or_collection.identifier,
+            mayOverlap=mapping_or_collection.mayOverlap,
+        )
+    mapping = mapping_or_collection
+    if not isinstance(mapping, Mapping):
+        raise ValueError(f"not a mapping or collection: {type(mapping)}")
+
+    if contains_pole is None:
+        contains_pole = mapping.containsPole
+    if arcsec_per_px:
+        px_per_deg = plate_carree_resolution(mapping.boundingBox, arcsec_per_px)
+    else:
+        try:
+            _, _ = px_per_deg
+        except TypeError:
+            px_per_deg = (px_per_deg, px_per_deg)
+
+    img = mapping.img
+    img_dtype = img.dtype
+    img_is_int = np.issubdtype(img_dtype, np.integer)
+    merged = np.concatenate(
+        [
+            np.asarray(img.astype(np.float64).filled(np.nan)),
+            np.asarray(mapping.elevation.filled(np.nan))[:, :, None],
+        ],
+        axis=-1,
+    )
+    lats, lons, lats_c, lons_c, data = _resample(
+        np.asarray(mapping.latsCenter.filled(np.nan)),
+        np.asarray(mapping.lonsCenter.filled(np.nan)),
+        mapping.altitude, merged, lambda: mapping.outline.copy(),
+        mapping.boundingBox, px_per_deg, mapping.containsDiscontinuity,
+        contains_pole, method,
+    )
+    img_r = data[..., :-1]
+    elevation_r = data[..., -1]
+    if img_is_int:
+        with np.errstate(invalid="ignore"):
+            img_r = np.round(img_r)
+        img_r = np.where(np.isnan(img_r), 0, img_r).astype(img_dtype)
+        # mask re-derived from coordinates; fill value irrelevant
+    if img.shape[2] == 1:
+        img_r = img_r[..., 0]
+    return mapping.createResampled(lats, lons, lats_c, lons_c, elevation_r, img_r)
+
+
+def resample_mlat_mlt(mapping, **kw):
+    """Resample so MLat/MLT become regular grids (reference resample.py:63-71)."""
+    sm = convert_mapping_to_sm(mapping)
+    sm_resampled = resample(sm, **kw)
+    return convert_sm_mapping_to_geo(sm_resampled)
+
+
+def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
+              px_per_deg, contains_discontinuity, contains_pole, method):
+    lat_min, lat_max = bbox.latSouth, bbox.latNorth
+    lon_min, lon_max = bbox.lonWest, bbox.lonEast
+
+    if contains_pole:
+        outline = outline_fn()
+        o_lats, o_lons = rotate_pole(
+            np.deg2rad(outline[:, 0]), np.deg2rad(outline[:, 1]), altitude,
+            angle_deg=90.0, axis=(1, 0, 0),
+        )
+        outline[:, 0] = np.rad2deg(np.asarray(o_lats))
+        outline[:, 1] = np.rad2deg(np.asarray(o_lons))
+        lat_min, lat_max = outline[:, 0].min(), outline[:, 0].max()
+        lon_min, lon_max = outline[:, 1].min(), outline[:, 1].max()
+        with np.errstate(invalid="ignore"):
+            la, lo = rotate_pole(
+                np.deg2rad(lats_center.ravel()), np.deg2rad(lons_center.ravel()),
+                altitude, angle_deg=90.0, axis=(1, 0, 0),
+            )
+        lats_center = np.rad2deg(np.asarray(la)).reshape(lats_center.shape)
+        lons_center = np.rad2deg(np.asarray(lo)).reshape(lons_center.shape)
+        outline_fn = lambda: outline
+    elif contains_discontinuity:
+        outline = outline_fn()
+        outline[:, 1] = np.asarray(wrap_longitude(outline[:, 1] + 180.0))
+        lon_min, lon_max = outline[:, 1].min(), outline[:, 1].max()
+        lons_center = np.asarray(wrap_longitude(lons_center + 180.0))
+        outline_fn = lambda: outline
+
+    grid = fixed_grid(px_per_deg, lat_min, lat_max, lon_min, lon_max)
+    lat_grid, lon_grid = grid.corner_grids()
+    lat_grid_c, lon_grid_c = grid.center_grids()
+
+    if method == "mean":
+        _, data_r = bin_mean(grid, lats_center, lons_center, data)
+        data_r = np.asarray(data_r)
+    elif method in ("nearest", "linear", "cubic"):
+        import scipy.interpolate
+
+        ok = ~np.isnan(lats_center.ravel())
+        pts = (lats_center.ravel()[ok], lons_center.ravel()[ok])
+        vals = data.reshape(-1, data.shape[-1])[ok]
+        data_r = scipy.interpolate.griddata(
+            pts, vals, (grid.lat_centers[:, None], grid.lon_centers[None, :]),
+            method=method,
+        )
+        # mask cells outside the (concave) outline — griddata only clips to
+        # the convex hull (reference resample.py:248-259)
+        outline = outline_fn()
+        flat = np.stack([lat_grid.ravel(), lon_grid.ravel()], axis=-1)
+        outside = ~points_inside_polygon(flat, outline).reshape(lat_grid.shape)
+        cell_outside = (
+            outside[:-1, :-1] | outside[1:, :-1] | outside[:-1, 1:] | outside[1:, 1:]
+        )
+        data_r[cell_outside] = np.nan
+    else:
+        raise NotImplementedError(method)
+
+    if contains_pole:
+        def unrotate(la, lo):
+            la2, lo2 = rotate_pole(
+                np.deg2rad(la.ravel()), np.deg2rad(lo.ravel()), altitude,
+                angle_deg=-90.0, axis=(1, 0, 0),
+            )
+            return (np.rad2deg(np.asarray(la2)).reshape(la.shape),
+                    np.rad2deg(np.asarray(lo2)).reshape(lo.shape))
+
+        lat_grid, lon_grid = unrotate(lat_grid, lon_grid)
+        lat_grid_c, lon_grid_c = unrotate(lat_grid_c, lon_grid_c)
+    elif contains_discontinuity:
+        lon_grid = np.asarray(wrap_longitude(lon_grid + 180.0))
+        lon_grid_c = np.asarray(wrap_longitude(lon_grid_c + 180.0))
+
+    return lat_grid, lon_grid, lat_grid_c, lon_grid_c, data_r
+
+
+def ResampleProvider(provider, **kw):
+    """Wrap a provider so every mapping is resampled."""
+    import copy
+
+    fn = _partial(resample, **kw)
+    provider = copy.copy(provider)
+    orig_get, orig_get_by_id, orig_seq = provider.get, provider.getById, provider.getSequence
+    provider.get = lambda *a, **k: fn(orig_get(*a, **k))
+    provider.getById = lambda *a, **k: fn(orig_get_by_id(*a, **k))
+    provider.getSequence = lambda *a, **k: map(fn, orig_seq(*a, **k))
+    return provider

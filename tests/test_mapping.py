@@ -1,0 +1,206 @@
+"""Data-model tests: mask invariants, masking ops, bbox, collections."""
+
+import datetime
+import os
+
+import numpy as np
+import numpy.ma as ma
+import pytest
+
+from auromat_tpu.mapping.mapping import (
+    BoundingBox,
+    Mapping,
+    MappingCollection,
+    sanitize_masks,
+)
+from auromat_tpu.mapping.spacecraft import get_mapping
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+
+
+def synthetic_mapping(n=40, lat0=60.0, lon0=-100.0, hole=True):
+    sp = np.linspace(0, 10, n + 1)
+    lats = lat0 + np.tile(sp, n + 1).reshape(n + 1, n + 1).T
+    lons = lon0 + np.tile(sp, n + 1).reshape(n + 1, n + 1)
+    if hole:
+        r = n * 0.4
+        y, x = np.ogrid[-r : r + 1, -r : r + 1]
+        mask = np.zeros_like(lats, dtype=bool)
+        m = (x**2 + y**2 <= r**2)
+        mask[: m.shape[0], : m.shape[1]] = m
+        lats[mask] = np.nan
+        lons[mask] = np.nan
+    step = sp[1] - sp[0]
+    lats_c = lats[:-1, :-1] + step / 2
+    lons_c = lons[:-1, :-1] + step / 2
+    rng = np.random.default_rng(0)
+    img = (rng.random((n, n, 3)) * 255).astype(np.uint8)
+    elev = np.full((n, n), 45.0)
+    return Mapping(
+        lats, lons, lats_c, lons_c, elev, 110.0, img,
+        np.array([0.0, 0.0, 10000.0]), datetime.datetime(2012, 1, 25, 9, 27, 8),
+        "synthetic",
+    )
+
+
+class TestSanitizeMasks:
+    def test_fixpoint_simple(self):
+        corner = np.zeros((5, 5), dtype=bool)
+        center = np.zeros((4, 4), dtype=bool)
+        center[1, 1] = True  # one masked centre
+        cm, ccm = sanitize_masks(corner, center)
+        # a single masked centre does not mask any corner (each corner has
+        # other defined neighbours)
+        assert not cm.any()
+        assert ccm.sum() == 1
+
+    def test_corner_propagation(self):
+        corner = np.zeros((5, 5), dtype=bool)
+        corner[0, 0] = True
+        center = np.zeros((4, 4), dtype=bool)
+        cm, ccm = sanitize_masks(corner, center)
+        # centre (0,0) loses a corner -> masked
+        assert ccm[0, 0]
+        assert ccm.sum() == 1
+        assert cm[0, 0] and cm.sum() == 1
+
+    def test_isolated_corner_removed(self):
+        corner = np.zeros((5, 5), dtype=bool)
+        center = np.ones((4, 4), dtype=bool)
+        center[3, 3] = False
+        cm, ccm = sanitize_masks(corner, center)
+        # only corners adjacent to the single live centre survive
+        assert (~cm).sum() == 4
+        assert not cm[3:5, 3:5].any()
+
+
+class TestMappingModel:
+    def test_guarantees_after_sanitize(self):
+        m = synthetic_mapping()
+        m.checkGuarantees()
+
+    def test_masked_by_elevation(self):
+        m = synthetic_mapping()
+        elev = np.asarray(m.elevation.filled(np.nan)).copy()
+        elev[:10] = 5.0
+        m2 = Mapping(
+            m.lats, m.lons, m.latsCenter, m.lonsCenter, elev, m.altitude,
+            m.img_unmasked, m.cameraPosGCRS, m.photoTime, m.identifier,
+        )
+        m3 = m2.maskedByElevation(10)
+        m3.checkGuarantees()
+        assert m3.center_mask[:10].all()
+        assert not m3.center_mask[11:].all()
+
+    def test_masked_by_elevation_all_masked_raises(self):
+        m = synthetic_mapping()
+        with pytest.raises(ValueError):
+            m.maskedByElevation(89.9)
+
+    def test_masked_by_polygon(self):
+        m = synthetic_mapping(hole=False)
+        poly = [(58.0, -101.0), (58.0, -93.0), (67.0, -93.0), (67.0, -101.0)]
+        m2 = m.maskedByPolygon(poly)
+        m2.checkGuarantees()
+        assert m2.center_mask.any()
+        assert (~m2.center_mask).any()
+
+    def test_bounding_box(self):
+        m = synthetic_mapping(hole=False)
+        bb = m.boundingBox
+        assert bb.latSouth == pytest.approx(60.0)
+        assert bb.latNorth == pytest.approx(70.0)
+        assert bb.lonWest == pytest.approx(-100.0)
+        assert bb.lonEast == pytest.approx(-90.0)
+        assert not bb.containsPole
+        assert not bb.containsDiscontinuity
+
+    def test_centroid(self):
+        m = synthetic_mapping(hole=False)
+        c = m.centroid
+        assert c.lat == pytest.approx(65.0, abs=0.2)
+        assert c.lon == pytest.approx(-95.0, abs=0.2)
+
+    def test_mlat_mlt_masks(self):
+        m = synthetic_mapping()
+        mlat, mlt = m.mLatMlt
+        assert np.array_equal(ma.getmaskarray(mlat), m.corner_mask)
+        vals = np.asarray(mlt.compressed())
+        assert vals.min() >= 0 and vals.max() <= 24
+
+    def test_rgb(self):
+        m = synthetic_mapping()
+        rgb = m.rgb
+        assert rgb.dtype == np.uint8 and rgb.shape[2] == 3
+
+
+class TestBoundingBox:
+    def test_merge_simple(self):
+        b1 = BoundingBox(50, -110, 60, -100)
+        b2 = BoundingBox(55, -105, 65, -95)
+        merged = BoundingBox.mergedBoundingBoxes([b1, b2])
+        assert merged == BoundingBox(50, -110, 65, -95)
+
+    def test_merge_discontinuity(self):
+        b1 = BoundingBox(50, 170, 60, 179)
+        b2 = BoundingBox(50, -179, 60, -170)
+        merged = BoundingBox.mergedBoundingBoxes([b1, b2])
+        assert merged.lonWest == 170
+        assert merged.lonEast == -170
+        assert merged.containsDiscontinuity
+
+    def test_center_size(self):
+        bb = BoundingBox(50, -110, 60, -100)
+        c = bb.center
+        assert 54 < c.lat < 56
+        assert -106 < c.lon < -104
+        # ~10 deg of latitude ~ 1110 km
+        assert 1000 < bb.size.height < 1250
+
+    def test_minimum_bbox(self):
+        bb = BoundingBox.minimumBoundingBox([(50, -110), (60, -100), (55, -105)])
+        assert bb == BoundingBox(50, -110, 60, -100)
+
+
+class TestRealFrame:
+    def test_get_mapping_real_frame_guarantees(self):
+        m = get_mapping(
+            os.path.join(RES, "ISS030-E-102170_dc.jpg"),
+            os.path.join(RES, "ISS030-E-102170_dc.wcs"),
+            fast_center=True,
+        )
+        m.checkGuarantees()
+        bb = m.boundingBox
+        assert 47 < bb.latSouth < 49
+        assert 60 < bb.latNorth < 62
+        assert -112 < bb.lonWest < -110
+        assert -93 < bb.lonEast < -91
+        fp = m.cameraFootpoint
+        assert 44 < fp.lat < 45.5
+        scale = m.arcSecPerPx
+        # native ISS pixel scale: median ~6.15 arcsec/px width
+        # (docs/userguide/index.rst:133)
+        assert 3 < scale.width.median < 12
+
+    def test_masked_by_elevation_real(self):
+        m = get_mapping(
+            os.path.join(RES, "ISS030-E-102170_dc.jpg"),
+            os.path.join(RES, "ISS030-E-102170_dc.wcs"),
+            fast_center=True,
+        )
+        m2 = m.maskedByElevation(10)
+        m2.checkGuarantees()
+        assert m2.center_mask.sum() > m.center_mask.sum()
+        elev = m2.elevation
+        assert float(elev.min()) >= 10
+
+
+class TestCollection:
+    def test_collection(self):
+        m1 = synthetic_mapping(hole=False)
+        m2 = synthetic_mapping(hole=False, lat0=62.0)
+        coll = MappingCollection([m1, m2], "test")
+        assert len(coll) == 2
+        bb = coll.boundingBox
+        assert bb.latNorth == pytest.approx(72.0)
+        assert coll.photoTime == m1.photoTime

@@ -1,0 +1,130 @@
+"""Resample tests mirroring the reference's synthetic-mapping strategy
+(auromat/test/resample_test.py): procedurally generated coordinate grids with
+a circular NaN hole, plus discontinuity-shifted and pole-rotated variants;
+assert plate-carree regularity of the results."""
+
+import datetime
+import os
+
+import numpy as np
+import numpy.ma as ma
+import pytest
+
+from auromat_tpu.coordinates.transform import rotate_pole, wrap_longitude
+from auromat_tpu.mapping.mapping import Mapping, check_plate_carree
+from auromat_tpu.mapping.spacecraft import get_mapping
+from auromat_tpu.resample import plate_carree_resolution, resample, resample_mlat_mlt
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+
+
+def _test_coords(offset, n=10):
+    """Coordinate grid where only a circular disk is defined (the reference's
+    fixture shape, auromat/test/resample_test.py:21-36)."""
+    sp = np.linspace(offset, offset + 10, n)
+    step = sp[1] - sp[0]
+    coord = np.tile(sp, n).reshape(n, n).astype(np.float64)
+    r = n * 0.4
+    yy, xx = np.mgrid[:n, :n]
+    disk = (yy - n / 2) ** 2 + (xx - n / 2) ** 2 <= r**2
+    coord[~disk] = np.nan
+    center = coord[:-1, :-1] + step / 2
+    return coord, center
+
+
+def synthetic(offset_lat=70, offset_lon=160, shift_lon=0.0, pole_rotate=False):
+    lats, lats_c = _test_coords(offset_lat)
+    lats, lats_c = lats.T, lats_c.T
+    lons, lons_c = _test_coords(offset_lon)
+    if shift_lon:
+        lons = np.asarray(wrap_longitude(lons + shift_lon))
+        lons_c = np.asarray(wrap_longitude(lons_c + shift_lon))
+    if pole_rotate:
+        la, lo = rotate_pole(np.deg2rad(lats.ravel()), np.deg2rad(lons.ravel()), 0.0,
+                             angle_deg=90.0, axis=(0, 1, 0))
+        lats = np.rad2deg(np.asarray(la)).reshape(lats.shape)
+        lons = np.rad2deg(np.asarray(lo)).reshape(lons.shape)
+        la, lo = rotate_pole(np.deg2rad(lats_c.ravel()), np.deg2rad(lons_c.ravel()), 0.0,
+                             angle_deg=90.0, axis=(0, 1, 0))
+        lats_c = np.rad2deg(np.asarray(la)).reshape(lats_c.shape)
+        lons_c = np.rad2deg(np.asarray(lo)).reshape(lons_c.shape)
+    n = lats.shape[0] - 1
+    rng = np.random.default_rng(3)
+    img = (rng.random((n, n, 3)) * 255).astype(np.uint8)
+    elevation = np.zeros((n, n))
+    return Mapping(
+        lats, lons, lats_c, lons_c, elevation, 110.0, img,
+        np.array([0.0, 0.0, 0.0]), datetime.datetime(2012, 1, 25, 9, 26, 55),
+        None,
+    )
+
+
+class TestResample:
+    def test_mean_plate_carree(self):
+        m = resample(synthetic(), px_per_deg=1, method="mean")
+        m.checkPlateCarree()
+        m.checkGuarantees()
+
+    def test_mean_discontinuity(self):
+        mapping = synthetic(shift_lon=15.0)
+        assert mapping.containsDiscontinuity
+        m = resample(mapping, px_per_deg=1, method="mean")
+        # result lons cross the discontinuity; regular after unwrapping,
+        # which checkPlateCarree performs internally
+        m.checkPlateCarree()
+
+    def test_mean_pole(self):
+        mapping = synthetic(offset_lat=-5, offset_lon=-5, pole_rotate=True)
+        assert mapping.containsPole
+        m = resample(mapping, px_per_deg=1, method="mean")
+        # pole-rotated grids are not plate carree in geo coords, but the
+        # data must exist and mask invariants hold
+        m.checkGuarantees()
+        assert (~m.center_mask).sum() > 10
+
+    def test_nearest(self):
+        m = resample(synthetic(), px_per_deg=1, method="nearest")
+        m.checkPlateCarree()
+        m.checkGuarantees()
+
+    def test_mlat_mlt_roundtrip_regular(self):
+        mapping = synthetic()
+        res = resample_mlat_mlt(mapping, arcsec_per_px=3600 * 0.5, method="nearest")
+        assert not res.isPlateCarree
+        mlat, mlt = res.mLatMlt
+        from auromat_tpu.coordinates.transform import mlt_to_sm_lon
+
+        smlon = mlt_to_sm_lon(np.asarray(mlt.data))
+        check_plate_carree(np.asarray(mlat.data), np.asarray(smlon))
+
+    def test_arcsec_resolution(self):
+        m0 = synthetic()
+        lat_ppd, lon_ppd = plate_carree_resolution(m0.boundingBox, 3600.0)
+        assert lat_ppd == pytest.approx(1.0)
+        # at lat ~75, one degree of longitude is ~cos(75) short
+        assert 0.2 < lon_ppd < 0.5
+        m = resample(m0, arcsec_per_px=3600.0, method="mean")
+        m.checkPlateCarree()
+
+    def test_real_frame_resample(self):
+        mapping = get_mapping(
+            os.path.join(RES, "ISS030-E-102170_dc.jpg"),
+            os.path.join(RES, "ISS030-E-102170_dc.wcs"),
+            fast_center=True,
+        )
+        m = resample(mapping, px_per_deg=15, method="mean")
+        m.checkPlateCarree()
+        m.checkGuarantees()
+        # bbox approx preserved (reference resample_test.py:91-100)
+        for a, b in zip(
+            (m.boundingBox.latNorth, m.boundingBox.latSouth,
+             m.boundingBox.lonWest, m.boundingBox.lonEast),
+            (mapping.boundingBox.latNorth, mapping.boundingBox.latSouth,
+             mapping.boundingBox.lonWest, mapping.boundingBox.lonEast),
+        ):
+            assert a == pytest.approx(b, abs=0.5)  # horizon cells thin out under mean binning
+        # image content present
+        assert (~m.center_mask).mean() > 0.3
+        # resampling again at lower res still plate carree
+        m2 = resample(m, arcsec_per_px=3600 / 10, method="nearest")
+        m2.checkPlateCarree()
