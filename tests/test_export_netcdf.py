@@ -1,0 +1,94 @@
+"""netCDF export -> re-import round trip (reference test strategy #4,
+auromat/test/export_netcdf_test.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from auromat_tpu.export import netcdf as export_netcdf
+from auromat_tpu.mapping.netcdf import NetCDFMappingProvider, read_mapping
+from auromat_tpu.resample import resample
+
+from test_mapping import synthetic_mapping
+
+
+@pytest.fixture(scope="module")
+def curvilinear(tmp_path_factory):
+    m = synthetic_mapping(n=24)
+    path = tmp_path_factory.mktemp("nc") / "synthetic.nc"
+    export_netcdf.write(str(path), m, metadata={"Project": "auromat-tpu-test"})
+    return m, str(path)
+
+
+@pytest.fixture(scope="module")
+def plate_carree(tmp_path_factory):
+    m = resample(synthetic_mapping(n=24, hole=True), px_per_deg=2, method="mean")
+    path = tmp_path_factory.mktemp("ncpc") / "resampled.nc"
+    export_netcdf.write(str(path), m)
+    return m, str(path)
+
+
+class TestRoundTrip:
+    def test_curvilinear_roundtrip(self, curvilinear):
+        m, path = curvilinear
+        m2 = read_mapping(path)
+        assert m2.photoTime == m.photoTime
+        assert m2.altitude == pytest.approx(m.altitude, abs=1e-3)
+        np.testing.assert_allclose(m2.cameraPosGCRS, m.cameraPosGCRS)
+        # masks and data
+        assert np.array_equal(m2.center_mask, m.center_mask)
+        a, b = m2.latsCenter.filled(np.nan), m.latsCenter.filled(np.nan)
+        np.testing.assert_allclose(a[~m.center_mask], b[~m.center_mask])
+        img_a, img_b = m2.img, m.img
+        assert img_a.dtype == img_b.dtype
+        assert np.array_equal(
+            np.asarray(img_a.filled(0)), np.asarray(img_b.filled(0))
+        )
+        # zenith angle -> elevation
+        e_a = m2.elevation.filled(np.nan)
+        e_b = m.elevation.filled(np.nan)
+        np.testing.assert_allclose(
+            e_a[~m.center_mask], e_b[~m.center_mask], atol=1e-5
+        )
+        assert m2.metadata.get("Project") == "auromat-tpu-test"
+        m2.checkGuarantees()
+
+    def test_curvilinear_mlat_preserved(self, curvilinear):
+        m, path = curvilinear
+        m2 = read_mapping(path)
+        mlat2, mlt2 = m2.mLatMltCenter
+        mlat, mlt = m.mLatMltCenter
+        ok = ~m.center_mask
+        np.testing.assert_allclose(
+            np.asarray(mlat2.filled(np.nan))[ok], np.asarray(mlat.filled(np.nan))[ok],
+            atol=1e-9,
+        )
+
+    def test_plate_carree_1d_coords(self, plate_carree):
+        m, path = plate_carree
+        from scipy.io import netcdf_file
+
+        with netcdf_file(path, "r", mmap=False) as f:
+            assert f.variables["lat"][:].ndim == 1
+            assert "lat_bounds" in f.variables
+            assert f.variables["lat_bounds"][:].shape[1] == 2
+        m2 = read_mapping(path)
+        m2.checkPlateCarree()
+        assert np.array_equal(m2.center_mask, m.center_mask)
+        np.testing.assert_allclose(
+            np.asarray(m2.lats.data), np.asarray(m.lats.data), atol=1e-12
+        )
+
+    def test_provider(self, plate_carree, tmp_path):
+        m, path = plate_carree
+        import shutil
+
+        shutil.copy(path, tmp_path / "a.nc")
+        prov = NetCDFMappingProvider(str(tmp_path))
+        t0, t1 = prov.range
+        assert t0 == m.photoTime
+        assert prov.contains(m.photoTime)
+        m2 = prov.get(m.photoTime)
+        assert m2.identifier == "a"
+        assert len(list(prov.getSequence())) == 1
