@@ -127,29 +127,47 @@ def _two_sum(a, b):
     return s, e
 
 
-def _compensated_cumsum(x, axis=0):
-    """Cumulative sum as a (hi, lo) float pair via associative scan.
+_CHUNK = 4096
 
-    Gives ~2x-precision prefix sums in f32 — needed because a plain f32
-    cumsum over 12M image samples loses ~8 bits at the tail, which would
-    corrupt per-bin sums extracted as csum[end] - csum[start].
+
+def _chunked_prefix(v):
+    """Two-level prefix sums: within-chunk f32 cumsum + compensated (hi, lo)
+    chunk offsets.
+
+    A single associative_scan over 12M elements takes the TPU compiler >400 s
+    to compile; cumsum over (m, 4096) chunks plus a small compensated scan
+    over ~3k chunk totals compiles in seconds and keeps per-bin extraction
+    accurate: the exclusive chunk offset is an error-free (hi, lo) pair, and
+    within-chunk prefixes stay below ~1e6 where f32 is near-exact.
+
+    :returns: (inner (m, C) inclusive in-chunk prefix, off_h (m,), off_l (m,))
+        such that inclusive_prefix[g] == off_h[g//C] + (off_l[g//C] + inner[g//C, g%C])
     """
+    n = v.shape[0]
+    pad = (-n) % _CHUNK
+    vp = jnp.pad(v, (0, pad))
+    x = vp.reshape(-1, _CHUNK)
+    inner = jnp.cumsum(x, axis=1)
+    totals = inner[:, -1]
 
     def combine(a, b):
         (ah, al), (bh, bl) = a, b
         s, e = _two_sum(ah, bh)
         return s, e + al + bl
 
-    hi, lo = jax.lax.associative_scan(
-        combine, (x, jnp.zeros_like(x)), axis=axis
+    oh, ol = jax.lax.associative_scan(
+        combine, (totals, jnp.zeros_like(totals))
     )
-    return hi, lo
+    zero = jnp.zeros((1,), dtype=v.dtype)
+    off_h = jnp.concatenate([zero, oh[:-1]])
+    off_l = jnp.concatenate([zero, ol[:-1]])
+    return inner, off_h, off_l
 
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):
-    """Sort-free-of-scatter accumulation: sort keys with payloads, per-bin
-    ranges via vectorized binary search, sums via compensated prefix sums.
+    """Scatter-free accumulation: sort keys with payloads, per-bin ranges via
+    vectorized binary search, sums via two-level prefix sums.
 
     Avoids XLA's serialized scatter-add on TPU entirely (measured: scatter
     ~757 ms for 12M samples on v5e vs ~10 ms of dense work here + the sort).
@@ -163,12 +181,20 @@ def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):
     count = (ends - starts).astype(data.dtype)
 
     def seg_sums(v):
-        hi, lo = _compensated_cumsum(v)
-        # inclusive prefix: segment sum = csum[end-1] - csum[start-1]
-        h_end = jnp.where(ends > 0, hi[jnp.maximum(ends - 1, 0)], 0.0)
-        l_end = jnp.where(ends > 0, lo[jnp.maximum(ends - 1, 0)], 0.0)
-        h_sta = jnp.where(starts > 0, hi[jnp.maximum(starts - 1, 0)], 0.0)
-        l_sta = jnp.where(starts > 0, lo[jnp.maximum(starts - 1, 0)], 0.0)
+        inner, off_h, off_l = _chunked_prefix(v)
+
+        def prefix(pos):
+            # inclusive prefix at pos-1; zero when pos == 0
+            idx = jnp.maximum(pos - 1, 0)
+            c = idx // _CHUNK
+            p = idx % _CHUNK
+            ok = pos > 0
+            h = jnp.where(ok, off_h[c], 0.0)
+            l = jnp.where(ok, off_l[c] + inner[c, p], 0.0)
+            return h, l
+
+        h_end, l_end = prefix(ends)
+        h_sta, l_sta = prefix(starts)
         return (h_end - h_sta) + (l_end - l_sta)
 
     sums = [seg_sums(sorted_ops[1 + c]) for c in range(n_ch)]
