@@ -1,0 +1,366 @@
+"""THEMIS ground all-sky imager (ASI) provider.
+
+Mirrors auromat/mapping/themis.py: 24-station network, L1 (image frames) and
+L2 (calibration: per-pixel az/el + corner lat/lon at 3 reference altitudes)
+CDFs, download caching with .404 tombstones, altitude reprojection by
+re-intersecting reconstructed rays, IDL-bytscl brightness display scaling,
+and a forced 1-degree elevation pre-mask.
+
+CDF reading uses the pure-python auromat_tpu.io.cdflib; the altitude
+reprojection runs through the vectorized device intersection kernel.
+"""
+
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import numpy.ma as ma
+
+from auromat_tpu.constants import WGS84_A, WGS84_B
+from auromat_tpu.coordinates.frames import FrameMatrices
+from auromat_tpu.coordinates.intersection import ellipsoid_line_intersection
+from auromat_tpu.coordinates.transform import (
+    ecef_to_geodetic,
+    geodetic_to_ecef,
+    geodetic_to_ecef_zero,
+)
+from auromat_tpu.io import cdflib
+from auromat_tpu.mapping.mapping import BaseMappingProvider, Mapping, MappingCollection
+from auromat_tpu.util.osutil import touch
+from auromat_tpu.util.url import download_file
+from auromat_tpu.utils import find_nearest
+
+STATIONS = [
+    "atha", "chbg", "ekat", "fsim", "fsmi", "fykn",
+    "gako", "gbay", "gill", "inuv", "kapu", "kian",
+    "kuuj", "mcgr", "nrsq", "pgeo", "pina", "rank",
+    "snap", "snkq", "talo", "tpas", "whit", "yknf",
+]
+
+L1_BASE_URL = "http://themis.ssl.berkeley.edu/data/themis/thg/l1/asi/"
+L2_BASE_URL = "http://themis.ssl.berkeley.edu/data/themis/thg/l2/asi/cal/"
+L1_FILENAME = "thg_l1_asf_{station}_{date}_v01.cdf"
+L2_FILENAME = "thg_l2_asc_{station}_19700101_v01.cdf"
+
+# The L2 'offset' is 2500 for every pixel of every station and the multipliers
+# are 1.0 (reference themis.py:438-442); subtracting the scalar is a shortcut.
+L1_COUNT_OFFSET = 2500
+
+
+def bytscl(array, max_=None, min_=None, top=255):
+    """IDL BYTSCL (float formula), used for THEMIS display scaling."""
+    if max_ is None:
+        max_ = np.nanmax(array)
+    if min_ is None:
+        min_ = np.nanmin(array)
+    scaled = ((top + 0.9999) * (array - min_) / (max_ - min_)).astype(np.int16)
+    return np.maximum(np.minimum(scaled, top), 0)
+
+
+class ThemisMapping(Mapping):
+    """Grayscale uint16 ASI mapping with median-normalised RGB display."""
+
+    def __init__(self, *args, minBrightness=None, maxBrightness=None, **kw):
+        super().__init__(*args, **kw)
+        self.minBrightness = minBrightness
+        self.maxBrightness = maxBrightness
+
+    def _brightness_scaled(self, img):
+        img = np.asarray(img, dtype=np.float64)
+        if self.minBrightness is not None or self.maxBrightness is not None:
+            return bytscl(img, min_=self.minBrightness, max_=self.maxBrightness)
+        med = np.median(img[img > 1]) if np.any(img > 1) else 1.0
+        return np.minimum(img / med * 64, 255)
+
+    @property
+    def rgb_unmasked(self):
+        scaled = self._brightness_scaled(self._img[:, :, 0])
+        return np.repeat(scaled[:, :, None], 3, 2).astype(np.uint8)
+
+    @property
+    def rgb(self):
+        mask = np.repeat(self.center_mask[:, :, None], 3, 2)
+        return ma.masked_array(self.rgb_unmasked, mask=mask)
+
+    def createResampled(self, lats, lons, lats_center, lons_center, elevation, img):
+        m = ThemisMapping(
+            lats, lons, lats_center, lons_center, elevation, self.altitude, img,
+            self.cameraPosGCRS, self.photoTime, self.identifier,
+            metadata=self.metadata, minBrightness=self.minBrightness,
+            maxBrightness=self.maxBrightness,
+        )
+        return m
+
+
+def reproject(lat_lon_asi, lats_ref, lons_ref, height_ref, height_new):
+    """Reproject a calibration grid to a different emission altitude.
+
+    Reconstructs per-pixel rays from the station through the reference-height
+    grid and re-intersects the inflated ellipsoid at the new height
+    (reference themis.py:224-253).
+    """
+    lat_asi, lon_asi = lat_lon_asi
+    ox, oy, oz = geodetic_to_ecef_zero(np.deg2rad(lat_asi), np.deg2rad(lon_asi))
+    origin = np.array([float(ox), float(oy), float(oz)])
+    x, y, z = geodetic_to_ecef(
+        np.deg2rad(lats_ref), np.deg2rad(lons_ref), height_ref
+    )
+    dirs = np.stack(
+        [np.asarray(x) - origin[0], np.asarray(y) - origin[1], np.asarray(z) - origin[2]],
+        axis=-1,
+    )
+    inter = np.asarray(
+        ellipsoid_line_intersection(
+            WGS84_A + height_new, WGS84_B + height_new, origin, dirs
+        )
+    )
+    lat, lon = ecef_to_geodetic(inter[..., 0], inter[..., 1], inter[..., 2])
+    return np.rad2deg(np.asarray(lat)), np.rad2deg(np.asarray(lon))
+
+
+# ---------------------------------------------------------------------------
+# L1/L2 cache handling
+# ---------------------------------------------------------------------------
+
+
+def l1_filename(station, date):
+    return L1_FILENAME.format(station=station, date=date.strftime("%Y%m%d%H"))
+
+
+def has_l2_data(l2_folder, station):
+    return os.path.exists(os.path.join(l2_folder, L2_FILENAME.format(station=station)))
+
+
+def download_l2_data(l2_folder, station):
+    if has_l2_data(l2_folder, station):
+        return
+    filename = L2_FILENAME.format(station=station)
+    download_file(L2_BASE_URL + filename, os.path.join(l2_folder, filename))
+
+
+def has_l1_data(l1_folder, station, date, retry_404_after=timedelta(days=30)):
+    path = os.path.join(l1_folder, l1_filename(station, date))
+    if os.path.exists(path):
+        return True
+    path404 = path + ".404"
+    if os.path.exists(path404):
+        mtime = datetime.fromtimestamp(os.path.getmtime(path404))
+        if datetime.now() - mtime > retry_404_after:
+            os.remove(path404)
+        else:
+            return "404"
+    return False
+
+
+def download_l1_data(l1_folder, station, date):
+    status = has_l1_data(l1_folder, station, date)
+    if status is True:
+        return True
+    if status == "404":
+        return False
+    filename = l1_filename(station, date)
+    path = os.path.join(l1_folder, filename)
+    url = (
+        L1_BASE_URL
+        + f"{station}/{date.strftime('%Y')}/{date.strftime('%m')}/"
+        + filename
+    )
+    import urllib.error
+
+    try:
+        download_file(url, path, unify_errors=False)
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            touch(path + ".404")
+        return False
+    except Exception:
+        return False
+    return True
+
+
+def get_l2_data(l2_folder, station):
+    """:returns: ((lat, lon) station, az, el, lats_ref (3,257,257),
+    lons_ref, heights_ref (km))"""
+    path = os.path.join(l2_folder, L2_FILENAME.format(station=station))
+    cdf = cdflib.CDFReader(path)
+    lat_asi = float(np.asarray(cdf[f"thg_asc_{station}_glat"].data).ravel()[0])
+    lon_asi = float(np.asarray(cdf[f"thg_asc_{station}_glon"].data).ravel()[0])
+    az = np.asarray(cdf[f"thg_asf_{station}_azim"][0])
+    el = np.asarray(cdf[f"thg_asf_{station}_elev"][0])
+    lats_ref = np.asarray(cdf[f"thg_asf_{station}_glat"][0])
+    lons_ref = np.asarray(cdf[f"thg_asf_{station}_glon"][0])
+    heights = np.asarray(cdf[f"thg_asf_{station}_alti"].data).ravel()
+    # (257, 257, 3) -> (3, 257, 257)
+    lats_ref = np.moveaxis(lats_ref, 2, 0)
+    lons_ref = np.moveaxis(lons_ref, 2, 0)
+    return (lat_asi, lon_asi), az, el, lats_ref, lons_ref, heights / 1000.0
+
+
+def get_l1_data(l1_folder, station, date, maxTimeOffset=2):
+    """Single image nearest to ``date`` (or (None, None))."""
+    path = os.path.join(l1_folder, l1_filename(station, date))
+    cdf = cdflib.CDFReader(path)
+    epoch_var = cdf[f"thg_asf_{station}_epoch"]
+    if epoch_var.cdf_type == cdflib.CDF_TIME_TT2000:
+        times = [cdflib.tt2000_to_datetime(int(v)) for v in epoch_var.data]
+    else:
+        times = [cdflib.epoch_to_datetime(float(v)) for v in epoch_var.data]
+    idx = find_nearest([t.timestamp() for t in times], date.timestamp())
+    if abs((times[idx] - date).total_seconds()) > maxTimeOffset:
+        return None, None
+    return np.asarray(cdf[f"thg_asf_{station}"][idx]), times[idx]
+
+
+def mapping_single_asi(station, date, l1_folder, l2_folder, maxTimeOffset=2,
+                       altitude=110, minBrightness=None, maxBrightness=None,
+                       offline=False):
+    if offline and has_l1_data(l1_folder, station, date) is False:
+        raise RuntimeError("offline=True but L1 data not cached yet")
+    if not offline and not download_l1_data(l1_folder, station, date):
+        return None
+    if offline and not os.path.exists(
+        os.path.join(l1_folder, l1_filename(station, date))
+    ):
+        return None
+    img, img_date = get_l1_data(l1_folder, station, date, maxTimeOffset)
+    if img is None:
+        return None
+    if not offline:
+        download_l2_data(l2_folder, station)
+    lat_lon_asi, _, el, lats_ref, lons_ref, heights_ref = get_l2_data(l2_folder, station)
+
+    if altitude * 1000 in heights_ref * 1000:
+        ref_idx = int(np.where(np.isclose(heights_ref, altitude))[0][0])
+        lats, lons = lats_ref[ref_idx], lons_ref[ref_idx]
+    else:
+        lats, lons = reproject(
+            lat_lon_asi, lats_ref[0], lons_ref[0], heights_ref[0], altitude
+        )
+
+    # THEMIS grids don't span the discontinuity -> centres as 4-corner means
+    lats_c = (lats[:-1, :-1] + lats[1:, :-1] + lats[:-1, 1:] + lats[1:, 1:]) / 4
+    lons_c = (lons[:-1, :-1] + lons[1:, :-1] + lons[:-1, 1:] + lons[1:, 1:]) / 4
+
+    img = img.astype(np.int32) - L1_COUNT_OFFSET
+    img = np.clip(img, 0, np.iinfo(np.uint16).max).astype(np.uint16)
+
+    lat_asi, lon_asi = lat_lon_asi
+    fm = FrameMatrices(img_date)
+    x, y, z = geodetic_to_ecef_zero(np.deg2rad(lat_asi), np.deg2rad(lon_asi))
+    cam_gcrs = fm.geo_to_j2000 @ np.array([float(x), float(y), float(z)])
+
+    identifier = station + "." + img_date.strftime("%Y.%m.%d.%H.%M.%S")
+    mapping = ThemisMapping(
+        lats, lons, lats_c, lons_c, np.asarray(el, dtype=np.float64),
+        altitude, img, cam_gcrs, img_date, identifier,
+        minBrightness=minBrightness, maxBrightness=maxBrightness,
+        frame_matrices=fm,
+    )
+    # L2 data is partly wrong at very low elevations; pre-mask at 1 degree
+    # (reference themis.py:450-453)
+    return mapping.maskedByElevation(1)
+
+
+def get_mappings(photo_time, l1_folder, l2_folder, altitude=110, maxTimeOffset=2,
+                 minBrightness=None, maxBrightness=None, offline=False,
+                 stations=None):
+    """MappingCollection over all stations with data near ``photo_time``."""
+    mappings = []
+    for station in stations or STATIONS:
+        try:
+            m = mapping_single_asi(
+                station, photo_time, l1_folder, l2_folder,
+                maxTimeOffset=maxTimeOffset, altitude=altitude,
+                minBrightness=minBrightness, maxBrightness=maxBrightness,
+                offline=offline,
+            )
+        except (FileNotFoundError, RuntimeError):
+            m = None
+        if m is not None:
+            mappings.append(m)
+    identifier = "THEMIS." + photo_time.strftime("%Y.%m.%d.%H.%M.%S")
+    return MappingCollection(mappings, identifier, mayOverlap=True)
+
+
+class ThemisMappingProvider(BaseMappingProvider):
+    """Provider over L1/L2 cache folders (reference themis.py:36-108)."""
+
+    def __init__(self, cdfL1CacheFolder, cdfL2CacheFolder, altitude=110,
+                 minBrightness=None, maxBrightness=None, offline=False,
+                 stations=None):
+        super().__init__(maxTimeOffset=2)
+        self.offline = offline
+        if not offline:
+            os.makedirs(cdfL1CacheFolder, exist_ok=True)
+            os.makedirs(cdfL2CacheFolder, exist_ok=True)
+        self.l1_folder = cdfL1CacheFolder
+        self.l2_folder = cdfL2CacheFolder
+        self.altitude = altitude
+        self.minBrightness = minBrightness
+        self.maxBrightness = maxBrightness
+        self.stations = stations or STATIONS
+
+    @property
+    def range(self):
+        raise NotImplementedError("THEMIS archive range is unbounded")
+
+    def contains(self, date):
+        for station in self.stations:
+            try:
+                img, _ = get_l1_data(self.l1_folder, station, date, self.maxTimeOffset)
+                if img is not None:
+                    return True
+            except FileNotFoundError:
+                continue
+        return False
+
+    def download(self, dateBegin, dateEnd):
+        """Cache all L1 hours + L2 calibrations in the interval."""
+        if not (dateBegin and dateEnd):
+            raise ValueError("start and end dates must be given")
+        if dateBegin > dateEnd:
+            raise ValueError("start date must be earlier than end date")
+        begin = datetime(*dateBegin.timetuple()[:4])
+        end = datetime(*dateEnd.timetuple()[:4])
+        hours = int((end - begin).total_seconds()) // 3600
+        dates = [begin + timedelta(hours=h) for h in range(hours + 1)]
+        for station in self.stations:
+            if self.offline:
+                if not has_l2_data(self.l2_folder, station):
+                    raise RuntimeError("offline=True but L2 data not cached yet")
+            else:
+                download_l2_data(self.l2_folder, station)
+            for date in dates:
+                if self.offline:
+                    if has_l1_data(self.l1_folder, station, date) is False:
+                        raise RuntimeError("offline=True but L1 data not cached yet")
+                else:
+                    download_l1_data(self.l1_folder, station, date)
+
+    def get(self, date):
+        mappings = get_mappings(
+            date, self.l1_folder, self.l2_folder, self.altitude,
+            self.maxTimeOffset, self.minBrightness, self.maxBrightness,
+            offline=self.offline, stations=self.stations,
+        )
+        if mappings.empty:
+            raise ValueError(
+                f"No THEMIS mappings found at {date} +- {self.maxTimeOffset}s"
+            )
+        return mappings
+
+    def getById(self, identifier):
+        station, rest = identifier.split(".", 1)
+        date = datetime.strptime(rest, "%Y.%m.%d.%H.%M.%S")
+        m = mapping_single_asi(
+            station, date, self.l1_folder, self.l2_folder,
+            maxTimeOffset=self.maxTimeOffset, altitude=self.altitude,
+            minBrightness=self.minBrightness, maxBrightness=self.maxBrightness,
+            offline=self.offline,
+        )
+        if m is None:
+            raise ValueError(f"no mapping with identifier {identifier!r}")
+        return m
+
+    def getSequence(self, dateBegin=None, dateEnd=None):
+        raise NotImplementedError("iterate explicit timestamps with get()")

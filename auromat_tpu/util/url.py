@@ -1,0 +1,64 @@
+"""Download helpers with retry and atomic writes.
+
+Mirrors auromat/util/url.py: one retry, unified DownloadError, atomic .tmp
+rename, batch downloads with failure lists.
+"""
+
+import json
+import os
+import shutil
+import urllib.error
+import urllib.request
+
+
+class DownloadError(Exception):
+    pass
+
+
+def download_file(url, path, unify_errors=True, timeout=60):
+    """Download ``url`` to ``path`` atomically (via .tmp), retrying once."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    last = None
+    for _ in range(2):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
+                shutil.copyfileobj(r, f)
+            os.replace(tmp, path)
+            return path
+        except urllib.error.HTTPError as e:
+            if not unify_errors:
+                raise
+            last = e
+        except Exception as e:  # URLError, socket timeouts, disk errors
+            last = e
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+    raise DownloadError(f"failed to download {url}: {last!r}")
+
+
+def download_json(url, timeout=60):
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return json.load(r)
+    except Exception as e:
+        raise DownloadError(f"failed to download {url}: {e!r}")
+
+
+def download_files(url_path_pairs, ignore_errors=False):
+    """Download many files; return the list of (url, path, error) failures."""
+    failures = []
+    for url, path in url_path_pairs:
+        try:
+            download_file(url, path)
+        except DownloadError as e:
+            if not ignore_errors:
+                raise
+            failures.append((url, path, e))
+    return failures

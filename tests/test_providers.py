@@ -1,0 +1,209 @@
+"""THEMIS and MIRACLE provider tests.
+
+MIRACLE runs on the real checked-in SOD all-sky frame + cal.txt. THEMIS has
+no network access here, so L1/L2 CDFs are synthesised with the framework's
+own CDF writer (the calibration geometry is generated from the fisheye
+model, making the whole chain self-consistent).
+"""
+
+import datetime
+import os
+
+import numpy as np
+import pytest
+
+from auromat_tpu.io import cdflib
+from auromat_tpu.mapping import miracle, themis
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+SOD_IMAGE = os.path.join(RES, "SOD120304_171900_557_1000.jpg")
+
+
+class TestMiracleCalibration:
+    def test_cal_parse(self):
+        cal = miracle.get_calibration_data(
+            os.path.join(RES, "cal.txt"), "SOD", datetime.datetime(2012, 3, 4, 17, 19)
+        )
+        assert cal.lat == 67.42
+        assert cal.lon == 26.39
+        assert cal.k == pytest.approx(155.81)
+        assert cal.rotation == pytest.approx(0.14373)
+
+    def test_cal_validity_window(self):
+        with pytest.raises(ValueError):
+            miracle.get_calibration_data(
+                os.path.join(RES, "cal.txt"), "SOD", datetime.datetime(2005, 1, 1)
+            )
+        with pytest.raises(ValueError):
+            miracle.get_calibration_data(
+                os.path.join(RES, "cal.txt"), "XXX", datetime.datetime(2012, 1, 1)
+            )
+
+    def test_fisheye_geometry(self):
+        cal = miracle.get_calibration_data(
+            os.path.join(RES, "cal.txt"), "SOD", datetime.datetime(2012, 3, 4)
+        )
+        az, el = miracle.fisheye_az_el(cal, 512, corner=False)
+        # optical centre has elevation ~90
+        iy, ix = int(cal.xc), int(cal.yc)
+        assert el[iy, ix] > 89.5
+        # elevation decreases with distance from centre
+        assert el[iy, ix] > el[iy, ix + 100] > el[iy, ix + 200]
+        assert np.all((az >= 0) & (az < 360))
+        # direction at the zenith points away from the Earth's centre
+        dirs = miracle.az_el_to_geo_directions(cal, az[iy, ix], el[iy, ix])
+        up = np.array(
+            [np.cos(np.deg2rad(cal.lat)) * np.cos(np.deg2rad(cal.lon)),
+             np.cos(np.deg2rad(cal.lat)) * np.sin(np.deg2rad(cal.lon)),
+             np.sin(np.deg2rad(cal.lat))]
+        )
+        assert np.dot(np.asarray(dirs).ravel(), up) > 0.999
+
+
+class TestMiracleMapping:
+    @pytest.fixture(scope="class")
+    def mapping(self):
+        return miracle.get_mapping(SOD_IMAGE, altitude=110)
+
+    def test_real_frame(self, mapping):
+        mapping.checkGuarantees()
+        assert mapping.identifier.startswith("SOD.2012.03.04")
+        # footprint surrounds the station
+        bb = mapping.boundingBox
+        assert bb.latSouth < 67.42 < bb.latNorth
+        assert bb.lonWest < 26.39 < bb.lonEast
+        # at 110 km, the fisheye horizon reaches out several degrees
+        assert bb.latNorth - bb.latSouth > 5
+        elev = mapping.elevation
+        assert float(elev.min()) >= 0.1
+        assert float(elev.max()) > 85
+
+    def test_simple_mode(self):
+        m = miracle.get_mapping(SOD_IMAGE, simple=True)
+        m.checkPlateCarree()
+
+    def test_provider(self):
+        prov = miracle.MIRACLEMappingProvider(RES, altitude=110)
+        assert len(prov) == 1
+        t0, t1 = prov.range
+        assert t0 == datetime.datetime(2012, 3, 4, 17, 19)
+        date = datetime.datetime(2012, 3, 4, 17, 19, 2)
+        assert prov.contains(date)
+        coll = prov.get(date)
+        assert len(coll) == 1
+        assert coll.mappings[0].identifier == "SOD.2012.03.04.17.19.00"
+        m = prov.getById("SOD.2012.03.04.17.19.00")
+        assert m.altitude == 110
+
+
+def synth_themis_cdfs(tmpdir, station="gill", date=None, size=32):
+    """Create L1+L2 CDFs whose calibration comes from a synthetic fisheye."""
+    date = date or datetime.datetime(2012, 2, 4, 7, 56, 26)
+    lat_asi, lon_asi = 56.38, -94.64  # Gillam
+    cal = miracle.CalibrationData(
+        station=station.upper(), validFrom=None, validTo=None, lat=lat_asi,
+        lon=lon_asi, xc=size / 2 * 512 / size, yc=size / 2 * 512 / size,
+        k=155.0, rotation=0.0, boundingBoxSimple=None,
+    )
+    import numpy.ma as ma
+
+    from auromat_tpu.constants import WGS84_A, WGS84_B
+    from auromat_tpu.coordinates.intersection import ellipsoid_line_intersection
+    from auromat_tpu.coordinates.transform import (
+        ecef_to_geodetic,
+        geodetic_to_ecef_zero,
+    )
+
+    heights = np.array([90e3, 110e3, 150e3])
+    az_c, el_c = miracle.fisheye_az_el(cal, size, corner=False)
+    lats_ref = np.full((size + 1, size + 1, 3), np.nan)
+    lons_ref = np.full((size + 1, size + 1, 3), np.nan)
+    ox, oy, oz = geodetic_to_ecef_zero(np.deg2rad(lat_asi), np.deg2rad(lon_asi))
+    origin = np.array([float(ox), float(oy), float(oz)])
+    az_k, el_k = miracle.fisheye_az_el(cal, size, corner=True)
+    for hi, h in enumerate(heights / 1000.0):
+        dirs = miracle.az_el_to_geo_directions(cal, az_k, el_k)
+        inter = np.asarray(
+            ellipsoid_line_intersection(WGS84_A + h, WGS84_B + h, origin, np.asarray(dirs))
+        )
+        la, lo = ecef_to_geodetic(inter[..., 0], inter[..., 1], inter[..., 2])
+        lats_ref[:, :, hi] = np.rad2deg(np.asarray(la))
+        lons_ref[:, :, hi] = np.rad2deg(np.asarray(lo))
+
+    l2_path = os.path.join(tmpdir, themis.L2_FILENAME.format(station=station))
+    with cdflib.CDFWriter(l2_path) as cdf:
+        cdf.new(f"thg_asc_{station}_glat", np.float32(lat_asi), rec_vary=False)
+        cdf.new(f"thg_asc_{station}_glon", np.float32(lon_asi), rec_vary=False)
+        cdf.new(f"thg_asf_{station}_azim", az_c[None].astype(np.float32))
+        cdf.new(f"thg_asf_{station}_elev", el_c[None].astype(np.float32))
+        cdf.new(f"thg_asf_{station}_glat", lats_ref[None].astype(np.float32))
+        cdf.new(f"thg_asf_{station}_glon", lons_ref[None].astype(np.float32))
+        cdf.new(f"thg_asf_{station}_alti", heights.astype(np.float32), rec_vary=False)
+
+    rng = np.random.default_rng(1)
+    imgs = (rng.random((3, size, size)) * 8000 + 2500).astype(np.uint16)
+    times = [date + datetime.timedelta(seconds=3 * i - 3) for i in range(3)]
+    l1_path = os.path.join(tmpdir, themis.l1_filename(station, date))
+    with cdflib.CDFWriter(l1_path) as cdf:
+        cdf.new(f"thg_asf_{station}_epoch", times)
+        cdf.new(f"thg_asf_{station}", imgs.astype(np.int32))
+    return date, imgs
+
+
+class TestThemis:
+    def test_offline_mapping(self, tmp_path):
+        date, imgs = synth_themis_cdfs(str(tmp_path))
+        prov = themis.ThemisMappingProvider(
+            str(tmp_path), str(tmp_path), altitude=110, offline=True,
+            stations=["gill"],
+        )
+        coll = prov.get(date)
+        assert len(coll) == 1
+        m = coll.mappings[0]
+        assert m.identifier.startswith("gill.2012.02.04")
+        m.checkGuarantees()
+        # footprint surrounds the station
+        bb = m.boundingBox
+        assert bb.latSouth < 56.38 < bb.latNorth
+        # image counts: offset 2500 subtracted
+        center = np.asarray(m.img[:, :, 0].filled(0))
+        assert center.max() <= 8001
+        assert m.img.dtype == np.uint16
+        # elevation pre-masked at 1 degree
+        assert float(m.elevation.min()) >= 1.0
+        # rgb display scaling works
+        rgb = m.rgb
+        assert rgb.dtype == np.uint8
+
+    def test_reprojection_altitude(self, tmp_path):
+        date, _ = synth_themis_cdfs(str(tmp_path))
+        m110 = themis.mapping_single_asi(
+            "gill", date, str(tmp_path), str(tmp_path), altitude=110, offline=True
+        )
+        m100 = themis.mapping_single_asi(
+            "gill", date, str(tmp_path), str(tmp_path), altitude=100, offline=True
+        )
+        # reprojected grid must differ but stay in the same region
+        a = np.asarray(m110.latsCenter.filled(np.nan))
+        b = np.asarray(m100.latsCenter.filled(np.nan))
+        both = ~np.isnan(a) & ~np.isnan(b)
+        assert np.abs(a[both] - b[both]).max() > 0.01
+        assert np.abs(a[both] - b[both]).max() < 2.0
+
+    def test_contains(self, tmp_path):
+        date, _ = synth_themis_cdfs(str(tmp_path))
+        prov = themis.ThemisMappingProvider(
+            str(tmp_path), str(tmp_path), offline=True, stations=["gill"]
+        )
+        assert prov.contains(date)
+        assert not prov.contains(date + datetime.timedelta(seconds=30))
+
+    def test_404_tombstone(self, tmp_path):
+        date = datetime.datetime(2012, 2, 4, 7)
+        path404 = os.path.join(
+            str(tmp_path), themis.l1_filename("gill", date) + ".404"
+        )
+        from auromat_tpu.util.osutil import touch
+
+        touch(path404)
+        assert themis.has_l1_data(str(tmp_path), "gill", date) == "404"
