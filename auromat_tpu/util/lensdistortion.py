@@ -1,0 +1,120 @@
+"""Lens distortion models and image undistortion on device.
+
+The reference delegates to the lensfun C++ library (auromat/util/
+lensdistortion.py); here the distortion polynomials (ptlens / poly3 / poly5,
+the models lensfun's database uses) are evaluated directly in jax.numpy and
+the image remap is a batched bilinear gather — the distortion correction of
+a 12 MP frame becomes a single fused device computation.
+
+Radii are normalised by half the smaller image dimension (lensfun's
+convention).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def distortion_factor(model, params, ru):
+    """rd/ru as a function of the undistorted radius ru.
+
+    models: 'ptlens' (a, b, c), 'poly3' (k1,), 'poly5' (k1, k2)
+    """
+    if model == "ptlens":
+        a, b, c = params
+        return a * ru**3 + b * ru**2 + c * ru + (1.0 - a - b - c)
+    if model == "poly3":
+        (k1,) = params
+        return 1.0 - k1 + k1 * ru * ru
+    if model == "poly5":
+        k1, k2 = params
+        return 1.0 + k1 * ru * ru + k2 * ru**4
+    raise ValueError(f"unknown distortion model {model!r}")
+
+
+def undistorted_radius(model, params, rd, iterations=8):
+    """Invert rd = ru * f(ru) by fixed-point iteration (jit-safe)."""
+    ru = rd
+    for _ in range(iterations):
+        ru = rd / distortion_factor(model, params, ru)
+    return ru
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def _remap(img, model, params, shape):
+    h, w = shape
+    half = min(h, w) / 2.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = (jnp.arange(h, dtype=jnp.float32) - cy) / half
+    xs = (jnp.arange(w, dtype=jnp.float32) - cx) / half
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    # corrected image pixel -> sampling position in the distorted source:
+    # the stored image is distorted, so we evaluate the distortion at the
+    # undistorted (output) radius
+    ru = jnp.sqrt(xx * xx + yy * yy)
+    factor = distortion_factor(model, tuple(params), ru)
+    sx = xx * factor * half + cx
+    sy = yy * factor * half + cy
+    # bilinear gather
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(sx - x0, 0.0, 1.0)
+    fy = jnp.clip(sy - y0, 0.0, 1.0)
+    img_f = img.astype(jnp.float32)
+
+    def gather(yi, xi):
+        return img_f[yi, xi]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    out = (
+        v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy + v11 * fx * fy
+    )
+    eps = 1e-3  # tolerate float rounding at the exact border
+    inside = (sx >= -eps) & (sx <= w - 1 + eps) & (sy >= -eps) & (sy <= h - 1 + eps)
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+def correct_lens_distortion(img, model="ptlens", params=(0.0, 0.0, 0.0)):
+    """Undistort an (h, w, C) image; returns the same dtype.
+
+    Reference: auromat/util/lensdistortion.py:159-196 (lensfun
+    ``apply_geometry_distortion`` + cv2.remap).
+    """
+    img = np.asarray(img)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    out = np.asarray(
+        _remap(jnp.asarray(img), model, tuple(float(p) for p in params),
+               img.shape[:2])
+    )
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.clip(np.round(out), np.iinfo(img.dtype).min,
+                      np.iinfo(img.dtype).max).astype(img.dtype)
+    else:
+        out = out.astype(img.dtype)
+    return out[:, :, 0] if squeeze else out
+
+
+def distortion_displacement(shape, model="ptlens", params=(0.0, 0.0, 0.0)):
+    """Per-pixel displacement field (dx, dy) introduced by the correction —
+    used by the drawing diagnostics (reference lensdistortion.py:234-267)."""
+    h, w = shape
+    half = min(h, w) / 2.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = (np.arange(h) - cy) / half
+    xs = (np.arange(w) - cx) / half
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    ru = np.sqrt(xx * xx + yy * yy)
+    factor = np.asarray(distortion_factor(model, tuple(params), ru))
+    dx = (xx * factor - xx) * half
+    dy = (yy * factor - yy) * half
+    return dx, dy
