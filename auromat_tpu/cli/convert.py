@@ -1,0 +1,155 @@
+"""auromat-tpu-convert: batch-convert cached mapping data to CDF/netCDF.
+
+Mirrors auromat/cli/convert.py:148-218: detects the source type of a data
+folder (api.json -> ISS archive, thg_l1_* -> THEMIS, cal.txt -> MIRACLE,
+image+wcs pairs -> spacecraft), optionally resamples onto a geographic or
+magnetic grid, and exports each mapping with skip/overwrite logic. This is
+the throughput-critical production loop (SURVEY.md call stack 3.3).
+"""
+
+import argparse
+import fnmatch
+import os
+import sys
+from datetime import datetime
+
+
+def detect_source_type(folder):
+    files = os.listdir(folder)
+    if "api.json" in files:
+        return "iss"
+    if fnmatch.filter(files, "thg_l1_*"):
+        return "themis"
+    if "cal.txt" in files:
+        return "miracle"
+    if fnmatch.filter(files, "*.wcs"):
+        return "spacecraft"
+    raise ValueError(f"cannot detect mapping source type in {folder}")
+
+
+def make_provider(source_type, folder, altitude, fast_center=True):
+    if source_type == "iss":
+        from auromat_tpu.mapping.iss import ISSMappingProvider
+
+        return ISSMappingProvider(folder, altitude=altitude, offline=False,
+                                  fastCenterCalculation=fast_center)
+    if source_type == "themis":
+        from auromat_tpu.mapping.themis import ThemisMappingProvider
+
+        return ThemisMappingProvider(folder, folder, altitude=altitude, offline=True)
+    if source_type == "miracle":
+        from auromat_tpu.mapping.miracle import MIRACLEMappingProvider
+
+        return MIRACLEMappingProvider(folder, altitude=altitude)
+    if source_type == "spacecraft":
+        from auromat_tpu.mapping.spacecraft import SpacecraftMappingProvider
+
+        return SpacecraftMappingProvider(folder, folder, altitude=altitude,
+                                         fast_center=fast_center)
+    raise ValueError(source_type)
+
+
+def _parse_date(s):
+    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise argparse.ArgumentTypeError(f"unparseable date {s!r}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="auromat-tpu-convert",
+        description="convert cached mapping data to CDF/netCDF files",
+    )
+    src = p.add_argument_group("input")
+    src.add_argument("folder", help="data folder (source type auto-detected)")
+    src.add_argument("--start", type=_parse_date, help="sequence start date")
+    src.add_argument("--end", type=_parse_date, help="sequence end date (inclusive)")
+    src.add_argument("--altitude", type=float, default=110,
+                     help="emission altitude in km (default 110)")
+
+    proc = p.add_argument_group("processing")
+    proc.add_argument("--grid", choices=["none", "geo", "mag"], default="none",
+                      help="resample onto a geographic or magnetic grid")
+    proc.add_argument("--arcsecperpx", type=float, default=100,
+                      help="grid resolution in arcsec/px (default 100)")
+    proc.add_argument("--min-elevation", type=float, default=None,
+                      help="mask pixels below this elevation before resampling")
+    proc.add_argument("--precision", choices=["float64", "float32"],
+                      default="float64", help="device compute precision")
+    proc.add_argument("--platform", choices=["cpu", "tpu", "default"],
+                      default="cpu",
+                      help="jax backend; cpu (default) runs the float64 "
+                           "parity path — single-frame conversion is "
+                           "host-latency-bound, the TPU path is for batched "
+                           "sequence processing (auromat_tpu.parallel)")
+
+    out = p.add_argument_group("output")
+    out.add_argument("--format", choices=["cdf", "netcdf"], default="cdf")
+    out.add_argument("--out", default=None, help="output folder (default: input)")
+    out.add_argument("--overwrite", action="store_true",
+                     help="overwrite existing output files")
+    out.add_argument("--without-bounds", action="store_true",
+                     help="omit pixel-corner coordinates")
+    out.add_argument("--without-mag", action="store_true",
+                     help="omit MLat/MLT coordinates")
+    return p
+
+
+def convert_mapping(mapping, args, out_folder):
+    from auromat_tpu.resample import resample, resample_mlat_mlt
+
+    if args.min_elevation is not None:
+        mapping = mapping.maskedByElevation(args.min_elevation)
+    if args.grid == "geo":
+        mapping = resample(mapping, arcsec_per_px=args.arcsecperpx, method="mean")
+    elif args.grid == "mag":
+        mapping = resample_mlat_mlt(mapping, arcsec_per_px=args.arcsecperpx,
+                                    method="mean")
+    ext = ".cdf" if args.format == "cdf" else ".nc"
+    out_path = os.path.join(out_folder, f"{mapping.identifier}{ext}")
+    if os.path.exists(out_path) and not args.overwrite:
+        print(f"skipping {out_path} (exists)")
+        return out_path
+    if args.format == "cdf":
+        from auromat_tpu.export import cdf as writer
+    else:
+        from auromat_tpu.export import netcdf as writer
+    writer.write(out_path, mapping, includeBounds=not args.without_bounds,
+                 includeMagCoords=not args.without_mag)
+    print(f"wrote {out_path}")
+    return out_path
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform != "default":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception as e:  # backend already initialised
+            print(f"warning: cannot select platform {args.platform}: {e}",
+                  file=sys.stderr)
+    source_type = detect_source_type(args.folder)
+    print(f"detected source type: {source_type}")
+    provider = make_provider(source_type, args.folder, args.altitude)
+    out_folder = args.out or args.folder
+    os.makedirs(out_folder, exist_ok=True)
+
+    count = 0
+    for mapping in provider.getSequence(args.start, args.end):
+        from auromat_tpu.mapping.mapping import MappingCollection
+
+        mappings = mapping.mappings if isinstance(mapping, MappingCollection) else [mapping]
+        for m in mappings:
+            convert_mapping(m, args, out_folder)
+            count += 1
+    print(f"converted {count} mappings")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Polygon generation and figure plumbing for the drawing layer.
+
+Mirrors auromat/draw_helpers.py: pixel-corner grids become (h*w, 4, 2)
+PolyCollection vertex arrays with per-pixel colors, NaN quads filtered via
+the mask guarantees; mapping collections are merged with elevation-sorted
+overlap ordering (higher-elevation pixels drawn last).
+"""
+
+import numpy as np
+import numpy.ma as ma
+
+
+def create_polygons_and_colors(lats, lons, rgb, elevation=None):
+    """Corner grids + rgb -> (verts (n,4,2), colors (n,3or4), elev (n,)).
+
+    Vertex order per quad: (y,x), (y,x+1), (y+1,x+1), (y+1,x); NaN quads are
+    dropped (reference draw_helpers.py:34-79).
+    """
+    lats = np.asarray(ma.filled(lats, np.nan))
+    lons = np.asarray(ma.filled(lons, np.nan))
+    ll = np.stack([lons, lats], axis=-1)  # (x=lon, y=lat) plot order
+    verts = np.stack(
+        [ll[:-1, :-1], ll[:-1, 1:], ll[1:, 1:], ll[1:, :-1]], axis=2
+    ).reshape(-1, 4, 2)
+    colors = np.asarray(ma.filled(rgb, 0)).reshape(-1, rgb.shape[-1])
+    if np.issubdtype(colors.dtype, np.integer):
+        colors = colors / 255.0
+    has_nan = np.isnan(verts).any(axis=(1, 2))
+    keep = ~has_nan
+    out_elev = None
+    if elevation is not None:
+        ev = np.asarray(ma.filled(elevation, np.nan)).ravel()
+        out_elev = ev[keep]
+    return verts[keep], colors[keep], out_elev
+
+
+def polygons_from_mapping_or_collection(mapping_or_collection, mlatmlt=False):
+    """(verts, colors) merged over a mapping or collection.
+
+    For collections with mayOverlap, quads of all mappings are joined and
+    sorted by elevation so higher-elevation (better-viewed) pixels overdraw
+    (reference draw_helpers.py:128-178).
+    """
+    from auromat_tpu.mapping.mapping import MappingCollection
+
+    if isinstance(mapping_or_collection, MappingCollection):
+        mappings = mapping_or_collection.mappings
+        sort = mapping_or_collection.mayOverlap
+    else:
+        mappings = [mapping_or_collection]
+        sort = False
+
+    all_verts, all_colors, all_elev = [], [], []
+    for m in mappings:
+        if mlatmlt:
+            mlat, mlt = m.mLatMlt
+            lats, lons = mlat, mlt
+        else:
+            lats, lons = m.lats, m.lons
+        verts, colors, elev = create_polygons_and_colors(
+            lats, lons, m.rgb, m.elevation
+        )
+        all_verts.append(verts)
+        all_colors.append(colors)
+        if elev is not None:
+            all_elev.append(elev)
+    verts = np.concatenate(all_verts)
+    colors = np.concatenate(all_colors)
+    if sort and all_elev:
+        elev = np.concatenate(all_elev)
+        order = np.argsort(np.nan_to_num(elev, nan=-1))
+        verts, colors = verts[order], colors[order]
+    return verts, colors
+
+
+def overlap_polygons(verts, factor=0.2):
+    """Slightly grow quads towards preventing hairline seams between
+    adjacent polygons in matplotlib (reference draw_helpers.py:92-105)."""
+    center = verts.mean(axis=1, keepdims=True)
+    return center + (verts - center) * (1.0 + factor)
+
+
+def mlt_formatter(value, pos=None):
+    """Tick formatter for magnetic local time axes (reference
+    draw_helpers.py:207)."""
+    hours = int(value) % 24
+    minutes = int(round((value - int(value)) * 60))
+    return f"{hours:02d}:{minutes:02d}"
+
+
+def figure_image(fig):
+    """Render a matplotlib figure into an RGB uint8 array."""
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())
+    return buf[:, :, :3].copy()
+
+
+def save_fig(path, fig, dpi=None, transparent=False):
+    """Save and close a figure (reference draw.py:1937-1956)."""
+    fig.savefig(path, dpi=dpi, transparent=transparent,
+                bbox_inches="tight", pad_inches=0.1)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return path

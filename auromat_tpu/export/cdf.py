@@ -49,7 +49,10 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
 
         def coord_var(name, data, fieldnam, units, vmin, vmax, crs, notes=None,
                       bounds=None, depend=("y_pixel", "x_pixel")):
-            root.new(name, np.ma.filled(data, np.nan)[np.newaxis, :])
+            # raw data, not filled: a resampled mapping's regular coordinate
+            # grids stay regular under the mask (mask is carried by the img
+            # FILLVAL / zenith_angle NaNs)
+            root.new(name, np.ma.getdata(data)[np.newaxis, :])
             attrs = dict(
                 VAR_TYPE="data", DEPEND_0="Epoch", DEPEND_1=depend[0],
                 DEPEND_2=depend[1], UNITS=units, VALIDMIN=vmin, VALIDMAX=vmax,

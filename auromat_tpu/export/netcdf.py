@@ -120,12 +120,12 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
             lon.actual_range = np.float64([lons_c[0], lons_c[-1]])
         else:
             lat = root.createVariable("lat", np.float64, ("y", "x"))
-            lat[:] = mapping.latsCenter.filled(np.nan)
+            lat[:] = np.ma.getdata(mapping.latsCenter)
             lat.actual_range = np.float64(
                 [np.min(mapping.latsCenter), np.max(mapping.latsCenter)]
             )
             lon = root.createVariable("lon", np.float64, ("y", "x"))
-            lon[:] = mapping.lonsCenter.filled(np.nan)
+            lon[:] = np.ma.getdata(mapping.lonsCenter)
             lon.actual_range = np.float64(
                 [np.min(mapping.lonsCenter), np.max(mapping.lonsCenter)]
             )

@@ -51,6 +51,7 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
         identifier, metadata=metadata, sanitized=fast_center,
         frame_matrices=fm,
     )
+    mapping.wcs_header = wcs_header  # for astrometry diagnostics (draw)
     if with_mlatmlt:
         import numpy.ma as ma
 

@@ -64,8 +64,10 @@ def read_mapping(path, identifier=None, record=0):
         elevation = 90.0 - np.array(cdf["zenith_angle"][record], dtype=np.float64)
     if elevation is not None:
         elevation[mask] = np.nan
-    lats_c[mask] = np.nan
-    lons_c[mask] = np.nan
+    else:
+        # no elevation channel: carry the mask through the centre coords
+        lats_c[mask] = np.nan
+        lons_c[mask] = np.nan
 
     metadata = {
         k: (v.decode() if isinstance(v, bytes) else v)

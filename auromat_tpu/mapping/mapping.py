@@ -600,12 +600,15 @@ class Mapping:
         return m
 
     def _clone(self, lats, lons, lats_c, lons_c, elev, img):
-        return type(self)(
+        m = type(self)(
             lats, lons, lats_c, lons_c, elev, self._altitude, img,
             self._camera_pos, self._photo_time, self._identifier,
             metadata=self._metadata, sanitized=True,
             frame_matrices=self._frame_matrices,
         )
+        if hasattr(self, "wcs_header"):
+            m.wcs_header = self.wcs_header
+        return m
 
     def maskedByElevation(self, min_elevation=10):
         """Reference: auromat/mapping/mapping.py:845-864."""

@@ -92,12 +92,13 @@ def read_mapping(path, identifier=None):
         if "zenith_angle" in v:
             zena = np.array(v["zenith_angle"][:], dtype=np.float64)
             elevation = 90.0 - zena
-        if elevation is not None:
-            elevation[masked] = np.nan
         lats_c = lats_c.copy()
         lons_c = lons_c.copy()
-        lats_c[masked] = np.nan
-        lons_c[masked] = np.nan
+        if elevation is not None:
+            elevation[masked] = np.nan
+        else:
+            lats_c[masked] = np.nan
+            lons_c[masked] = np.nan
 
         metadata = {}
         for k, val in getattr(f, "_attributes", {}).items():
