@@ -113,6 +113,26 @@ def tan_pix2world(wcs: TanWcs, px, py, origin=0):
     return ra, dec
 
 
+def tan_world2pix(wcs: TanWcs, ra_deg, dec_deg, origin=0):
+    """Celestial (ra, dec) degrees -> pixel coordinates (inverse of
+    :func:`tan_pix2world`; forward TAN projection, FITS Paper II)."""
+    ra = jnp.deg2rad(jnp.asarray(ra_deg))
+    dec = jnp.deg2rad(jnp.asarray(dec_deg))
+    cos_d = jnp.cos(dec)
+    v = jnp.stack([cos_d * jnp.cos(ra), cos_d * jnp.sin(ra), jnp.sin(dec)], axis=-1)
+    n = v @ jnp.asarray(wcs.rotmat)  # == rotmat.T @ v
+    phi = jnp.arctan2(n[..., 1], n[..., 0])
+    theta = jnp.arctan2(n[..., 2], jnp.hypot(n[..., 0], n[..., 1]))
+    r = (180.0 / jnp.pi) / jnp.tan(theta)
+    x = r * jnp.sin(phi)
+    y = -r * jnp.cos(phi)
+    inv = np.linalg.inv(wcs.cd)
+    dx = inv[0, 0] * x + inv[0, 1] * y
+    dy = inv[1, 0] * x + inv[1, 1] * y
+    off = 1 - origin
+    return dx + wcs.px_ref - off, dy + wcs.py_ref - off
+
+
 def pixel_grid(width, height, start_x=0, start_y=0, corner=True, dtype=jnp.float64):
     """Pixel-corner or pixel-centre coordinate grids.
 

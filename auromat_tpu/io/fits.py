@@ -274,3 +274,304 @@ def get_pixel_scale_deg(header):
 
 def get_center_radec(header):
     return header["CRVAL1"], header["CRVAL2"]
+
+
+# ---------------------------------------------------------------------------
+# FITS checksums (DATASUM/CHECKSUM, the standard ones-complement scheme)
+# ---------------------------------------------------------------------------
+
+
+def _ones_complement_sum32(data: bytes) -> int:
+    import numpy as _np
+
+    padded = data + b"\x00" * ((-len(data)) % 4)
+    words = _np.frombuffer(padded, dtype=">u4").astype(_np.uint64)
+    total = int(words.sum())
+    while total >> 32:
+        total = (total & 0xFFFFFFFF) + (total >> 32)
+    return total
+
+
+def _encode_checksum(value: int) -> str:
+    """Encode a 32-bit complemented sum into the 16-char FITS ASCII form."""
+    value = ~value & 0xFFFFFFFF
+    ascii_zero = 0x30
+    bytes4 = [(value >> (24 - 8 * i)) & 0xFF for i in range(4)]
+    quotient = [b // 4 + ascii_zero for b in bytes4]
+    remainder = [b % 4 for b in bytes4]
+    chars = [[q] * 4 for q in quotient]
+    for i in range(4):
+        chars[i][0] += remainder[i]
+    # avoid non-alphanumeric ASCII by balanced shifting
+    bad = b"""'(),:;<=>?@[\\]`"'"""
+    for i in range(4):
+        for j in range(4):
+            while chars[i][j] in bad or chr(chars[i][j]) in "'():;<=>?@[\\]`\"":
+                k = (j + 1) % 4
+                chars[i][j] += 1
+                chars[i][k] -= 1
+    out = []
+    for j in range(4):
+        for i in range(4):
+            out.append(chars[i][j])
+    s = "".join(chr(c) for c in out)
+    return s[-1] + s[:-1]  # rotate right one place
+
+def compute_datasum(data: bytes) -> int:
+    return _ones_complement_sum32(data)
+
+
+def set_checksums(header: FitsHeader, data: bytes = b""):
+    """Set DATASUM and CHECKSUM (reference writes checksums via astropy,
+    auromat/fits.py:29-41)."""
+    datasum = compute_datasum(data)
+    header["DATASUM"] = str(datasum)
+    header["CHECKSUM"] = "0000000000000000"
+    # serialize header with zero checksum, then encode
+    import io as _io
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        tmp = f.name
+    write_header(header, tmp)
+    with open(tmp, "rb") as f:
+        blob = f.read()
+    import os as _os
+
+    _os.remove(tmp)
+    total = (_ones_complement_sum32(blob) + datasum) & 0xFFFFFFFF
+    total = (total & 0xFFFFFFFF) + (total >> 32)
+    header["CHECKSUM"] = _encode_checksum(total)
+    return header
+
+
+# ---------------------------------------------------------------------------
+# Minimal binary-table (BINTABLE) support for astrometry.net artifacts
+# ---------------------------------------------------------------------------
+
+_TFORM_DTYPES = {
+    "L": "?", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8",
+    "E": ">f4", "D": ">f8",
+}
+
+
+def _header_size_cards(data, offset):
+    """Parse a header starting at offset; return (FitsHeader, data_offset)."""
+    header = FitsHeader()
+    pos = offset
+    ended = False
+    while pos < len(data) and not ended:
+        block = data[pos : pos + BLOCK]
+        for i in range(0, BLOCK, CARD):
+            card = block[i : i + CARD].decode("ascii", errors="replace")
+            parsed = parse_card(card)
+            if parsed is None:
+                continue
+            key, value, comment = parsed
+            if key == "END":
+                ended = True
+                break
+            if key in ("HISTORY", "COMMENT"):
+                continue
+            header[key] = value
+        pos += BLOCK
+    return header, pos
+
+
+def _parse_tform(tform):
+    tform = str(tform).strip()
+    i = 0
+    while i < len(tform) and tform[i].isdigit():
+        i += 1
+    repeat = int(tform[:i]) if i else 1
+    code = tform[i]
+    if code == "A":
+        return repeat, f"S{repeat}", 1
+    return repeat, _TFORM_DTYPES[code], repeat
+
+
+def read_bintable(path, hdu=1):
+    """Read one BINTABLE extension into a dict of column name -> ndarray.
+
+    Supports the column types astrometry.net artifacts use (E/D/I/J/K/A).
+    """
+    import numpy as _np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    # walk HDUs
+    pos = 0
+    for h in range(hdu + 1):
+        header, data_off = _header_size_cards(data, pos)
+        if h == hdu:
+            break
+        # skip this HDU's data
+        if header.get("NAXIS", 0):
+            nbytes = abs(int(header.get("BITPIX", 8))) // 8
+            for ax in range(1, int(header["NAXIS"]) + 1):
+                nbytes *= int(header[f"NAXIS{ax}"])
+        else:
+            nbytes = 0
+        pos = data_off + nbytes + ((-nbytes) % BLOCK)
+    if header.get("XTENSION", "").strip() != "BINTABLE":
+        raise ValueError(f"HDU {hdu} is not a BINTABLE: {header.get('XTENSION')!r}")
+    n_rows = int(header["NAXIS2"])
+    n_fields = int(header["TFIELDS"])
+    names, formats = [], []
+    for i in range(1, n_fields + 1):
+        names.append(str(header.get(f"TTYPE{i}", f"col{i}")).strip())
+        repeat, base, _ = _parse_tform(header[f"TFORM{i}"])
+        if base.startswith("S"):
+            formats.append(base)
+        elif repeat == 1:
+            formats.append(base)
+        else:
+            formats.append((base, (repeat,)))
+    dtype = _np.dtype({"names": names, "formats": formats})
+    assert dtype.itemsize == int(header["NAXIS1"]), (dtype.itemsize, header["NAXIS1"])
+    table = _np.frombuffer(
+        data, dtype=dtype, count=n_rows, offset=data_off
+    )
+    out = {}
+    for name in names:
+        col = table[name]
+        if col.dtype.kind in "if":
+            col = col.astype(col.dtype.newbyteorder("="))
+        out[name] = col
+    return out
+
+
+def write_bintable(path, columns, primary_header=None):
+    """Write a dict of name -> 1D array as a single BINTABLE extension.
+
+    Used for .xyls star lists fed to astrometry.net (reference
+    auromat/fits.py:318-345 writeXyls).
+    """
+    import numpy as _np
+
+    names = list(columns.keys())
+    arrays = [_np.asarray(columns[n]) for n in names]
+    n_rows = len(arrays[0])
+    formats = []
+    tforms = []
+    inv = {v: k for k, v in _TFORM_DTYPES.items()}
+    for a in arrays:
+        be = a.dtype.newbyteorder(">")
+        code = inv.get(be.str.lstrip("=<>|"), None) or inv.get(be.str, None)
+        if code is None:
+            mapping = {"f8": "D", "f4": "E", "i2": "I", "i4": "J", "i8": "K"}
+            code = mapping[a.dtype.str[-2:]]
+        tforms.append(code)
+        formats.append(">" + a.dtype.str[-2:])
+    dtype = _np.dtype({"names": names, "formats": formats})
+    table = _np.zeros(n_rows, dtype=dtype)
+    for n, a in zip(names, arrays):
+        table[n] = a
+
+    prim = FitsHeader(primary_header or {})
+    prim["EXTEND"] = True
+    ext_cards = []
+    ext_cards.append(format_card("XTENSION", "BINTABLE", "binary table extension"))
+    ext_cards.append(format_card("BITPIX", 8))
+    ext_cards.append(format_card("NAXIS", 2))
+    ext_cards.append(format_card("NAXIS1", dtype.itemsize))
+    ext_cards.append(format_card("NAXIS2", n_rows))
+    ext_cards.append(format_card("PCOUNT", 0))
+    ext_cards.append(format_card("GCOUNT", 1))
+    ext_cards.append(format_card("TFIELDS", len(names)))
+    for i, (n, t) in enumerate(zip(names, tforms), start=1):
+        ext_cards.append(format_card(f"TTYPE{i}", n))
+        ext_cards.append(format_card(f"TFORM{i}", t))
+    ext_cards.append(format_card("END", None))
+    ext_blob = "".join(ext_cards).encode("ascii")
+    ext_blob += b" " * ((-len(ext_blob)) % BLOCK)
+    data_blob = table.tobytes()
+    data_blob += b"\x00" * ((-len(data_blob)) % BLOCK)
+
+    import tempfile, os as _os
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        tmp = f.name
+    write_header(prim, tmp)
+    with open(tmp, "rb") as f:
+        prim_blob = f.read()
+    _os.remove(tmp)
+    with open(path, "wb") as f:
+        f.write(prim_blob + ext_blob + data_blob)
+
+
+def write_xyls(path, x, y, flux=None):
+    """Write a star x/y list for astrometry.net (1-based pixel origin)."""
+    import numpy as _np
+
+    cols = {"X": _np.asarray(x, dtype=_np.float64) + 1,
+            "Y": _np.asarray(y, dtype=_np.float64) + 1}
+    if flux is not None:
+        cols["FLUX"] = _np.asarray(flux, dtype=_np.float64)
+    write_bintable(path, cols)
+
+
+def read_xy(path, sort=False, sort_key="FLUX", sort_reverse=True):
+    """x, y (0-based) from an .axy/.xyls star list (reference fits.py:167-191)."""
+    import numpy as _np
+
+    table = read_bintable(path)
+    x = table["X"] - 1
+    y = table["Y"] - 1
+    if sort:
+        order = _np.argsort(table[sort_key])
+        if sort_reverse:
+            order = order[::-1]
+        x, y = x[order], y[order]
+    return x, y
+
+
+def read_quad_match(path):
+    """Pixel coordinates of the matched quad stars from a .match artifact."""
+    import numpy as _np
+
+    table = read_bintable(path)
+    star_count = int(_np.ravel(table["DIMQUADS"])[0])
+    quadpix = _np.asarray(table["QUADPIX"])[0].reshape(-1, 2)
+    return quadpix[:star_count]
+
+
+def read_corr(path):
+    """(field_x, field_y, index_x, index_y) from a .corr artifact."""
+    table = read_bintable(path)
+    return (table["field_x"], table["field_y"],
+            table["index_x"], table["index_y"])
+
+
+def recompute_xyls_pixel_positions(original_xyls_path, original_wcs_path,
+                                   new_wcs_path_or_header):
+    """Pixel positions of reference stars under a different WCS solution.
+
+    Reference: auromat/fits.py:194-216 (used to compare solver runs).
+    """
+    import numpy as _np
+
+    from auromat_tpu.coordinates.wcs import TanWcs, tan_pix2world, tan_world2pix
+
+    orig = TanWcs(read_header(original_wcs_path))
+    x, y = read_xy(original_xyls_path)
+    ra, dec = tan_pix2world(orig, _np.asarray(x), _np.asarray(y))
+    if isinstance(new_wcs_path_or_header, (str, bytes)):
+        new = TanWcs(read_header(new_wcs_path_or_header))
+    else:
+        new = TanWcs(new_wcs_path_or_header)
+    nx, ny = tan_world2pix(new, _np.asarray(ra), _np.asarray(dec))
+    return _np.asarray(nx), _np.asarray(ny)
+
+
+def get_catalog_stars(header, limit=500, catalog="tycho2"):
+    """Bright catalog stars inside the frame (reference fits.py:218-316 uses
+    astroquery/Vizier). Requires network + astroquery; gated here."""
+    try:
+        from astroquery.vizier import Vizier  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "get_catalog_stars requires the optional astroquery package "
+            "(network catalog query)"
+        ) from e
+    raise NotImplementedError("online catalog query not wired in this build")

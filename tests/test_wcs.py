@@ -159,3 +159,58 @@ class TestHeaderIO:
         assert fits.get_shifted_spacecraft_position(h2) == (4.0, 5.0, 6.0, -13.0)
         assert fits.get_norad_id(h2) == 25544
         assert fits.get_photo_time(h2) == datetime(2012, 1, 25, 9, 27, 8)
+
+
+class TestBinTable:
+    def test_xyls_roundtrip(self, tmp_path):
+        import numpy as np
+
+        x = np.array([10.5, 200.25, 4000.0])
+        y = np.array([20.5, 100.75, 2000.0])
+        flux = np.array([9.0, 5.0, 30.0])
+        p = str(tmp_path / "stars.xyls")
+        fits.write_xyls(p, x, y, flux)
+        rx, ry = fits.read_xy(p)
+        np.testing.assert_allclose(rx, x)
+        np.testing.assert_allclose(ry, y)
+        # flux-sorted descending
+        sx, sy = fits.read_xy(p, sort=True)
+        np.testing.assert_allclose(sx, [4000.0, 10.5, 200.25])
+
+    def test_bintable_generic(self, tmp_path):
+        import numpy as np
+
+        p = str(tmp_path / "t.fits")
+        fits.write_bintable(p, {"A": np.arange(5, dtype=np.int32),
+                                "B": np.linspace(0, 1, 5)})
+        t = fits.read_bintable(p)
+        np.testing.assert_array_equal(t["A"], np.arange(5))
+        np.testing.assert_allclose(t["B"], np.linspace(0, 1, 5))
+
+
+class TestChecksums:
+    def test_self_consistent(self, tmp_path):
+        header = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+        fits.set_checksums(header)
+        out = tmp_path / "ck.wcs"
+        fits.write_header(header, out)
+        blob = out.read_bytes()
+        # defining property: ones-complement sum of the full HDU == 0xFFFFFFFF
+        assert fits.compute_datasum(blob) == 0xFFFFFFFF
+        assert len(header["CHECKSUM"]) == 16
+
+
+class TestWorld2Pix:
+    def test_inverse_of_pix2world(self):
+        import numpy as np
+
+        from auromat_tpu.coordinates.wcs import tan_world2pix
+
+        wcs = load_wcs()
+        rng = np.random.default_rng(1)
+        px = rng.uniform(0, wcs.width - 1, 500)
+        py = rng.uniform(0, wcs.height - 1, 500)
+        ra, dec = tan_pix2world(wcs, px, py)
+        bx, by = tan_world2pix(wcs, np.asarray(ra), np.asarray(dec))
+        np.testing.assert_allclose(np.asarray(bx), px, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(by), py, atol=1e-8)
