@@ -1,0 +1,230 @@
+"""Double-float ("df64") arithmetic: ~f64 precision from f32 pairs on TPU.
+
+TPUs have no native float64 (the XLA TPU backend silently degrades f64 math
+to f32 here). The georeferencing parity budget (<1e-6 deg, SURVEY.md section
+7 "hard parts") needs ~0.1 m positions on a 6.4e6 m sphere — beyond f32's
+~0.4 m representational floor, and even a single f32 arctan rounds at ~6e-6
+deg. This module implements error-free-transformation arithmetic on (hi, lo)
+f32 pairs (Dekker 1971 / Knuth two-sum; no FMA assumed) plus the
+transcendentals the geodetic chain needs (sqrt, atan/atan2 via sin/cos
+series with argument reduction).
+
+Accuracy: basic ops ~1e-14 relative; atan/atan2 ~1e-13 rad absolute —
+comfortably inside the 1e-6 deg (1.7e-8 rad) budget.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_SPLIT = 4097.0  # 2^12 + 1 for binary32 Dekker splitting
+
+
+class DF(NamedTuple):
+    """A double-float value: value = hi + lo, |lo| <= ulp(hi)/2."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def df(hi, lo=None):
+    hi = jnp.asarray(hi, dtype=jnp.float32)
+    if lo is None:
+        lo = jnp.zeros_like(hi)
+    return DF(hi, jnp.asarray(lo, dtype=jnp.float32))
+
+
+def from_f64(value):
+    """Host float64 scalar/array -> DF pair (exact to ~2^-48)."""
+    value = np.asarray(value, dtype=np.float64)
+    hi = value.astype(np.float32)
+    lo = (value - hi.astype(np.float64)).astype(np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def to_f64(x: DF):
+    """DF -> host float64 (for testing)."""
+    return np.asarray(x.hi, dtype=np.float64) + np.asarray(x.lo, dtype=np.float64)
+
+
+def _two_sum(a, b):
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    # requires |a| >= |b|
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    t = _SPLIT * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def add(x: DF, y: DF) -> DF:
+    # accurate (IEEE) variant: the sloppy single-two-sum add loses ~8 digits
+    # when adding near-cancelling opposite-sign values (series evaluation!)
+    s1, s2 = _two_sum(x.hi, y.hi)
+    t1, t2 = _two_sum(x.lo, y.lo)
+    s2 = s2 + t1
+    s1, s2 = _quick_two_sum(s1, s2)
+    s2 = s2 + t2
+    hi, lo = _quick_two_sum(s1, s2)
+    return DF(hi, lo)
+
+
+def sub(x: DF, y: DF) -> DF:
+    return add(x, neg(y))
+
+
+def neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def mul(x: DF, y: DF) -> DF:
+    p, e = _two_prod(x.hi, y.hi)
+    e = e + x.hi * y.lo + x.lo * y.hi
+    hi, lo = _quick_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def div(x: DF, y: DF) -> DF:
+    q1 = x.hi / y.hi
+    r = sub(x, mul(df(q1), y))
+    q2 = r.hi / y.hi
+    r = sub(r, mul(df(q2), y))
+    q3 = r.hi / y.hi
+    s, e = _quick_two_sum(q1, q2)
+    return add(DF(s, e), df(q3))
+
+
+def sqrt(x: DF) -> DF:
+    """Newton-refined square root (Karp-Markstein style)."""
+    s1 = jnp.sqrt(x.hi)
+    # one df Newton step: s = s1 + (x - s1^2) / (2 s1)
+    r = sub(x, mul(df(s1), df(s1)))
+    corr = r.hi / (2.0 * s1)
+    hi, lo = _quick_two_sum(s1, corr + r.lo / (2.0 * s1))
+    return DF(hi, lo)
+
+
+def scale(x: DF, c) -> DF:
+    """Multiply by an exactly-representable f32 constant."""
+    return mul(x, df(jnp.float32(c)))
+
+
+def dot3(ax, ay, az, bx, by, bz) -> DF:
+    """Accurate 3-component dot product of DF vectors."""
+    return add(add(mul(ax, bx), mul(ay, by)), mul(az, bz))
+
+
+PI = (3.1415927410125732, -8.742277657347586e-08)
+PI_OVER_2 = (1.5707963705062866, -4.371138828673793e-08)
+
+
+def _df_const(pair):
+    return DF(jnp.float32(pair[0]), jnp.float32(pair[1]))
+
+
+def _sincos_series(r: DF):
+    """sin/cos of |r| <= pi/4 via Taylor series in df arithmetic."""
+    r2 = mul(r, r)
+    # sin: r (1 - r2/3! + r2^2/5! - ...) ; 8 terms reach ~1e-17 at pi/4
+    sin_coeffs = [
+        1.0, -1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880,
+        -1.0 / 39916800, 1.0 / 6227020800.0, -1.0 / 1307674368000.0,
+    ]
+    cos_coeffs = [
+        1.0, -0.5, 1.0 / 24, -1.0 / 720, 1.0 / 40320,
+        -1.0 / 3628800, 1.0 / 479001600.0, -1.0 / 87178291200.0,
+    ]
+
+    def horner(coeffs):
+        acc = df(jnp.full_like(r.hi, np.float32(coeffs[-1])))
+        for c in reversed(coeffs[:-1]):
+            acc = add(mul(acc, r2), from_f64_like(c, r.hi))
+        return acc
+
+    sin_r = mul(r, horner(sin_coeffs))
+    cos_r = horner(cos_coeffs)
+    return sin_r, cos_r
+
+
+def from_f64_like(value, like):
+    v = np.float64(value)
+    hi = np.float32(v)
+    lo = np.float32(v - np.float64(hi))
+    return DF(jnp.full_like(like, hi), jnp.full_like(like, lo))
+
+
+def sincos(x: DF):
+    """sin and cos of a DF angle (|x| < ~10 rad)."""
+    half_pi = _df_const(PI_OVER_2)
+    k = jnp.round(x.hi / jnp.float32(np.pi / 2))
+    r = sub(x, mul(DF(jnp.full_like(x.hi, half_pi.hi), jnp.full_like(x.hi, half_pi.lo)), df(k)))
+    sin_r, cos_r = _sincos_series(r)
+    k4 = jnp.mod(k, 4.0)
+    # rotate by k * pi/2
+    sin_x_hi = jnp.select(
+        [k4 == 0, k4 == 1, k4 == 2], [sin_r.hi, cos_r.hi, -sin_r.hi], -cos_r.hi
+    )
+    sin_x_lo = jnp.select(
+        [k4 == 0, k4 == 1, k4 == 2], [sin_r.lo, cos_r.lo, -sin_r.lo], -cos_r.lo
+    )
+    cos_x_hi = jnp.select(
+        [k4 == 0, k4 == 1, k4 == 2], [cos_r.hi, -sin_r.hi, -cos_r.hi], sin_r.hi
+    )
+    cos_x_lo = jnp.select(
+        [k4 == 0, k4 == 1, k4 == 2], [cos_r.lo, -sin_r.lo, -cos_r.lo], sin_r.lo
+    )
+    return DF(sin_x_hi, sin_x_lo), DF(cos_x_hi, cos_x_lo)
+
+
+def atan(x: DF) -> DF:
+    """arctan via f32 seed + one exact-tangent Newton correction.
+
+    y0 = atan32(x); y = y0 + atan(t) with t = (x - tan y0) / (1 + x tan y0);
+    t ~ 1e-7 so atan(t) = t - t^3/3 is exact to ~1e-21.
+    """
+    y0 = jnp.arctan(x.hi)
+    sin0, cos0 = sincos(df(y0))
+    tan0 = div(sin0, cos0)
+    num = sub(x, tan0)
+    den = add(df(jnp.ones_like(x.hi)), mul(x, tan0))
+    t = div(num, den)
+    return add(df(y0), t)
+
+
+def atan2(y: DF, x: DF) -> DF:
+    """Quadrant-aware arctan of y/x in df precision."""
+    base = atan(div(y, x))
+    pi_df = _df_const(PI)
+    pi_b = DF(jnp.full_like(x.hi, pi_df.hi), jnp.full_like(x.hi, pi_df.lo))
+    adj_hi = jnp.where(
+        x.hi < 0, jnp.where(y.hi >= 0, pi_b.hi, -pi_b.hi), jnp.zeros_like(x.hi)
+    )
+    adj_lo = jnp.where(
+        x.hi < 0, jnp.where(y.hi >= 0, pi_b.lo, -pi_b.lo), jnp.zeros_like(x.hi)
+    )
+    out = add(base, DF(adj_hi, adj_lo))
+    # x == 0 handling: +-pi/2
+    hp = _df_const(PI_OVER_2)
+    sign = jnp.sign(y.hi)
+    out_hi = jnp.where(x.hi == 0, sign * hp.hi, out.hi)
+    out_lo = jnp.where(x.hi == 0, sign * hp.lo, out.lo)
+    return DF(out_hi, out_lo)

@@ -21,6 +21,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: the remote TPU compile path is slow (minutes);
+    # warmed caches make reruns near-instant
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from auromat_tpu.coordinates.wcs import TanWcs
