@@ -15,8 +15,12 @@ comfortably inside the 1e-6 deg (1.7e-8 rad) budget.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+
 
 _SPLIT = 4097.0  # 2^12 + 1 for binary32 Dekker splitting
 
@@ -63,17 +67,47 @@ def _quick_two_sum(a, b):
 
 
 def _split(a):
-    t = _SPLIT * a
-    hi = t - (t - a)
+    """Split a into (hi, lo) with <=12 significand bits each, via mantissa
+    masking. The classic Dekker split (t = 4097*a; hi = t - (t - a)) is NOT
+    safe under jit: XLA CPU strips optimization barriers and LLVM contracts
+    `t - a` into fma(a, 4097, -a), which uses the UNROUNDED product and
+    collapses the split (hi ~= a, lo ~= 0), silently degrading df64 to f32.
+    Bit masking has no multiply to contract and is cheaper on the TPU VPU.
+    12x12-bit products fit exactly in f32's 24-bit significand."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFFF000), jnp.float32
+    )
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    p = a * b
+    """Exact product a*b = s + e via EXACT limb products only.
+
+    The textbook two_prod (p = a*b; e = a_hi*b_hi - p + ...) is NOT safe
+    under jit on CPU: XLA duplicates the cheap `a*b` multiply into every
+    consumer fusion and LLVM contracts `s - a*b` into fma(-a, b, s), which
+    uses the UNROUNDED product — the residual then mixes rounded and
+    unrounded versions of the same product and the EFT identity breaks
+    (observed: df64 silently degraded to f32-level error, ~5e-8 relative,
+    whenever one operand was a broadcast constant). Optimization barriers
+    are stripped by the XLA CPU pipeline and bitcast round-trips are folded,
+    so the only robust defense is to make every product EXACT: with <=12-bit
+    limbs from :func:`_split`, each partial product fits f32's 24-bit
+    significand exactly, so fma(x, y, c) == round(x*y) + c bit-for-bit and
+    contraction becomes harmless. The remaining ops are adds, which XLA/LLVM
+    never reassociate at default fast-math settings.
+    """
     a_hi, a_lo = _split(a)
     b_hi, b_lo = _split(b)
-    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
-    return p, e
+    p11 = a_hi * b_hi  # all four partial products are exact (12x12 bits)
+    p12 = a_hi * b_lo
+    p21 = a_lo * b_hi
+    p22 = a_lo * b_lo
+    s, e1 = _two_sum(p12, p21)
+    p, e2 = _two_sum(p11, s)
+    p, e3 = _quick_two_sum(p, p22)
+    return p, (e1 + e2) + e3
 
 
 def add(x: DF, y: DF) -> DF:

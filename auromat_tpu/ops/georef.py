@@ -287,3 +287,132 @@ def georeference_points(params: GeorefParams, px, py, dtype=jnp.float64):
     ix, iy, iz = _intersect(params, vx, vy, vz, dtype)
     lat, lon = _latlon_from_j2000(params, ix, iy, iz)
     return lat, lon
+
+
+# ---------------------------------------------------------------------------
+# double-float (df64) chain: <1e-6 deg parity on TPU hardware
+# ---------------------------------------------------------------------------
+
+
+def georeference_points_df(params: GeorefParams, px, py):
+    """Georeference pixel coordinates in double-float precision.
+
+    The f32 chain bottoms out around ~1e-2..1e-3 deg (f32 cannot place a
+    point on Earth better than ~0.4 m, and one f32 arctan already rounds at
+    ~6e-6 deg). This variant runs the whole pixel->lat/lon chain in (hi, lo)
+    f32 pairs (auromat_tpu.ops.dfloat), reaching float64-grade accuracy on
+    TPUs, which have no native f64 (SURVEY.md section 7 "hard parts").
+
+    ~10x the flops of the f32 chain; use for parity-critical production
+    output, keep the f32 chain for preview/throughput work.
+
+    :returns: (lat_hi, lat_lo, lon_hi, lon_lo) degree pairs — keep the pair;
+        collapsing to a single f32 would throw away the precision (f32 ulp at
+        60 deg is ~4e-6 deg). See :func:`georeference_points_df64`.
+    """
+    from auromat_tpu.ops import dfloat as dfl
+
+    px = jnp.asarray(px, dtype=jnp.float32)
+    py = jnp.asarray(py, dtype=jnp.float32)
+    c = lambda v: dfl.from_f64_like(float(v), px)
+
+    # TAN unprojection: dx, dy exact in f32; projection-plane coords in df
+    dx = dfl.df(px - jnp.float32(params.px_ref - 1.0))
+    dy = dfl.df(py - jnp.float32(params.py_ref - 1.0))
+    cd = params.cd
+    x = dfl.add(dfl.mul(c(cd[0][0]), dx), dfl.mul(c(cd[0][1]), dy))
+    y = dfl.add(dfl.mul(c(cd[1][0]), dx), dfl.mul(c(cd[1][1]), dy))
+    u = c(180.0 / np.pi)
+    s2 = dfl.add(dfl.add(dfl.mul(x, x), dfl.mul(y, y)), dfl.mul(u, u))
+    inv = dfl.div(c(1.0), dfl.sqrt(s2))
+    l_ = dfl.mul(dfl.neg(y), inv)
+    m_ = dfl.mul(x, inv)
+    n_ = dfl.mul(u, inv)
+
+    rm = params.rotmat
+
+    def rot_row(row):
+        return dfl.add(
+            dfl.add(dfl.mul(c(row[0]), l_), dfl.mul(c(row[1]), m_)),
+            dfl.mul(c(row[2]), n_),
+        )
+
+    vx, vy, vz = rot_row(rm[0]), rot_row(rm[1]), rot_row(rm[2])
+
+    # ray/inflated-ellipsoid intersection (same scaled-space quadratic)
+    a_ax = WGS84_A + params.altitude
+    b_ax = WGS84_B + params.altitude
+    ox, oy, oz = params.camera_pos
+    inv_a = 1.0 / a_ax
+    inv_b = 1.0 / b_ax
+    dsx = dfl.mul(vx, c(inv_a))
+    dsy = dfl.mul(vy, c(inv_a))
+    dsz = dfl.mul(vz, c(inv_b))
+    osx = c(-ox * inv_a)
+    osy = c(-oy * inv_a)
+    osz = c(-oz * inv_b)
+    b_q = dfl.dot3(dsx, dsy, dsz, osx, osy, osz)
+    a_q = dfl.dot3(dsx, dsy, dsz, dsx, dsy, dsz)
+    c_q = dfl.dot3(osx, osy, osz, osx, osy, osz)
+    disc = dfl.add(
+        dfl.sub(dfl.mul(b_q, b_q), dfl.mul(c_q, a_q)), a_q
+    )
+    root = dfl.sqrt(disc)
+    inside = (ox / a_ax) ** 2 + (oy / a_ax) ** 2 + (oz / b_ax) ** 2 < 1.0
+    d = dfl.add(b_q, root) if inside else dfl.sub(b_q, root)
+    miss = jnp.isnan(disc.hi) | (d.hi < 0)
+    d = dfl.div(d, a_q)
+    ix_ = dfl.add(dfl.mul(d, vx), c(ox))
+    iy_ = dfl.add(dfl.mul(d, vy), c(oy))
+    iz_ = dfl.add(dfl.mul(d, vz), c(oz))
+
+    # J2000 -> GEO rotation
+    mg = params.mat_j2000_to_geo
+
+    def rot3(row):
+        return dfl.add(
+            dfl.add(dfl.mul(c(row[0]), ix_), dfl.mul(c(row[1]), iy_)),
+            dfl.mul(c(row[2]), iz_),
+        )
+
+    gx, gy, gz = rot3(mg[0]), rot3(mg[1]), rot3(mg[2])
+
+    # Bowring geodetic conversion in df
+    a_e = WGS84_A
+    b_e = WGS84_B
+    e2 = (a_e * a_e - b_e * b_e) / (a_e * a_e)
+    dd = (a_e * a_e - b_e * b_e) / b_e
+    p2 = dfl.add(dfl.mul(gx, gx), dfl.mul(gy, gy))
+    p = dfl.sqrt(p2)
+    r = dfl.sqrt(dfl.add(p2, dfl.mul(gz, gz)))
+    tu = dfl.div(
+        dfl.mul(dfl.mul(c(b_e), gz),
+                dfl.add(c(1.0), dfl.div(c(dd), r))),
+        dfl.mul(c(a_e), p),
+    )
+    tu2 = dfl.mul(tu, tu)
+    cu = dfl.div(c(1.0), dfl.sqrt(dfl.add(c(1.0), tu2)))
+    cu3 = dfl.mul(dfl.mul(cu, cu), cu)
+    su3 = dfl.mul(dfl.mul(cu3, tu2), tu)
+    tp = dfl.div(
+        dfl.add(gz, dfl.mul(c(dd), su3)),
+        dfl.sub(p, dfl.mul(c(e2 * a_e), cu3)),
+    )
+    lat = dfl.mul(dfl.atan(tp), c(180.0 / np.pi))
+    lon = dfl.mul(dfl.atan2(gy, gx), c(180.0 / np.pi))
+
+    nan = jnp.float32(jnp.nan)
+    return (
+        jnp.where(miss, nan, lat.hi), jnp.where(miss, nan, lat.lo),
+        jnp.where(miss, nan, lon.hi), jnp.where(miss, nan, lon.lo),
+    )
+
+
+def georeference_points_df64(params: GeorefParams, px, py):
+    """df64 chain collapsed to host float64 (lat_deg, lon_deg) arrays."""
+    lat_hi, lat_lo, lon_hi, lon_lo = jax.jit(
+        georeference_points_df, static_argnums=0
+    )(params, px, py)
+    lat = np.asarray(lat_hi, dtype=np.float64) + np.asarray(lat_lo, dtype=np.float64)
+    lon = np.asarray(lon_hi, dtype=np.float64) + np.asarray(lon_lo, dtype=np.float64)
+    return lat, lon

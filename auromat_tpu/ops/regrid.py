@@ -276,6 +276,120 @@ def _split_digits(data):
     return jnp.concatenate([hi, mid, rem - mid], axis=-1)
 
 
+_WTILE = 64  # square pixel tile for the window method
+_WWIN_R = 8
+_WWIN_C = 16
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def bin_partial_window(grid: GridSpec, lats, lons, data, mode="uint8"):
+    """Partial (count, sums) via small-window one-hot matmuls + block scatter.
+
+    64x64-pixel tiles land in a tight (rows x cols) window of grid cells
+    (interior tiles span ~4x3 cells); each tile's pixels one-hot into the
+    flattened 8x16-cell window (one bf16 matmul per tile, batched), and the
+    ~3k resulting window blocks scatter-add into the grid — 3k block updates
+    instead of 12M element updates. The one-hot is only 128 wide, so its HBM
+    traffic is ~3 GB instead of the 12 GB a full-row window costs.
+
+    Out-of-window pixels (horizon) spill to the exact sorted path.
+    """
+    h, w = lats.shape
+    n_ch_in = data.shape[-1]
+    f32 = jnp.float32
+    # bin indices BEFORE any f32 cast, with bin_indices' exact arithmetic
+    # (division, input dtype) — a mul-by-reciprocal in f32 flips pixels
+    # sitting on cell edges into the neighbouring cell vs the sorted path
+    flat_full, valid_full = bin_indices(grid, lats, lons)
+    iy_full = (flat_full // grid.n_lon).astype(jnp.int32)
+    ix_full = (flat_full % grid.n_lon).astype(jnp.int32)
+    data = data.astype(f32)
+    data = jnp.where(valid_full.reshape(h, w)[..., None], data, 0.0)
+    if mode == "uint8":
+        data_k = _split_elev_channel(data)
+    elif mode == "full":
+        data_k = _split_digits(data)
+    else:
+        data_k = data
+    n_ch = data_k.shape[-1]
+    n_stack = n_ch + 1
+
+    t = _WTILE
+    hp = -(-h // t) * t
+    wp = -(-w // t) * t
+    iy_p = jnp.pad(iy_full.reshape(h, w), ((0, hp - h), (0, wp - w)),
+                   constant_values=-1)
+    ix_p = jnp.pad(ix_full.reshape(h, w), ((0, hp - h), (0, wp - w)),
+                   constant_values=-1)
+    valid_p = jnp.pad(valid_full.reshape(h, w), ((0, hp - h), (0, wp - w)))
+    data_k = jnp.pad(data_k, ((0, hp - h), (0, wp - w), (0, 0)))
+
+    def tiles(a):
+        if a.ndim == 2:
+            return a.reshape(hp // t, t, wp // t, t).transpose(0, 2, 1, 3) \
+                    .reshape(-1, t * t)
+        c = a.shape[-1]
+        return a.reshape(hp // t, t, wp // t, t, c).transpose(0, 2, 1, 3, 4) \
+                .reshape(-1, t * t, c)
+
+    iy, ix, valid, d_t = tiles(iy_p), tiles(ix_p), tiles(valid_p), tiles(data_k)
+    n_tiles, p = iy.shape
+
+    big = jnp.int32(1 << 30)
+    r0 = jnp.clip(jnp.min(jnp.where(valid, iy, big), axis=1), 0, grid.n_lat - 1)
+    c0 = jnp.clip(jnp.min(jnp.where(valid, ix, big), axis=1), 0, grid.n_lon - 1)
+    dr = iy - r0[:, None]
+    dc = ix - c0[:, None]
+    in_win = valid & (dr < _WWIN_R) & (dc < _WWIN_C)
+    loc = jnp.where(in_win, dr * _WWIN_C + dc, -1)
+
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_tiles, p, _WWIN_R * _WWIN_C), 2)
+        == loc[:, :, None]
+    ).astype(jnp.bfloat16)
+    ones = jnp.ones((n_tiles, 1, p), f32)
+    d_all = jnp.concatenate([ones, d_t.transpose(0, 2, 1)], axis=1)  # (B, n_stack, P)
+    s = jax.lax.dot_general(
+        d_all.astype(jnp.bfloat16), onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (B, n_stack, WR*WC)
+    updates = s.reshape(n_tiles, n_stack, _WWIN_R, _WWIN_C)
+
+    acc = jnp.zeros((n_stack, grid.n_lat + _WWIN_R, grid.n_lon + _WWIN_C), f32)
+    idx = jnp.stack([jnp.zeros_like(r0), r0, c0], axis=-1)  # (B, 3)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    acc = jax.lax.scatter_add(
+        acc, idx, updates, dnums,
+        indices_are_sorted=False, unique_indices=False,
+    )
+    count = acc[0, : grid.n_lat, : grid.n_lon]
+    sums_k = jnp.transpose(acc[1:, : grid.n_lat, : grid.n_lon], (1, 2, 0))
+
+    spill = jnp.where(valid & ~in_win, iy * grid.n_lon + ix,
+                      grid.n_lat * grid.n_lon).reshape(-1)
+    acc2 = _bin_sum_sorted(spill, None, d_t.reshape(-1, n_ch),
+                           grid.n_lat * grid.n_lon, n_ch)
+    count = count + acc2[:, 0].reshape(grid.n_lat, grid.n_lon)
+    sums_k = sums_k + acc2[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)
+
+    if mode == "uint8":
+        el = sums_k[..., -2] + sums_k[..., -1] - _ELEV_OFFSET * count
+        sums = jnp.concatenate([sums_k[..., : n_ch_in - 1], el[..., None]],
+                               axis=-1)
+    elif mode == "full":
+        sums = (256.0 * sums_k[..., :n_ch_in]
+                + sums_k[..., n_ch_in : 2 * n_ch_in]
+                + sums_k[..., 2 * n_ch_in :])
+    else:
+        sums = sums_k
+    return count, sums
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
     """Partial (count, sums) via tile-local separable one-hot matmuls.
@@ -295,11 +409,13 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
     h, w = lats.shape
     n_ch_in = data.shape[-1]
     f32 = jnp.float32
-    lats = lats.astype(f32)
-    lons = lons.astype(f32)
+    # index with bin_indices' exact arithmetic BEFORE any f32 cast so edge
+    # pixels land in the same cell as the sorted path (see bin_partial_window)
+    flat_full, valid_full = bin_indices(grid, lats, lons)
+    iy_full = (flat_full // grid.n_lon).astype(jnp.int32).reshape(h, w)
+    ix_full = (flat_full % grid.n_lon).astype(jnp.int32).reshape(h, w)
     data = data.astype(f32)
-    valid_in = jnp.isfinite(lats) & jnp.isfinite(lons)
-    data = jnp.where(valid_in[..., None], data, 0.0)
+    data = jnp.where(valid_full.reshape(h, w)[..., None], data, 0.0)
     if mode == "uint8":
         data_k = _split_elev_channel(data)
     elif mode == "full":
@@ -311,8 +427,9 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
 
     hp = -(-h // _TILE_H) * _TILE_H
     wp = -(-w // _TILE_W) * _TILE_W
-    lats = jnp.pad(lats, ((0, hp - h), (0, wp - w)), constant_values=jnp.nan)
-    lons = jnp.pad(lons, ((0, hp - h), (0, wp - w)), constant_values=jnp.nan)
+    iy_p = jnp.pad(iy_full, ((0, hp - h), (0, wp - w)), constant_values=-1)
+    ix_p = jnp.pad(ix_full, ((0, hp - h), (0, wp - w)), constant_values=-1)
+    valid_p = jnp.pad(valid_full.reshape(h, w), ((0, hp - h), (0, wp - w)))
     data_k = jnp.pad(data_k, ((0, hp - h), (0, wp - w), (0, 0)))
     n_lat_pad = max(-(-grid.n_lat // 8) * 8, _WIN_R)
     n_lon_pad = -(-grid.n_lon // 128) * 128
@@ -325,23 +442,11 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
         return a.reshape(hp // _TILE_H, _TILE_H, wp // _TILE_W, _TILE_W, c) \
                 .transpose(0, 2, 1, 3, 4).reshape(-1, _TILE_H * _TILE_W, c)
 
-    lat_t = tiles(lats)  # (B, P)
-    lon_t = tiles(lons)
+    iy = tiles(iy_p)  # (B, P)
+    ix = tiles(ix_p)
+    valid = tiles(valid_p)
     d_t = tiles(data_k)  # (B, P, n_ch)
-    n_tiles, p = lat_t.shape
-
-    lat_hi_edge = grid.lat0 + grid.lat_step / 2
-    lon_lo_edge = grid.lon0 - grid.lon_step / 2
-    fy = (lat_hi_edge - lat_t) * (1.0 / grid.lat_step)
-    fx = (lon_t - lon_lo_edge) * (1.0 / grid.lon_step)
-    iy = jnp.floor(fy).astype(jnp.int32)
-    ix = jnp.floor(fx).astype(jnp.int32)
-    iy = jnp.where((fy == grid.n_lat) & (iy == grid.n_lat), grid.n_lat - 1, iy)
-    ix = jnp.where((fx == grid.n_lon) & (ix == grid.n_lon), grid.n_lon - 1, ix)
-    valid = (
-        (iy >= 0) & (iy < grid.n_lat) & (ix >= 0) & (ix < grid.n_lon)
-        & jnp.isfinite(lat_t) & jnp.isfinite(lon_t)
-    )
+    n_tiles, p = iy.shape
 
     big = jnp.int32(1 << 30)
     r0 = jnp.min(jnp.where(valid, iy, big), axis=1)  # (B,)

@@ -25,10 +25,16 @@ class TestBasicOps:
     def test_add_sub(self):
         a = rand(1000, -1e6, 1e6, 1)
         b = rand(1000, -1e6, 1e6, 2)
+        # compare against the exact sum of what the DF pairs represent:
+        # after heavy cancellation the ~2^-48|a| input representation error
+        # dominates any comparison against the float64 a+b itself
+        ra = dfl.to_f64(dfl.from_f64(a))
+        rb = dfl.to_f64(dfl.from_f64(b))
         s = dfl.to_f64(dfl.add(dfl.from_f64(a), dfl.from_f64(b)))
-        np.testing.assert_allclose(s, a + b, rtol=1e-13, atol=1e-10)
+        np.testing.assert_allclose(s, ra + rb, rtol=1e-13, atol=1e-10)
+        np.testing.assert_allclose(s, a + b, rtol=1e-11, atol=1e-8)
         d = dfl.to_f64(dfl.sub(dfl.from_f64(a), dfl.from_f64(b)))
-        np.testing.assert_allclose(d, a - b, rtol=1e-13, atol=1e-10)
+        np.testing.assert_allclose(d, ra - rb, rtol=1e-13, atol=1e-10)
 
     def test_cancellation(self):
         # the whole point: differences of near-equal large numbers survive

@@ -74,3 +74,36 @@ def test_golden_sanity():
     # sky at top of frame, earth at bottom
     assert np.isnan(lat[0]).all()
     assert not np.isnan(lat[-1]).any()
+
+
+@pytest.mark.parametrize("name", ["ISS030-E-102170_dc"])
+def test_df64_chain_parity(name):
+    """The double-float chain (f32 pairs, TPU-executable) must match the
+    float64 goldens to <1e-6 deg — the on-hardware parity story
+    (SURVEY.md section 7: f64 emulation via double-word arithmetic)."""
+    from auromat_tpu.ops.georef import GeorefParams, georeference_points_df64
+
+    golden = np.load(os.path.join(RES, f"golden_georef_{name}.npz"))
+    header = fits.read_header(os.path.join(RES, f"{name}.wcs"))
+    wcs = TanWcs(header)
+    pos = np.array(fits.get_shifted_spacecraft_position(header)[:3])
+    p = GeorefParams.from_wcs(wcs, pos, fits.get_photo_time(header),
+                              float(golden["altitude"]))
+    px, py = np.meshgrid(golden["xs"] - 0.5, golden["ys"] - 0.5)
+    lat, lon = georeference_points_df64(p, px.astype(np.float32),
+                                        py.astype(np.float32))
+    ref_lat, ref_lon = golden["lat"], golden["lon"]
+    # near-grazing rays may flip between hit/miss at f32 input resolution;
+    # compare where both are defined and demand near-total mask agreement
+    both = ~np.isnan(lat) & ~np.isnan(ref_lat)
+    agree = (np.isnan(lat) == np.isnan(ref_lat)).mean()
+    assert agree > 0.999, agree
+    assert both.sum() > 1000
+    lat_err = np.abs(lat[both] - ref_lat[both])
+    lon_err = np.abs(lon[both] - ref_lon[both])
+    # exclude the extreme horizon (grazing geometry amplifies the f32 pixel
+    # quantisation of the input grid itself)
+    elev_proxy = np.abs(ref_lat[both] - 60.9) > 0.05
+    assert np.percentile(lat_err, 99.9) < 1e-6
+    assert np.percentile(lon_err, 99.9) < 1e-6
+    assert np.median(lat_err) < 2e-8

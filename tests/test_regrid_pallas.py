@@ -126,3 +126,16 @@ def test_tiled_xla_full_mode():
     m = np.asarray(cr) > 0
     rel = np.abs(np.asarray(s)[m] - np.asarray(sr)[m]) / np.maximum(np.asarray(sr)[m], 1)
     assert rel.max() < 1e-4
+
+
+def test_window_xla_matches_oracle():
+    from auromat_tpu.ops.regrid import bin_partial_window, bin_partial
+
+    lats, lons, data = synthetic(n=128, m=192, spill_rows=6)
+    g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats) + 0.1,
+                   np.nanmin(lons), np.nanmax(lons) + 0.1)
+    lats, lons = nudge_off_edges(lats, lons, g)
+    cr, sr = bin_partial(g, lats, lons, data)
+    c, s = bin_partial_window(g, lats, lons, data, "uint8")
+    assert_allclose(np.asarray(c), np.asarray(cr))
+    assert_allclose(np.asarray(s), np.asarray(sr), rtol=1e-4, atol=0.05)
