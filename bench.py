@@ -74,18 +74,33 @@ def main():
     backend = jax.default_backend()
     print(f"backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
 
+    def sync(out):
+        # jax.block_until_ready does NOT block on the axon remote runtime —
+        # a host fetch of one element is the only reliable sync
+        return float(np.asarray(out[0][0, 0]))
+
     t0 = time.time()
-    count, means = jax.block_until_ready(forward(img_dev))
+    count, means = forward(img_dev)
+    sync((count,))
     print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
     assert float(np.asarray(count).sum()) > 1e6, "georef+regrid produced no samples"
 
-    times = []
-    for _ in range(10):
+    # amortized batches: async dispatch pipelines the steps; one fetch at the
+    # end of each batch bounds the whole batch
+    per_batch = 5
+    batch_times = []
+    for _ in range(4):
         t0 = time.perf_counter()
-        jax.block_until_ready(forward(img_dev))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    print(f"median step: {dt*1e3:.2f} ms (min {min(times)*1e3:.2f})", file=sys.stderr)
+        for _ in range(per_batch):
+            out = forward(img_dev)
+        sync(out)
+        batch_times.append((time.perf_counter() - t0) / per_batch)
+    dt = float(np.median(batch_times))
+    print(
+        f"amortized step: {dt*1e3:.2f} ms "
+        f"(batches: {[round(t*1e3, 1) for t in batch_times]})",
+        file=sys.stderr,
+    )
 
     value = mpix / dt
     baseline = 12.05 / 10e-3  # north-star: 12 MPix in 10 ms
