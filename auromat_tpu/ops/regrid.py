@@ -211,27 +211,17 @@ def _searchsorted_binary(sorted_keys, queries, side="left"):
     return lo
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):
-    """Scatter-free accumulation: sort keys with payloads, per-bin ranges via
-    vectorized binary search, sums via two-level prefix sums.
-
-    Avoids XLA's serialized scatter-add on TPU entirely (measured: scatter
-    ~757 ms for 12M samples on v5e vs ~10 ms of dense work here + the sort).
-    """
-    operands = [flat_idx] + [data[:, c] for c in range(n_ch)]
-    sorted_ops = jax.lax.sort(operands, num_keys=1)
-    sidx = sorted_ops[0]
+@partial(jax.jit, static_argnums=(2, 3))
+def _accumulate_sorted(sidx, sdata, n_bins, dtype):
+    """Shared tail: per-bin ranges via one extended binary search + two-level
+    compensated prefix sums over already-sorted (keys, channels-first data)."""
     # one search for bins 0..n_bins: ends[b] == starts[b+1] for dense bin ids
     bins_ext = jnp.arange(n_bins + 1, dtype=sidx.dtype)
     starts_ext = _searchsorted_binary(sidx, bins_ext, side="left")
     starts = starts_ext[:-1]
     ends = starts_ext[1:]
-    count = (ends - starts).astype(data.dtype)
+    count = (ends - starts).astype(dtype)
 
-    # channels-first so the cumsum/gather lane dimension is the 4096-wide
-    # chunk axis, not the 4-channel axis (measured ~20x layout difference)
-    sdata = jnp.stack(sorted_ops[1:], axis=0)  # (n_ch, n)
     inner, off_h, off_l = _chunked_prefix(sdata)  # (n_ch, m, CH), (n_ch, m)
 
     def prefix(pos):
@@ -248,6 +238,62 @@ def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):
     h_sta, l_sta = prefix(starts)
     sums = (h_end - h_sta) + (l_end - l_sta)  # (n_ch, n_bins)
     return jnp.concatenate([count[:, None], sums.T], axis=1)
+
+
+def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):
+    """Scatter-free accumulation: sort keys with payloads, per-bin ranges via
+    vectorized binary search, sums via two-level prefix sums.
+
+    Avoids XLA's serialized scatter-add on TPU entirely (measured: scatter
+    ~757 ms for 12M samples on v5e vs ~10 ms of dense work here + the sort).
+    """
+    operands = [flat_idx] + [data[:, c] for c in range(n_ch)]
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    sidx = sorted_ops[0]
+    # channels-first so the cumsum/gather lane dimension is the 4096-wide
+    # chunk axis, not the 4-channel axis (measured ~20x layout difference)
+    sdata = jnp.stack(sorted_ops[1:], axis=0)  # (n_ch, n)
+    return _accumulate_sorted(sidx, sdata, n_bins, data.dtype)
+
+
+def _bin_sum_sorted_gather(flat_idx, weights, data, n_bins, n_ch):
+    """Like _bin_sum_sorted, but sorts only (key, index) pairs and gathers
+    the channel payload by the sort permutation afterwards — 2 sorted arrays
+    instead of 1 + n_ch, trading sort passes for one gather. Measured LOSER
+    on v5e (240 ms vs 162 ms end-to-end for the 12 MP frame): the 12M-element
+    random gather costs more than the extra sort payload passes."""
+    n = flat_idx.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    sidx, sperm = jax.lax.sort([flat_idx, perm], num_keys=1)
+    sdata = jnp.take(data.T, sperm, axis=1)  # (n_ch, n)
+    return _accumulate_sorted(sidx, sdata, n_bins, data.dtype)
+
+
+def _bin_sum_sorted_packed(flat_idx, weights, data, n_bins, n_ch):
+    """_bin_sum_sorted for uint8-valued imagery + one float channel: packs
+    the first three channels (integers 0..255, e.g. RGB) into ONE int32 sort
+    operand (lossless), cutting the sort payload from 1+4 to 1+2 arrays.
+    Requires n_ch == 4 with channels 0..2 integer-valued in [0, 255] (the
+    reference's img+elevation regrid layout); falls back to the general
+    sorted path otherwise.
+    """
+    if n_ch != 4:
+        return _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch)
+    i32 = jnp.int32
+    rgb = (data[:, 0].astype(i32)
+           | (data[:, 1].astype(i32) << 8)
+           | (data[:, 2].astype(i32) << 16))
+    sidx, srgb, selev = jax.lax.sort(
+        [flat_idx, rgb, data[:, 3]], num_keys=1
+    )
+    f32 = data.dtype
+    sdata = jnp.stack([
+        (srgb & 255).astype(f32),
+        ((srgb >> 8) & 255).astype(f32),
+        ((srgb >> 16) & 255).astype(f32),
+        selev,
+    ], axis=0)
+    return _accumulate_sorted(sidx, sdata, n_bins, f32)
 
 
 # ---------------------------------------------------------------------------
@@ -560,6 +606,8 @@ _BIN_METHODS = {
     "segment": _bin_sum_segment,
     "scatter": _bin_sum_scatter,
     "sorted": _bin_sum_sorted,
+    "sorted_gather": _bin_sum_sorted_gather,
+    "sorted_packed": _bin_sum_sorted_packed,
 }
 
 

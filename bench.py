@@ -67,7 +67,7 @@ def main():
         py = jnp.broadcast_to(jnp.arange(h, dtype=dtype)[:, None], (h, w))
         out = georef_latlon_dyn(dyn, px, py, dtype=dtype, with_elevation=True)
         data = jnp.concatenate([img, out["elevation"][..., None]], axis=-1)
-        count, sums = bin_partial(grid, out["lat"], out["lon"], data, "sorted")
+        count, sums = bin_partial(grid, out["lat"], out["lon"], data, "sorted_packed")
         return count, finalize_mean(count, sums)
 
     img_dev = jax.device_put(img)
