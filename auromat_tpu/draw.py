@@ -379,3 +379,138 @@ def draw_ra_dec(mapping, stride=64, figsize=(10, 8)):
     ax.set_xlabel("RA [deg]")
     ax.set_ylabel("Dec [deg]")
     return fig
+
+
+def draw_reference_stars(image, xy_lists, colors=("lime", "red", "cyan"),
+                         radius=8, figsize=(12, 8)):
+    """Detected / reference star positions over the photograph.
+
+    Reference: auromat/draw.py:1193-1290 (drawReferenceStars) — circles at
+    the star-list pixel positions of one or more astrometry.net artifacts.
+
+    :param image: (h, w[, 3]) array (or None for positions-only plot)
+    :param xy_lists: one (x, y) pair or a sequence of them (e.g. the .axy
+        detections and the .xyls reference stars from
+        :func:`auromat_tpu.io.fits.read_xy`)
+    """
+    fig, ax = _new_axes(figsize)
+    if image is not None:
+        ax.imshow(np.asarray(image), cmap="gray", origin="upper")
+    if isinstance(xy_lists, tuple) and len(xy_lists) == 2 and \
+            np.ndim(xy_lists[0]) == 1:
+        xy_lists = [xy_lists]
+    for (x, y), color in zip(xy_lists, colors):
+        ax.scatter(np.asarray(x), np.asarray(y), s=radius ** 2,
+                   facecolors="none", edgecolors=color, linewidths=1.0)
+    ax.set_xlabel("x [px]")
+    ax.set_ylabel("y [px]")
+    return fig
+
+
+def draw_indx_plot(image, quadpix, color="yellow", figsize=(12, 8)):
+    """The matched astrometry.net quad drawn over the photograph.
+
+    Reference: auromat/draw.py:1292-1360 (drawIndxPlot); quad pixel
+    coordinates come from :func:`auromat_tpu.io.fits.read_quad_match`.
+    """
+    fig, ax = _new_axes(figsize)
+    if image is not None:
+        ax.imshow(np.asarray(image), cmap="gray", origin="upper")
+    q = np.asarray(quadpix, dtype=float)
+    loop = np.vstack([q, q[:1]])
+    ax.plot(loop[:, 0] - 1, loop[:, 1] - 1, color=color, linewidth=1.5)
+    ax.scatter(q[:, 0] - 1, q[:, 1] - 1, color=color, s=30)
+    return fig
+
+
+def draw_corr_plot(corr, image=None, figsize=(12, 8)):
+    """Field->index star correspondence residuals (solver diagnostic).
+
+    Reference: auromat/draw.py:1660-1737 (drawCorrPlot). Draws a segment
+    from each detected (field) position to its matched catalog (index)
+    position; long segments reveal a bad fit region.
+
+    :param corr: (field_x, field_y, index_x, index_y) from
+        :func:`auromat_tpu.io.fits.read_corr`
+    """
+    fx, fy, ix, iy = (np.asarray(v, dtype=float) for v in corr)
+    fig, ax = _new_axes(figsize)
+    if image is not None:
+        ax.imshow(np.asarray(image), cmap="gray", origin="upper")
+    ax.scatter(fx - 1, fy - 1, s=25, facecolors="none", edgecolors="lime",
+               label="field")
+    ax.scatter(ix - 1, iy - 1, s=10, color="red", label="index")
+    for a, b, c, d in zip(fx, fy, ix, iy):
+        ax.plot([a - 1, c - 1], [b - 1, d - 1], color="orange",
+                linewidth=0.8)
+    ax.legend()
+    return fig
+
+
+def draw_constellations(wcs_or_mapping, data, color="white", figsize=(12, 8),
+                        image=None):
+    """Constellation stick figures over the frame.
+
+    Reference: auromat/draw.py:1399-1480 (drawConstellations). The reference
+    vendors xephem's constellation dataset (coordinates/constellations.py);
+    that dataset is not bundled here — supply ``data`` as a mapping of
+    ``name -> [((ra1, dec1), (ra2, dec2)), ...]`` line segments in degrees.
+    """
+    from auromat_tpu.coordinates.wcs import TanWcs, tan_world2pix
+
+    wcs = (wcs_or_mapping if isinstance(wcs_or_mapping, TanWcs)
+           else _wcs_from_mapping(wcs_or_mapping,
+                                  *wcs_or_mapping.img.shape[1::-1]))
+    fig, ax = _new_axes(figsize)
+    if image is not None:
+        ax.imshow(np.asarray(image), cmap="gray", origin="upper")
+    for name, segments in data.items():
+        pts = []
+        for (ra1, dec1), (ra2, dec2) in segments:
+            x1, y1 = tan_world2pix(wcs, ra1, dec1)
+            x2, y2 = tan_world2pix(wcs, ra2, dec2)
+            x1, y1, x2, y2 = (float(np.asarray(v)) for v in (x1, y1, x2, y2))
+            if (0 <= x1 <= wcs.width and 0 <= y1 <= wcs.height) or \
+               (0 <= x2 <= wcs.width and 0 <= y2 <= wcs.height):
+                ax.plot([x1, x2], [y1, y2], color=color, linewidth=0.8)
+                pts.append((x1, y1))
+        if pts:
+            cx, cy = np.mean(pts, axis=0)
+            ax.annotate(name, (cx, cy), color=color, fontsize=8)
+    ax.set_xlim(0, wcs.width)
+    ax.set_ylim(wcs.height, 0)
+    return fig
+
+
+def draw_heatmap(lats, lons, bins=100, figsize=(10, 8)):
+    """Coverage heatmap of one or many mappings (reference draw.py:531-586).
+
+    :param lats, lons: flat arrays (NaN entries ignored)
+    """
+    lats = np.asarray(lats, dtype=float).ravel()
+    lons = np.asarray(lons, dtype=float).ravel()
+    m = ~np.isnan(lats) & ~np.isnan(lons)
+    fig, ax = _new_axes(figsize)
+    h, xe, ye = np.histogram2d(lons[m], lats[m], bins=bins)
+    ax.pcolormesh(xe, ye, h.T, cmap="viridis")
+    ax.set_xlabel("longitude [deg]")
+    ax.set_ylabel("latitude [deg]")
+    return fig
+
+
+def draw_distortion_displacement(shape=(2832, 4256), model="ptlens",
+                                 params=(0.0, 0.0, 0.0), figsize=(10, 7)):
+    """Lens-distortion displacement magnitude field.
+
+    Reference: auromat/draw.py:1075-1094 (drawLensDistortionDisplacement);
+    the field comes from
+    :func:`auromat_tpu.util.lensdistortion.distortion_displacement`.
+    """
+    from auromat_tpu.util.lensdistortion import distortion_displacement
+
+    dx, dy = distortion_displacement(shape, model, params)
+    mag = np.hypot(np.asarray(dx), np.asarray(dy))
+    fig, ax = _new_axes(figsize)
+    im = ax.imshow(mag, origin="upper")
+    fig.colorbar(im, ax=ax, label="displacement [px]")
+    return fig

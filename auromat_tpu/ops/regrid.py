@@ -200,15 +200,21 @@ def _searchsorted_binary(sorted_keys, queries, side="left"):
 
     def body(_, lh):
         lo, hi = lh
+        # guard on convergence: the loop runs a FIXED n_bits iterations, and
+        # an unguarded step at lo == hi == n re-tests keys[n-1] and pushes
+        # lo to n+1 for queries greater than every key (bins above the max
+        # occupied bin when no dump entries exist) — the out-of-range index
+        # then reads clamped garbage in the prefix-sum gathers
+        active = lo < hi
         mid = (lo + hi) // 2
         v = sorted_keys[jnp.minimum(mid, n - 1)]
-        go_right = (v < queries) if side == "left" else (v <= queries)
+        go_right = active & ((v < queries) if side == "left" else (v <= queries))
         lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        hi = jnp.where(active & ~go_right, mid, hi)
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, n_bits, body, (lo, hi))
-    return lo
+    return jnp.minimum(lo, n)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -646,7 +652,15 @@ def bin_partial(grid: GridSpec, lats, lons, data, method="segment"):
     Used by the sharded mosaic path: shards accumulate locally, a psum /
     reduce-scatter combines (count, sums) across the mesh, and the divide
     happens once after the reduction (SURVEY.md P6).
+
+    method='pallas' dispatches to the Mosaic window kernel
+    (ops.regrid_pallas, TPU only, requires (h, w) inputs and finite data;
+    'uint8' channel contract) — the fast path for imagery+elevation.
     """
+    if method == "pallas":
+        from auromat_tpu.ops.regrid_pallas import bin_partial_pallas
+
+        return bin_partial_pallas(grid, lats, lons, data, "uint8")
     n_ch = data.shape[-1]
     flat_lats = jnp.ravel(lats)
     flat_lons = jnp.ravel(lons)

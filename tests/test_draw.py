@@ -110,3 +110,56 @@ class TestFigures:
         assert "figure" in result
         save_fig(str(tmp_path / "keogram.png"), result["figure"])
         assert len(result["times"]) == 5
+
+
+class TestAstrometryDiagnostics:
+    def test_draw_reference_stars(self, tmp_path):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (100, 150), dtype=np.uint8)
+        xy1 = (rng.uniform(0, 150, 20), rng.uniform(0, 100, 20))
+        xy2 = (rng.uniform(0, 150, 10), rng.uniform(0, 100, 10))
+        fig = draw.draw_reference_stars(img, [xy1, xy2])
+        save_fig(str(tmp_path / "refstars.png"), fig)
+        assert (tmp_path / "refstars.png").stat().st_size > 0
+
+    def test_draw_indx_plot(self, tmp_path):
+        quad = np.array([[10.0, 10.0], [100.0, 20.0], [90.0, 80.0], [20.0, 70.0]])
+        fig = draw.draw_indx_plot(np.zeros((100, 120)), quad)
+        save_fig(str(tmp_path / "indx.png"), fig)
+        assert (tmp_path / "indx.png").stat().st_size > 0
+
+    def test_draw_corr_plot(self, tmp_path):
+        rng = np.random.default_rng(1)
+        fx = rng.uniform(1, 150, 15); fy = rng.uniform(1, 100, 15)
+        corr = (fx, fy, fx + rng.normal(0, 1, 15), fy + rng.normal(0, 1, 15))
+        fig = draw.draw_corr_plot(corr)
+        save_fig(str(tmp_path / "corr.png"), fig)
+        assert (tmp_path / "corr.png").stat().st_size > 0
+
+    def test_draw_constellations(self, mapping, tmp_path):
+        # one synthetic "constellation" near the frame's pointing center
+        from auromat_tpu.coordinates.wcs import TanWcs, tan_pix2world
+        from auromat_tpu.io import fits
+        wcs = TanWcs(fits.read_header(
+            os.path.join(RES, "ISS030-E-102170_dc.wcs")))
+        ra0, dec0 = (float(np.asarray(v)) for v in
+                     tan_pix2world(wcs, np.array(2128.0), np.array(1416.0)))
+        data = {"Test": [((ra0 - 2, dec0 - 2), (ra0 + 2, dec0 + 2)),
+                         ((ra0 + 2, dec0 + 2), (ra0 + 2, dec0 - 2))]}
+        fig = draw.draw_constellations(wcs, data)
+        save_fig(str(tmp_path / "constellations.png"), fig)
+        assert (tmp_path / "constellations.png").stat().st_size > 0
+
+    def test_draw_heatmap(self, tmp_path):
+        rng = np.random.default_rng(2)
+        lats = rng.uniform(50, 60, 5000); lons = rng.uniform(-110, -90, 5000)
+        lats[::7] = np.nan
+        fig = draw.draw_heatmap(lats, lons, bins=30)
+        save_fig(str(tmp_path / "heat.png"), fig)
+        assert (tmp_path / "heat.png").stat().st_size > 0
+
+    def test_draw_distortion_displacement(self, tmp_path):
+        fig = draw.draw_distortion_displacement(
+            (200, 300), "ptlens", (0.05, -0.02, 0.01))
+        save_fig(str(tmp_path / "dist.png"), fig)
+        assert (tmp_path / "dist.png").stat().st_size > 0

@@ -1,0 +1,82 @@
+"""Geodesic (Vincenty) tests against analytic WGS84 truths.
+
+Offline-safe oracles:
+* the WGS84 meridian quarter (equator -> pole) is 10_001_965.729 m
+  (defining relationship of the original metre, exact to the mm here);
+* the equator is a geodesic: arc length = a * delta_lambda;
+* direct(inverse) must be the identity (round trip).
+
+Reference component: auromat/coordinates/geodesic.py (geographiclib-backed).
+"""
+
+import numpy as np
+import pytest
+
+from auromat_tpu.constants import WGS84_A
+from auromat_tpu.coordinates import geodesic as geo
+
+L = geo.Location
+
+
+class TestKnownArcs:
+    def test_meridian_quarter(self):
+        d = geo.distance(L(0.0, 12.0), L(90.0, 12.0))
+        assert abs(d - 10001965.729) < 0.01
+
+    def test_equator_arc(self):
+        d = geo.distance(L(0.0, 10.0), L(0.0, 55.0))
+        expected = WGS84_A * 1000.0 * np.deg2rad(45.0)
+        assert abs(d - expected) < 0.01
+
+    def test_symmetry(self):
+        a, b = L(63.4, -110.2), L(48.1, -97.5)
+        assert abs(geo.distance(a, b) - geo.distance(b, a)) < 1e-6
+
+    def test_angular_distance_consistent(self):
+        a, b = L(60.0, -100.0), L(61.0, -99.0)
+        ang = geo.angular_distance(a, b)
+        # angular distance ~ arc / mean radius, within the flattening
+        approx = geo.distance(a, b) / (WGS84_A * 1000.0)
+        assert abs(np.deg2rad(ang) - approx) < np.deg2rad(ang) * 0.01
+
+
+class TestRoundTrips:
+    @pytest.mark.parametrize("a, b", [
+        (L(40.6, -73.8), L(51.5, -0.5)),     # transatlantic
+        (L(-33.9, 18.4), L(35.7, 139.7)),    # Cape Town -> Tokyo
+        (L(63.4, -110.2), L(64.0, -109.0)),  # short auroral-zone hop
+    ])
+    def test_direct_inverse_roundtrip(self, a, b):
+        dist = geo.distance(a, b)
+        azi = geo.course(a, b)
+        end = geo.destination(a, azi, dist)
+        assert abs(end.lat - b.lat) < 1e-8
+        assert abs(((end.lon - b.lon) + 180) % 360 - 180) < 1e-8
+
+    def test_intermediate_midpoint(self):
+        a, b = L(50.0, -120.0), L(70.0, -80.0)
+        mid = geo.intermediate(a, b, f=0.5)
+        d1 = geo.distance(a, mid)
+        d2 = geo.distance(mid, b)
+        assert abs(d1 - d2) < 0.5  # metres
+
+    def test_line_endpoints_and_monotonic(self):
+        a, b = L(55.0, -110.0), L(62.0, -95.0)
+        pts = np.asarray(geo.line(a, b, resolution=50000))
+        assert abs(pts[0, 0] - a.lat) < 1e-9
+        assert abs(pts[-1, 0] - b.lat) < 1e-6
+        assert (np.diff(pts[:, 0]) > 0).all()
+
+
+class TestPoleContainment:
+    def test_circle_around_pole(self):
+        lons = np.linspace(-180, 180, 72, endpoint=False)
+        points = [L(80.0, float(lo)) for lo in lons]
+        assert geo.contains_or_crosses_pole(points)
+
+    def test_mid_latitude_loop(self):
+        # a small loop far from the pole (unclosed: the checker closes it)
+        t = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+        points = [L(55.0 + 3 * float(np.sin(x)), -100.0 + 5 * float(np.cos(x)))
+                  for x in t]
+        assert not geo.contains_or_crosses_pole(points)

@@ -127,3 +127,33 @@ class TestBinMean:
         ref_count, ref_means = numpy_mean_rebin(g, lats, lons, data)
         m = ~np.isnan(ref_means)
         assert_allclose(np.asarray(means)[m], ref_means[m], atol=1e-9)
+
+
+class TestFullCoverageRegression:
+    def test_all_valid_samples_high_bins(self):
+        """Regression: with NO invalid samples (no dump-slot entries in the
+        sorted keys), bins above the maximum occupied bin query past the end
+        of the key array; the binary search used to return n+1 there, making
+        the top occupied bin's count +1 and its sums read out-of-range
+        prefix chunks (observed: sums off by a whole ~520k chunk total)."""
+        from auromat_tpu.ops.regrid import bin_partial, bin_indices, fixed_grid
+
+        rng = np.random.default_rng(5)
+        h, w = 128, 256
+        lat = np.clip(52 + 4 * np.linspace(0, 1, h)[:, None]
+                      + 0.1 * rng.standard_normal((h, w)), 45.1, 59.9)
+        lon = np.clip(-105 + 8 * np.linspace(0, 1, w)[None, :]
+                      + 0.1 * rng.standard_normal((h, w)), -109.9, -90.1)
+        data = rng.integers(0, 256, (h, w, 4)).astype(np.float32)
+        g = fixed_grid(25, 45.0, 60.0, -110.0, -90.0)
+        flat, valid = map(np.asarray, bin_indices(g, lat.ravel(), lon.ravel()))
+        assert valid.all()  # the failure precondition: zero dump entries
+        nb = g.n_lat * g.n_lon
+        oracle_c = np.bincount(flat, minlength=nb).astype(np.float64)
+        oracle_s = np.zeros((nb, 4))
+        np.add.at(oracle_s, flat, data.reshape(-1, 4).astype(np.float64))
+        for method in ("sorted", "sorted_packed", "segment"):
+            c, s = map(np.asarray, bin_partial(g, lat, lon, data, method))
+            assert np.array_equal(c.ravel(), oracle_c), method
+            np.testing.assert_allclose(s.reshape(nb, 4), oracle_s, atol=0.5,
+                                       err_msg=method)
