@@ -6,7 +6,6 @@ filtering. Network access is isolated here; everything else consumes plain
 TLE files via auromat_tpu.coordinates.ephem.
 """
 
-import json
 import os
 import urllib.parse
 import urllib.request

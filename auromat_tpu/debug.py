@@ -30,7 +30,6 @@ def check_graticule(image_path, wcs_path, out_path=None, altitude=110.0):
 
 def batch_mask(image_folder, out_folder):
     """Run star-field masking over a folder, writing masked previews."""
-    import numpy as np
 
     from auromat_tpu.io.image import load_image, save_image
     from auromat_tpu.solving.masking import mask_starfield

@@ -180,7 +180,6 @@ def draw_kml_image(kml_path, mapping, resample_arcsec=100):
     """
     import os
 
-    from auromat_tpu.io.image import save_image
     from auromat_tpu.mapping.mapping import is_plate_carree
     from auromat_tpu.resample import resample
 

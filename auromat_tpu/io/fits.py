@@ -328,7 +328,6 @@ def set_checksums(header: FitsHeader, data: bytes = b""):
     header["DATASUM"] = str(datasum)
     header["CHECKSUM"] = "0000000000000000"
     # serialize header with zero checksum, then encode
-    import io as _io
     import tempfile
 
     with tempfile.NamedTemporaryFile(delete=False) as f:

@@ -18,7 +18,7 @@ from datetime import datetime
 
 import numpy as np
 
-from auromat_tpu.io.image import cropped_image, load_image, save_image
+from auromat_tpu.io.image import cropped_image, save_image
 from auromat_tpu.mapping.mapping import BaseMappingProvider
 from auromat_tpu.mapping.spacecraft import get_mapping
 from auromat_tpu.util.lensdistortion import correct_lens_distortion
