@@ -86,7 +86,7 @@ def _kernel(bounds_ref, iy_ref, ix_ref, data_ref, acc_ref, *,
     data = data_ref[:]
     d_all = jnp.concatenate(
         [jnp.ones((1, TILE_H, TILE_W), jnp.float32), data], axis=0
-    )
+    ).astype(jnp.bfloat16)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, TILE_H, TILE_W), 0)
     iota_c = jax.lax.broadcasted_iota(
         jnp.int32, (TILE_H, TILE_W, n_lon_pad), 2
@@ -106,10 +106,12 @@ def _kernel(bounds_ref, iy_ref, ix_ref, data_ref, acc_ref, *,
         dr = iy - base
         in_win = valid & (dr >= np.int32(0)) & (dr < np.int32(WIN_R))
         dr_b = jnp.where(in_win, dr, np.int32(-1))[None, :, :]
-        ey = (iota_r == dr_b).astype(jnp.float32)
+        ey = (iota_r == dr_b).astype(jnp.bfloat16)
+        # bf16 throughout: one factor of each product is 0/1 and the data
+        # channels are bf16-exact by the mode contract, so no rounding
         a = (d_all[:, None, :, :] * ey[None, :, :, :]).reshape(
             n_stack * WIN_R, TILE_H, TILE_W
-        ).astype(jnp.bfloat16)
+        )
         # Mosaic requires a single contraction dim -> collapse TH x TW
         a2 = a.reshape(a.shape[0], TILE_H * TILE_W)
         s = jax.lax.dot_general(
