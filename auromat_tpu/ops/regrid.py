@@ -618,13 +618,17 @@ _BIN_METHODS = {
 
 
 @partial(jax.jit, static_argnums=(0, 4))
-def bin_mean(grid: GridSpec, lats, lons, data, method="segment"):
+def bin_mean(grid: GridSpec, lats, lons, data, method="sorted"):
     """Mean-bin multi-channel samples onto the grid.
 
     :param lats, lons: sample coordinates (any shape), NaN = masked
-    :param data: (..., C) channel values per sample (NaN allowed; a NaN
-        sample with valid coordinates is averaged as NaN, matching the
-        reference which bins img+elevation filled with NaN)
+    :param data: (..., C) channel values per sample. NaN data at VALID
+        coordinates taints its bin's mean in that channel only — numpy
+        bincount/histogram2d semantics, which the reference relies on
+        (it bins img+elevation filled with NaN). NaNs are zeroed and
+        binned alongside per-channel taint indicator channels: a raw NaN
+        riding the sorted path's prefix sums would leak into every bin
+        AFTER it in sort order, not just its own.
     :returns: (count (n_lat, n_lon), means (n_lat, n_lon, C)); means are NaN
         where count == 0
     """
@@ -633,15 +637,22 @@ def bin_mean(grid: GridSpec, lats, lons, data, method="segment"):
     flat_lons = jnp.ravel(lons)
     flat_data = jnp.reshape(data, (-1, n_ch))
     flat_idx, valid = bin_indices(grid, flat_lats, flat_lons)
-    weights = valid.astype(flat_data.dtype)
+    weights = valid.astype(jnp.float32)
     # zero out data of invalid samples so the dump slot stays finite
     flat_data = jnp.where(valid[:, None], flat_data, 0.0)
+    taint = jnp.isnan(flat_data)
+    flat_data = jnp.concatenate(
+        [jnp.where(taint, 0.0, flat_data), taint.astype(flat_data.dtype)],
+        axis=1,
+    )
     n_bins = grid.n_lat * grid.n_lon
     fn = _BIN_METHODS[method]
-    acc = fn(flat_idx, weights, flat_data, n_bins, n_ch)
+    acc = fn(flat_idx, weights, flat_data, n_bins, 2 * n_ch)
     count = acc[:, 0].reshape(grid.n_lat, grid.n_lon)
-    sums = acc[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)
+    sums = acc[:, 1 : 1 + n_ch].reshape(grid.n_lat, grid.n_lon, n_ch)
+    taints = acc[:, 1 + n_ch :].reshape(grid.n_lat, grid.n_lon, n_ch)
     means = jnp.where(count[..., None] > 0, sums / count[..., None], jnp.nan)
+    means = jnp.where(taints > 0, jnp.nan, means)
     return count, means
 
 

@@ -278,3 +278,33 @@ def bin_mean_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
                                      interpret)
     means = jnp.where(count[..., None] > 0, sums / count[..., None], jnp.nan)
     return count, means
+
+
+def bin_mean_pallas_taint(grid: GridSpec, lats, lons, data, interpret=False):
+    """bin_mean with the reference's NaN-data semantics via the Pallas kernel.
+
+    The reference bins img+elevation channels that may be NaN at VALID
+    coordinates (mask-filled pixels); a NaN sample taints its bin's mean in
+    that channel (numpy histogram2d semantics). NaN cannot ride the one-hot
+    matmul (NaN * 0 == NaN smears across the window), so NaNs are zeroed and
+    per-channel 0/1 taint indicator channels are binned alongside; tainted
+    (bin, channel) means are NaN'd afterwards.
+
+    Channel contract: same as bin_partial_pallas mode='uint8' — leading
+    channels are 0..255 integers (imagery), the LAST is elevation (any
+    float). Taint indicators are 0/1 and ride as extra integer channels.
+    """
+    n = data.shape[-1]
+    nan = jnp.isnan(data)
+    dataz = jnp.where(nan, 0.0, data.astype(jnp.float32))
+    taints = nan.astype(jnp.float32)
+    chans = jnp.concatenate([dataz[..., : n - 1], taints, dataz[..., n - 1:]],
+                            axis=-1)
+    count, sums = bin_partial_pallas(grid, lats, lons, chans, "uint8",
+                                     interpret)
+    sums_data = jnp.concatenate([sums[..., : n - 1], sums[..., -1:]], axis=-1)
+    taint_counts = sums[..., n - 1 : 2 * n - 1]
+    means = jnp.where(count[..., None] > 0, sums_data / count[..., None],
+                      jnp.nan)
+    means = jnp.where(taint_counts > 0, jnp.nan, means)
+    return count, means

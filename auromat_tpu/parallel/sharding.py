@@ -49,7 +49,7 @@ def _local_pixel_grid(height, width, rows_per_shard, dtype):
 
 def make_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                              channels=3, dtype=jnp.float32,
-                             with_elevation=True, bin_method="segment"):
+                             with_elevation=True, bin_method="sorted"):
     """Build the jitted full pipeline step over a mesh.
 
     step(dyn_params, imgs) -> (count, means)

@@ -44,7 +44,7 @@ def plate_carree_resolution(bounding_box: BoundingBox, arcsec_per_px):
 
 
 def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
-             contains_pole=None, method="mean"):
+             contains_pole=None, method="mean", bin_method="auto"):
     """Resample image+elevation onto a regular lat/lon grid.
 
     With 'mean' binning, high target resolutions produce empty cells at low
@@ -53,11 +53,19 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     :param px_per_deg: scalar or (lat, lon) pixels per degree
     :param arcsec_per_px: spherical resolution (overrides px_per_deg)
     :param method: 'mean' (device binning) | 'nearest' | 'linear' | 'cubic'
+    :param bin_method: device binning kernel for 'mean': 'auto' picks the
+        Pallas window kernel on TPU for uint8 imagery (NaN-taint semantics
+        preserved) and the exact sorted path elsewhere; or any
+        ops.regrid._BIN_METHODS key / 'pallas_taint' explicitly. The TPU
+        kernel divides means in f32: a uint8 mean sitting exactly on a .5
+        boundary may round one step differently than the f64 path
+        (measured: 3 of 69750 pixels, off by 1)
     :rtype: Mapping or MappingCollection
     """
     if isinstance(mapping_or_collection, MappingCollection):
         return MappingCollection(
-            [resample(m, px_per_deg, arcsec_per_px, contains_pole, method)
+            [resample(m, px_per_deg, arcsec_per_px, contains_pole, method,
+                      bin_method)
              for m in mapping_or_collection.mappings],
             mapping_or_collection.identifier,
             mayOverlap=mapping_or_collection.mayOverlap,
@@ -79,6 +87,13 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     img = mapping.img
     img_dtype = img.dtype
     img_is_int = np.issubdtype(img_dtype, np.integer)
+    if bin_method == "auto":
+        import jax
+
+        uint8_imagery = img_dtype == np.uint8
+        bin_method = ("pallas_taint"
+                      if jax.default_backend() == "tpu" and uint8_imagery
+                      else "sorted")
     merged = np.concatenate(
         [
             np.asarray(img.astype(np.float64).filled(np.nan)),
@@ -91,7 +106,7 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
         np.asarray(mapping.lonsCenter.filled(np.nan)),
         mapping.altitude, merged, lambda: mapping.outline.copy(),
         mapping.boundingBox, px_per_deg, mapping.containsDiscontinuity,
-        contains_pole, method,
+        contains_pole, method, bin_method,
     )
     img_r = data[..., :-1]
     elevation_r = data[..., -1]
@@ -113,7 +128,8 @@ def resample_mlat_mlt(mapping, **kw):
 
 
 def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
-              px_per_deg, contains_discontinuity, contains_pole, method):
+              px_per_deg, contains_discontinuity, contains_pole, method,
+              bin_method="sorted"):
     lat_min, lat_max = bbox.latSouth, bbox.latNorth
     lon_min, lon_max = bbox.lonWest, bbox.lonEast
 
@@ -147,7 +163,14 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
     lat_grid_c, lon_grid_c = grid.center_grids()
 
     if method == "mean":
-        _, data_r = bin_mean(grid, lats_center, lons_center, data)
+        if bin_method == "pallas_taint":
+            from auromat_tpu.ops.regrid_pallas import bin_mean_pallas_taint
+
+            _, data_r = bin_mean_pallas_taint(
+                grid, lats_center, lons_center, data)
+        else:
+            _, data_r = bin_mean(grid, lats_center, lons_center, data,
+                                 method=bin_method)
         data_r = np.asarray(data_r)
     elif method in ("nearest", "linear", "cubic"):
         import scipy.interpolate

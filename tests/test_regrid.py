@@ -157,3 +157,31 @@ class TestFullCoverageRegression:
             assert np.array_equal(c.ravel(), oracle_c), method
             np.testing.assert_allclose(s.reshape(nb, 4), oracle_s, atol=0.5,
                                        err_msg=method)
+
+
+class TestNanDataSemantics:
+    def test_nan_taints_only_its_bin(self):
+        """Regression: a NaN data value at valid coordinates must taint ONLY
+        its own bin+channel (numpy bincount semantics). The sorted path's
+        raw prefix sums would leak the NaN into every bin after it in sort
+        order."""
+        from auromat_tpu.ops.regrid import bin_mean, fixed_grid
+
+        g = fixed_grid(1, 45.0, 55.0, -105.0, -95.0)
+        # three samples in three separate cells; middle one has NaN in ch0
+        lats = np.array([46.5, 50.5, 53.5])
+        lons = np.array([-103.5, -99.5, -96.5])
+        data = np.array([[1.0, 10.0], [np.nan, 20.0], [3.0, 30.0]],
+                        dtype=np.float32)
+        for method in ("sorted", "sorted_packed", "segment"):
+            count, means = map(np.asarray,
+                               bin_mean(g, lats, lons, data, method))
+            filled = count > 0
+            assert filled.sum() == 3
+            vals0 = means[..., 0][filled]
+            vals1 = means[..., 1][filled]
+            # ch0: exactly ONE NaN (the middle sample's bin); ch1: none
+            assert np.isnan(vals0).sum() == 1, method
+            assert not np.isnan(vals1).any(), method
+            assert set(vals0[~np.isnan(vals0)]) == {1.0, 3.0}, method
+            assert set(vals1) == {10.0, 20.0, 30.0}, method

@@ -83,19 +83,32 @@ def test_all_masked_tile():
 
 
 def test_full_mode_float_channels():
-    """'full' mode carries arbitrary float channels (uint16-scale)."""
+    """'full' mode carries arbitrary float channels (uint16-scale).
+
+    Compared against a float64 numpy oracle: at 65535-scale magnitudes the
+    sorted path's f32 inner cumsum itself drifts ~1e-3 relative, while the
+    base-256 digit split stays near-exact."""
+    from auromat_tpu.ops.regrid import bin_indices
+
     lats, lons, data = synthetic()
     rng = np.random.default_rng(3)
     data = rng.random(data.shape).astype(np.float32) * 65535
     g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats) + 0.1,
                    np.nanmin(lons), np.nanmax(lons) + 0.1)
     lats, lons = nudge_off_edges(lats, lons, g)
-    count_ref, means_ref = bin_mean(g, lats, lons, data)
+    flat, valid = map(np.asarray, bin_indices(g, lats.ravel(), lons.ravel()))
+    nb = g.n_lat * g.n_lon
+    n_ch = data.shape[-1]
+    c_ref = np.bincount(flat[valid], minlength=nb).reshape(g.n_lat, g.n_lon)
+    s_ref = np.zeros((nb, n_ch))
+    np.add.at(s_ref, flat[valid],
+              data.reshape(-1, n_ch)[valid].astype(np.float64))
+    with np.errstate(invalid="ignore"):
+        means_ref = s_ref.reshape(g.n_lat, g.n_lon, n_ch) / c_ref[..., None]
     count, means = bin_mean_pallas(g, lats, lons, data, "full", True)
-    assert_allclose(np.asarray(count), np.asarray(count_ref))
-    m = ~np.isnan(np.asarray(means_ref))
-    assert_allclose(np.asarray(means)[m], np.asarray(means_ref)[m],
-                    rtol=1e-4, atol=0.05)
+    assert_allclose(np.asarray(count), c_ref)
+    m = c_ref > 0
+    assert_allclose(np.asarray(means)[m], means_ref[m], rtol=1e-5, atol=0.05)
 
 
 def test_tiled_xla_matches_oracle():
@@ -139,3 +152,29 @@ def test_window_xla_matches_oracle():
     c, s = bin_partial_window(g, lats, lons, data, "uint8")
     assert_allclose(np.asarray(c), np.asarray(cr))
     assert_allclose(np.asarray(s), np.asarray(sr), rtol=1e-4, atol=0.05)
+
+
+def test_taint_semantics_match_sorted():
+    """bin_mean_pallas_taint must reproduce the reference NaN-data
+    semantics: a NaN sample at VALID coordinates taints its bin's mean in
+    that channel only (numpy histogram2d behavior, which bin_mean keeps)."""
+    from auromat_tpu.ops.regrid_pallas import bin_mean_pallas_taint
+
+    lats, lons, data = synthetic()
+    rng = np.random.default_rng(11)
+    # NaN some data values at valid coordinates, per channel independently
+    for ch in range(data.shape[-1]):
+        hit = rng.random(data.shape[:2]) < 0.02
+        data[..., ch] = np.where(hit, np.nan, data[..., ch])
+    g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats) + 0.1,
+                   np.nanmin(lons), np.nanmax(lons) + 0.1)
+    lats, lons = nudge_off_edges(lats, lons, g)
+    count_ref, means_ref = map(np.asarray, bin_mean(g, lats, lons, data))
+    count, means = map(np.asarray,
+                       bin_mean_pallas_taint(g, lats, lons, data,
+                                             interpret=True))
+    assert_allclose(count, count_ref)
+    assert np.array_equal(np.isnan(means), np.isnan(means_ref))
+    m = ~np.isnan(means_ref)
+    assert m.any() and (~m).any()
+    assert_allclose(means[m], means_ref[m], rtol=1e-3, atol=0.05)
