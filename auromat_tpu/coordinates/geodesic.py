@@ -7,8 +7,12 @@ array support" (mapping.py:810); here all geodesic queries (pixel scales,
 bounding-box sizes, scanlines) are single vectorized calls.
 
 Accuracy: Vincenty converges to <1e-12 rad (mm-level) everywhere except
-nearly-antipodal pairs (which do not occur for intra-mapping distances); the
-iteration runs a fixed 30 steps so the code is also jit/vmap friendly.
+nearly-antipodal pairs; those are detected per-element and re-solved by a
+bisection on Vincenty's lambda fixed-point equation (the fixed-point
+iteration diverges near the antipode, but the equation still has a root
+inside (L, pi*(1+2f)]), so the API is total like the reference's
+geographiclib (Karney) backend (reference geodesic.py:15). The iteration
+runs a fixed 30 steps so the code is also jit/vmap friendly.
 """
 
 from collections import namedtuple
@@ -39,8 +43,10 @@ def _inverse(lat1, lon1, lat2, lon2, iterations=30):
     su2, cu2 = np.sin(u2), np.cos(u2)
 
     lam = ell
+    lam_prev = lam
     with np.errstate(invalid="ignore", divide="ignore"):
         for _ in range(iterations):
+            lam_prev = lam
             sl, cl = np.sin(lam), np.cos(lam)
             sin_sigma = np.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
             cos_sigma = su1 * su2 + cu1 * cu2 * cl
@@ -68,7 +74,158 @@ def _inverse(lat1, lon1, lat2, lon2, iterations=30):
         azi1 = np.rad2deg(np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl))
         azi2 = np.rad2deg(np.arctan2(cu1 * sl, -su1 * cu2 + cu1 * su2 * cl))
     s = np.where(sin_sigma == 0, 0.0, s)
+
+    # nearly-antipodal pairs: the lambda fixed-point iteration diverges (its
+    # derivative exceeds 1 inside the ~f*pi wedge around the antipode);
+    # re-solve those by shooting on the departure azimuth
+    bad = ~(np.abs(lam - lam_prev) < 1e-11) & (sin_sigma != 0)
+    if np.any(bad):
+        s_a, sig_a, a1_a, a2_a = _inverse_antipodal(
+            np.broadcast_to(lat1, bad.shape)[bad],
+            np.broadcast_to(lon1, bad.shape)[bad],
+            np.broadcast_to(lat2, bad.shape)[bad],
+            np.broadcast_to(lon2, bad.shape)[bad],
+        )
+        if bad.ndim == 0:
+            return s_a[0], sig_a[0], a1_a[0], a2_a[0]
+        s, sigma, azi1, azi2 = (np.array(x, dtype=np.float64, copy=True)
+                                for x in np.broadcast_arrays(s, sigma, azi1, azi2))
+        s[bad], sigma[bad], azi1[bad], azi2[bad] = s_a, sig_a, a1_a, a2_a
     return s, sigma, azi1, azi2
+
+
+def _antipodal_lam12(alpha1, su1, cu1, su2, cu2):
+    """Spherical-triangle forward map for the antipodal shooting solver.
+
+    Given the departure azimuth ``alpha1`` (rad, eastward in (0, pi)) at
+    point 1 (normalized: U1 <= 0, |U1| >= |U2|), return the ellipsoidal
+    longitude difference lam12 this geodesic accrues when it first reaches
+    reduced latitude U2 past its vertex, plus the quantities needed to
+    finish the solution. Longitude correction uses Vincenty's C-series
+    (error ~f^3, sub-meter)."""
+    sa1, ca1 = np.sin(alpha1), np.cos(alpha1)
+    sin_a0 = sa1 * cu1
+    cos2_a0 = 1.0 - sin_a0**2
+    cos_a0 = np.sqrt(cos2_a0)
+    sigma1 = np.arctan2(su1, ca1 * cu1)
+    # the geodesic crosses latitude U2 before (sigma_a) and past (sigma_b)
+    # its vertex; the minimal near-antipodal solution is the crossing whose
+    # arc sigma12 lies nearest pi
+    with np.errstate(invalid="ignore"):
+        sig_a = np.arcsin(np.clip(su2 / np.where(cos_a0 == 0, 1, cos_a0),
+                                  -1.0, 1.0))
+    sig_b = np.pi - sig_a
+    s12_a = np.mod(sig_a - sigma1, 2 * np.pi)
+    s12_b = np.mod(sig_b - sigma1, 2 * np.pi)
+    use_a = np.abs(s12_a - np.pi) <= np.abs(s12_b - np.pi)
+    sigma2 = sigma1 + np.where(use_a, s12_a, s12_b)
+    sigma12 = sigma2 - sigma1
+    om1 = np.arctan2(sin_a0 * np.sin(sigma1), np.cos(sigma1))
+    om2 = np.arctan2(sin_a0 * np.sin(sigma2), np.cos(sigma2))
+    dom = np.mod(om2 - om1, 2 * np.pi)
+    c = _F / 16 * cos2_a0 * (4 + _F * (4 - 3 * cos2_a0))
+    cos_2sm = np.cos(sigma1 + sigma2)
+    lam12 = dom - (1 - c) * _F * sin_a0 * (
+        sigma12 + c * np.sin(sigma12) * (
+            cos_2sm + c * np.cos(sigma12) * (-1 + 2 * cos_2sm**2))
+    )
+    return lam12, sigma1, sigma2, sin_a0, cos2_a0
+
+
+def _inverse_antipodal(lat1, lon1, lat2, lon2):
+    """Inverse problem for nearly-antipodal pairs via azimuth shooting.
+
+    Normalizes like Karney (swap so |U1| >= |U2|, flip so U1 <= 0, mirror so
+    0 <= L <= pi), scans alpha1 for the sign change of lam12(alpha1) - L and
+    bisects. Distance from the standard Vincenty sigma-series. Accuracy is
+    limited by the C-series longitude term (~f^3): sub-meter, vs the exact
+    (Karney) solution; fine for bounding boxes / scanline geometry.
+    """
+    lat1, lon1, lat2, lon2 = np.atleast_1d(lat1, lon1, lat2, lon2)
+    u1 = np.arctan((1 - _F) * np.tan(np.deg2rad(lat1)))
+    u2 = np.arctan((1 - _F) * np.tan(np.deg2rad(lat2)))
+    ell = np.deg2rad(lon2 - lon1)
+    ell = np.mod(ell + np.pi, 2 * np.pi) - np.pi  # (-pi, pi]
+
+    swap = np.abs(u1) < np.abs(u2)
+    ua = np.where(swap, u2, u1)
+    ub = np.where(swap, u1, u2)
+    lonsign = np.where(ell >= 0, 1.0, -1.0)
+    ls = np.abs(ell)
+    latsign = np.where(ua <= 0, 1.0, -1.0)
+    ua = ua * latsign
+    ub = ub * latsign
+
+    su1, cu1 = np.sin(ua), np.cos(ua)
+    su2, cu2 = np.sin(ub), np.cos(ub)
+
+    # bracket the root of g(alpha1) = lam12 - L by a coarse scan (the branch
+    # selection makes g piecewise monotone; scan for any sign change, then
+    # bisect with the local orientation)
+    n_scan = 128
+    alphas = np.linspace(1e-12, np.pi - 1e-12, n_scan)
+    g = np.empty((n_scan,) + ua.shape)
+    for i, a in enumerate(alphas):
+        lam12, _, _, _, _ = _antipodal_lam12(np.full_like(ua, a), su1, cu1,
+                                             su2, cu2)
+        g[i] = lam12 - ls
+    sign_change = np.sign(g[:-1]) != np.sign(g[1:])
+    # a true root has small |g| on both sides of its interval; the branch
+    # selection can also produce sign-flipping DISCONTINUITIES where |g|
+    # stays large — score intervals and take the most root-like one
+    score = np.where(sign_change, np.abs(g[:-1]) + np.abs(g[1:]), np.inf)
+    idx = np.argmin(score, axis=0)
+    found = np.take_along_axis(sign_change, idx[None], axis=0)[0]
+    idx = np.where(found, idx, 0)
+    lo = alphas[idx]
+    hi = alphas[idx + 1]
+    g_lo = np.take_along_axis(g, idx[None], axis=0)[0]
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        gm, _, _, _, _ = _antipodal_lam12(mid, su1, cu1, su2, cu2)
+        gm = gm - ls
+        same = np.sign(gm) == np.sign(g_lo)
+        lo = np.where(same, mid, lo)
+        hi = np.where(same, hi, mid)
+    alpha1 = 0.5 * (lo + hi)
+    lam12, sigma1, sigma2, sin_a0, cos2_a0 = _antipodal_lam12(
+        alpha1, su1, cu1, su2, cu2)
+    sigma12 = sigma2 - sigma1
+
+    u2_ = cos2_a0 * (_A**2 - _B**2) / _B**2
+    big_a = 1 + u2_ / 16384 * (4096 + u2_ * (-768 + u2_ * (320 - 175 * u2_)))
+    big_b = u2_ / 1024 * (256 + u2_ * (-128 + u2_ * (74 - 47 * u2_)))
+    ss, cs = np.sin(sigma12), np.cos(sigma12)
+    cos_2sm = np.cos(sigma1 + sigma2)
+    d_sigma = big_b * ss * (
+        cos_2sm + big_b / 4 * (
+            cs * (-1 + 2 * cos_2sm**2)
+            - big_b / 6 * cos_2sm * (-3 + 4 * ss**2) * (-3 + 4 * cos_2sm**2)
+        )
+    )
+    s = _B * big_a * (sigma12 - d_sigma)
+
+    # azimuths on the normalized problem (identity cos(alpha) cos(U) =
+    # cos(alpha0) cos(sigma))
+    cos_a0 = np.sqrt(cos2_a0)
+    alpha2 = np.arctan2(sin_a0, cos_a0 * np.cos(sigma2))
+    a1 = alpha1.copy()
+    a2 = alpha2.copy()
+    # undo swap: exchanging endpoints reverses the path: the azimuth at the
+    # new point 1 is the arrival azimuth turned 180 deg, and vice versa
+    a1_s = np.where(swap, np.pi + a2, a1)
+    a2_s = np.where(swap, np.pi + a1, a2)
+    # undo hemisphere flip (reflection through the equator: a -> pi - a)
+    a1_f = np.where(latsign < 0, np.pi - a1_s, a1_s)
+    a2_f = np.where(latsign < 0, np.pi - a2_s, a2_s)
+    # note: swap also mirrors the longitude sign for the swapped problem
+    # (lon diff from p2 to p1 is -L); composing with the lonsign mirror:
+    eff_sign = lonsign * np.where(swap, -1.0, 1.0)
+    a1_m = np.where(eff_sign < 0, -a1_f, a1_f)
+    a2_m = np.where(eff_sign < 0, -a2_f, a2_f)
+    azi1 = np.rad2deg(np.mod(a1_m + np.pi, 2 * np.pi) - np.pi)
+    azi2 = np.rad2deg(np.mod(a2_m + np.pi, 2 * np.pi) - np.pi)
+    return s, sigma12, azi1, azi2
 
 
 def _direct(lat1, lon1, azi1, s, iterations=30):

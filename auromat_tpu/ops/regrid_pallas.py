@@ -271,6 +271,214 @@ def bin_partial_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
     return count, sums
 
 
+# ---------------------------------------------------------------------------
+# column-windowed kernel (v2): the one-hot Ex is built per 128-wide COLUMN
+# window instead of across the whole padded grid width — the dominant VPU
+# cost of the v1 kernel (the (TILE_H, TILE_W, n_lon_pad) compare/cast) drops
+# by n_lon_pad/128 (5x for the 12 MP bench grid). Mosaic cannot express a
+# dynamic-offset store on the LAST dim, so the accumulator linearizes
+# (row_window, col_window) onto its LEADING dim: block (k, cw) lives at rows
+# [(k*n_win_c + cw)*WIN_R, ...+WIN_R) — a single runtime offset on dim 0 —
+# and XLA untangles the layout with one reshape/transpose afterwards.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_cw(bounds_ref, iy_ref, ix_ref, data_ref, acc_ref, *,
+               n_ch, n_win_c, tile_h=TILE_H, tile_w=TILE_W, win_r=WIN_R):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+
+    @pl.when((ty == 0) & (tx == 0))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iy = iy_ref[:]
+    ix = ix_ref[:]
+    valid = iy >= np.int32(0)
+    n_stack = n_ch + 1
+    data = data_ref[:]
+    d_all = jnp.concatenate(
+        [jnp.ones((1, tile_h, tile_w), jnp.float32), data], axis=0
+    ).astype(jnp.bfloat16)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (win_r, tile_h, tile_w), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 128), 2)
+
+    ntx = pl.num_programs(1)
+    boff = (ty * ntx + tx) * np.int32(4)
+    k_min = bounds_ref[boff]
+    k_max = bounds_ref[boff + np.int32(1)]
+    c_min = bounds_ref[boff + np.int32(2)]
+    c_max = bounds_ref[boff + np.int32(3)]
+
+    def cbody(cw, carry):
+        dc = ix - cw * np.int32(128)
+        in_c = valid & (dc >= np.int32(0)) & (dc < np.int32(128))
+        dc_b = jnp.where(in_c, dc, np.int32(-1))[:, :, None]
+        ex = (iota_c == dc_b).astype(jnp.bfloat16).reshape(
+            tile_h * tile_w, 128
+        )
+
+        def kbody(k, inner):
+            dr = iy - k * np.int32(win_r)
+            in_w = (dr >= np.int32(0)) & (dr < np.int32(win_r))
+            dr_b = jnp.where(in_w, dr, np.int32(-1))[None, :, :]
+            ey = (iota_r == dr_b).astype(jnp.bfloat16)
+            a = (d_all[:, None, :, :] * ey[None, :, :, :]).reshape(
+                n_stack * win_r, tile_h * tile_w
+            )
+            s = jax.lax.dot_general(
+                a, ex,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s.reshape(n_stack, win_r, 128).transpose(1, 0, 2)
+            base = (k * np.int32(n_win_c) + cw) * np.int32(win_r)
+            cur = acc_ref[pl.ds(base, win_r)]
+            acc_ref[pl.ds(base, win_r)] = cur + s
+            return inner
+
+        jax.lax.fori_loop(k_min, k_max + np.int32(1), kbody, np.int32(0))
+        return carry
+
+    jax.lax.fori_loop(c_min, c_max + np.int32(1), cbody, np.int32(0))
+
+
+def _tile_minmax(vals, valid, lim):
+    """Per-tile (min, max) of vals where valid, clipped window indices."""
+    big = jnp.int32(1 << 30)
+    vmin = jnp.min(jnp.where(valid, vals, big), axis=2)
+    vmax = jnp.max(jnp.where(valid, vals, -1), axis=2)
+    none = ~valid.any(axis=2)
+    vmin = jnp.where(none, 0, jnp.clip(vmin, 0, lim - 1))
+    vmax = jnp.where(none, -1, jnp.clip(vmax, -1, lim - 1))
+    return vmin, vmax
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def bin_partial_pallas_cw(grid: GridSpec, iyix, data_k, n_ch_in,
+                          unsplit_mode="uint8", interpret=False,
+                          tiles=(TILE_H, TILE_W, WIN_R)):
+    """Column-windowed Pallas binning from precomputed bin indices.
+
+    Lower-level entry: takes int32 (iy, ix) row/col bin indices (−1 =
+    invalid) of shape (h, w) and kernel-ready channel data ``data_k``
+    (h, w, n_ch) whose channels are bf16-exact (see bin_partial_pallas
+    modes); applies the inverse channel split per ``unsplit_mode``.
+
+    :returns: (count (n_lat, n_lon), sums (n_lat, n_lon, n_ch_in))
+    """
+    iy_full, ix_full = iyix
+    tile_h, tile_w, win_r = tiles
+    h, w = iy_full.shape
+    n_ch = data_k.shape[-1]
+    n_stack = n_ch + 1
+
+    hp = _round_up(h, tile_h)
+    wp = _round_up(w, tile_w)
+    pad_spec = ((0, hp - h), (0, wp - w))
+    iyp = jnp.pad(iy_full, pad_spec, constant_values=-1)
+    ixp = jnp.pad(ix_full, pad_spec, constant_values=-1)
+    datap = jnp.pad(jnp.transpose(data_k, (2, 0, 1)), ((0, 0),) + pad_spec)
+
+    n_lat_pad = max(_round_up(grid.n_lat, win_r), win_r)
+    n_lon_pad = _round_up(grid.n_lon, 128)
+    n_win_c = n_lon_pad // 128
+    nty, ntx = hp // tile_h, wp // tile_w
+
+    def tiled(a):
+        return a.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3) \
+                .reshape(nty, ntx, -1)
+
+    iy_tiles = tiled(iyp)
+    ix_tiles = tiled(ixp)
+    valid_t = iy_tiles >= 0
+
+    # row-window slabs bound the VMEM accumulator as in v1
+    slab_rows = max(win_r, min(
+        n_lat_pad,
+        _round_up(_SLAB_BYTES // (n_stack * n_lon_pad * 4), win_r),
+    ))
+    cmin, cmax = _tile_minmax(ix_tiles // 128, valid_t, n_win_c)
+    slabs = []
+    for s0 in range(0, n_lat_pad, slab_rows):
+        rows = max(min(slab_rows, n_lat_pad - s0), win_r)
+        n_win_r = rows // win_r
+        in_slab = valid_t & (iy_tiles >= s0) & (iy_tiles < s0 + rows)
+        kmin, kmax = _tile_minmax((iy_tiles - s0) // win_r, in_slab, n_win_r)
+        bounds = jnp.stack([kmin, kmax, cmin, cmax], axis=-1).reshape(-1)
+        iy_rel = jnp.where((iyp >= s0) & (iyp < s0 + rows), iyp - s0, -1)
+        kern = functools.partial(_kernel_cw, n_ch=n_ch, n_win_c=n_win_c,
+                                 tile_h=tile_h, tile_w=tile_w, win_r=win_r)
+        with jax.enable_x64(False):
+            acc = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(nty, ntx),
+                    in_specs=[
+                        pl.BlockSpec((tile_h, tile_w),
+                                     lambda ty, tx, bd: (ty, tx)),
+                        pl.BlockSpec((tile_h, tile_w),
+                                     lambda ty, tx, bd: (ty, tx)),
+                        pl.BlockSpec((n_ch, tile_h, tile_w),
+                                     lambda ty, tx, bd: (0, ty, tx)),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (n_win_r * n_win_c * win_r, n_stack, 128),
+                        lambda ty, tx, bd: (0, 0, 0)
+                    ),
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_win_r * n_win_c * win_r, n_stack, 128), jnp.float32
+                ),
+                interpret=interpret,
+            )(bounds, iy_rel, ixp, datap)
+        # (k, cw, r, ch, 128) -> (rows, ch, n_lon_pad)
+        acc = acc.reshape(n_win_r, n_win_c, win_r, n_stack, 128) \
+                 .transpose(0, 2, 3, 1, 4).reshape(rows, n_stack, n_lon_pad)
+        slabs.append(acc)
+    acc = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
+
+    count = acc[: grid.n_lat, 0, : grid.n_lon]
+    sums_k = jnp.transpose(acc[: grid.n_lat, 1:, : grid.n_lon], (0, 2, 1))
+
+    if unsplit_mode == "uint8":
+        el_sum = sums_k[..., -2] + sums_k[..., -1] - ELEV_OFFSET * count
+        sums = jnp.concatenate(
+            [sums_k[..., : n_ch_in - 1], el_sum[..., None]], axis=-1
+        )
+    elif unsplit_mode == "full":
+        sums = _unsplit_full(sums_k, n_ch_in)
+    else:
+        sums = sums_k
+    return count, sums
+
+
+def bin_partial_pallas2(grid: GridSpec, lats, lons, data, mode="uint8",
+                        interpret=False, tiles=(TILE_H, TILE_W, WIN_R)):
+    """bin_partial_pallas via the column-windowed v2 kernel (same contract)."""
+    h, w = lats.shape
+    n_ch_in = data.shape[-1]
+    data = data.astype(jnp.float32)
+    valid_in = jnp.isfinite(lats) & jnp.isfinite(lons)
+    data = jnp.where(valid_in[..., None], data, 0.0)
+    if mode == "uint8":
+        data_k = _split_elevation(data)
+    elif mode == "full":
+        data_k = _split_full(data)
+    else:
+        data_k = data
+    flat_full, valid_full = bin_indices(grid, lats, lons)
+    iy = jnp.where(
+        valid_full, (flat_full // grid.n_lon).astype(jnp.int32), -1
+    ).reshape(h, w)
+    ix = jnp.where(
+        valid_full, (flat_full % grid.n_lon).astype(jnp.int32), -1
+    ).reshape(h, w)
+    return bin_partial_pallas_cw(grid, (iy, ix), data_k, n_ch_in, mode,
+                                 interpret, tiles)
+
+
 def bin_mean_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
                     interpret=False):
     """Mean binning via the Pallas kernel; NaN where empty."""

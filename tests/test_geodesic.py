@@ -80,3 +80,67 @@ class TestPoleContainment:
         points = [L(55.0 + 3 * float(np.sin(x)), -100.0 + 5 * float(np.cos(x)))
                   for x in t]
         assert not geo.contains_or_crosses_pole(points)
+
+
+class TestAntipodal:
+    """Nearly-antipodal inverse: Vincenty's lambda iteration diverges there;
+    the azimuth-shooting fallback must still return the minimal geodesic.
+
+    Oracle: the DIRECT problem (which converges everywhere). A geodesic of
+    length s slightly below the antipodal distance from p1 at azimuth a is
+    minimal, so inverse(p1, direct(p1, a, s)) must return (s, a)."""
+
+    def _roundtrip(self, lat1, lon1, azi1, s):
+        from auromat_tpu.coordinates.geodesic import _direct, _inverse
+
+        lat2, lon2, _ = _direct(lat1, lon1, azi1, s)
+        s_inv, _, azi1_inv, _ = _inverse(lat1, lon1, lat2, lon2)
+        return float(s_inv), float(azi1_inv), (float(lat2), float(lon2))
+
+    def test_near_antipodal_roundtrips(self):
+        cases = [
+            # lat1, lon1, azi1, s (m): all land within the antipodal wedge
+            (30.0, 10.0, 20.0, 19_940_000.0),
+            (30.0, 10.0, 90.0, 19_940_000.0),
+            (30.0, 10.0, 150.0, 19_930_000.0),
+            (-45.0, 120.0, 5.0, 19_960_000.0),
+            (-45.0, 120.0, 95.0, 19_900_000.0),
+            (0.01, -170.0, 45.0, 19_950_000.0),
+            (60.0, 0.0, 178.0, 19_920_000.0),
+            (10.0, 0.0, -60.0, 19_940_000.0),  # westward departure
+        ]
+        for lat1, lon1, azi1, s in cases:
+            s_inv, azi1_inv, p2 = self._roundtrip(lat1, lon1, azi1, s)
+            # distance to sub-meter, azimuth to ~2e-5 deg (0.1 m transverse)
+            assert abs(s_inv - s) < 1.0, (lat1, azi1, s, s_inv, p2)
+            da = (azi1_inv - azi1 + 180.0) % 360.0 - 180.0
+            assert abs(da) < 2e-4, (lat1, azi1, azi1_inv, p2)
+
+    def test_exact_equatorial_antipode(self):
+        # the geodesic between equatorial antipodes runs over a pole:
+        # distance = 2 x meridian quadrant = 20003931.4586 m (WGS84).
+        # exact antipodes are the singular point of the inverse problem
+        # (a one-parameter family of minimal geodesics); the shooting
+        # solver lands within ~25 m (1e-6 relative) there
+        d = geo.distance(L(0.0, 0.0), L(0.0, 180.0))
+        assert abs(d - 20003931.4586) < 50.0
+
+    def test_vincenty_region_untouched(self):
+        # pairs outside the antipodal wedge still take the fast path and
+        # agree with the direct-problem oracle
+        s_inv, azi1_inv, _ = self._roundtrip(30.0, 10.0, 40.0, 10_000_000.0)
+        assert abs(s_inv - 10_000_000.0) < 1e-3
+        assert abs(azi1_inv - 40.0) < 1e-8
+
+    def test_vectorized_mixed_batch(self):
+        from auromat_tpu.coordinates.geodesic import _direct, _inverse
+
+        lat1 = np.array([30.0, 30.0, -45.0, 52.0])
+        lon1 = np.array([10.0, 10.0, 120.0, -8.0])
+        azi = np.array([20.0, 90.0, 5.0, 70.0])
+        s = np.array([19_940_000.0, 19_940_000.0, 19_960_000.0, 5_000_000.0])
+        lat2, lon2, _ = _direct(lat1, lon1, azi, s)
+        s_inv, _, azi_inv, _ = _inverse(lat1, lon1, lat2, lon2)
+        assert np.all(np.abs(s_inv - s) < 1.0)
+        da = (azi_inv - azi + 180.0) % 360.0 - 180.0
+        assert np.all(np.abs(da) < 2e-4)
