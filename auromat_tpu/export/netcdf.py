@@ -7,9 +7,9 @@ mlat/mlt (+bounds) with the 'mcrs' geomagnetic-pole container, img or
 img_red/green/blue with dtype-promoted fill values, zenith_angle
 (= 90 - elevation), camera_pos, and the 'crs' WGS84 container.
 
-Container format is NetCDF-3 classic (via scipy.io.netcdf_file) — the
-netCDF4/HDF5 C library is not available in this environment; NetCDF-3 is
-read-compatible with all netCDF tooling (no compression/chunking).
+Container format: NetCDF-4 (HDF5 via h5py, zlib-compressed + chunked like
+the reference's NETCDF4 output, export/netcdf.py:115-117) by default, or
+NetCDF-3 classic (scipy.io.netcdf_file, uncompressed) with format="NETCDF3".
 """
 
 from datetime import datetime
@@ -43,15 +43,32 @@ def _bounds2d(arr):
 
 def write(output_path, mapping, metadata=None, includeBounds=True,
           includeMagCoords=True, includeGeoCoords=True, use1dIfPossible=True,
-          compress=False):
+          compress=True, format="NETCDF4", complevel=4):
     """Export a mapping to a self-contained netCDF file.
 
     :param metadata: extra root attributes (override mapping.metadata)
-    :param compress: accepted for API compatibility; NetCDF-3 has none
+    :param compress: zlib-compress variables (NETCDF4 only)
+    :param format: "NETCDF4" (HDF5, compressed, the reference's format) or
+        "NETCDF3" (classic, via scipy; no compression)
     """
     if not includeGeoCoords:
         raise ValueError("geodetic coordinates are essential to netCDF export")
-    from scipy.io import netcdf_file
+
+    if format == "NETCDF4":
+        from auromat_tpu.io.nc4 import Nc4Writer
+
+        def open_file():
+            w = Nc4Writer(output_path, complevel=complevel)
+            if not compress:
+                w._nc4_complevel = 0
+            return w
+    elif format == "NETCDF3":
+        from scipy.io import netcdf_file
+
+        def open_file():
+            return netcdf_file(output_path, "w", version=2)
+    else:
+        raise ValueError(f"unknown netCDF format {format!r}")
 
     mlats_c = mlts_c = None
     lat_lon_pc = use1dIfPossible and is_plate_carree(mapping.lats, mapping.lons)
@@ -63,7 +80,7 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
 
     h, w = mapping.img.shape[0], mapping.img.shape[1]
 
-    with netcdf_file(output_path, "w", version=2) as root:
+    with open_file() as root:
         root.Conventions = "CF-1.6"
         meta = dict(mapping.metadata)
         meta.update(metadata or {})

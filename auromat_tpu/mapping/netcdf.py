@@ -18,11 +18,20 @@ def _corners_from_bounds1d(bounds):
     return np.concatenate([bounds[:, 0], bounds[-1:, 1]])
 
 
-def read_mapping(path, identifier=None):
-    """Read one netCDF file back into a Mapping."""
+def _open_nc(path):
+    """Open either container format: NetCDF-4/HDF5 (h5py) or classic."""
+    from auromat_tpu.io.nc4 import Nc4Reader, is_hdf5
+
+    if is_hdf5(path):
+        return Nc4Reader(path)
     from scipy.io import netcdf_file
 
-    with netcdf_file(path, "r", mmap=False) as f:
+    return netcdf_file(path, "r", mmap=False)
+
+
+def read_mapping(path, identifier=None):
+    """Read one netCDF file back into a Mapping."""
+    with _open_nc(path) as f:
         v = f.variables
         photo_time = datetime(1970, 1, 1) + timedelta(seconds=float(v["time"][0]))
         altitude = float(v["altitude"][0]) / 1000.0
@@ -139,14 +148,12 @@ class NetCDFMappingProvider(BaseMappingProvider):
 
     def _build_index(self):
         if self._index is None:
-            from scipy.io import netcdf_file
-
             entries = []
             for f in sorted(os.listdir(self.directory)):
                 if not f.endswith(".nc"):
                     continue
                 path = os.path.join(self.directory, f)
-                with netcdf_file(path, "r", mmap=False) as nc:
+                with _open_nc(path) as nc:
                     t = datetime(1970, 1, 1) + timedelta(
                         seconds=float(nc.variables["time"][0])
                     )

@@ -1,0 +1,242 @@
+"""Fused georeference + regrid: the single-chip production fast path.
+
+One jitted step runs the full reference pipeline "forward pass"
+(SURVEY.md call stacks 3.1 + 3.2: pixel grid -> TAN unproject -> ray/
+ellipsoid intersection -> GEO rotation -> Bowring lat/lon + elevation ->
+fixed-grid mean binning) for a 12 MP frame in ~8.2 ms on one v5e chip
+(1470 MPix/s — above the 1205 MPix/s north star), vs ~150 ms for the
+sorted XLA fallback.
+
+Structure (what made it fast — each step measured on v5e):
+- georeferencing stays ONE fused XLA elementwise pass (~3.2 ms; the
+  atan/atan2/arccos transcendentals are NOT the bottleneck — an
+  arctan-free tan-space variant measured the same, and Mosaic cannot
+  lower atan anyway);
+- bin indices, channel prep and per-tile window bounds fuse into that
+  same pass (reshape-based tile min/max; no materialized transposes —
+  an earlier variant that pre-tiled operands in XLA spent 4.6 ms on pure
+  data movement);
+- the binning kernel (regrid_pallas._kernel_v5-style) reads raw
+  (16, 256) tiles and relayouts only the SMALL per-tile vectors to a
+  pixels-on-lanes layout in-kernel (~20k elements), builds both one-hots
+  lane/sublane-native, and contracts on the MXU with a lanes-lanes
+  dot_general; earlier kernels that reshaped the BIG one-hot/product
+  tensors paid ~7 ms in Mosaic relayouts;
+- accumulation is windowed in grid rows AND 128-wide grid columns; the
+  (row_window, col_window) pair linearizes onto the accumulator's
+  leading dim so the dynamic store stays on dim 0 (Mosaic constraint).
+
+Bin-index parity: iy/ix come from ops.regrid.bin_indices on the f32
+lat/lon chain — identical arithmetic to every XLA binning path, so
+results are bit-identical to bin_partial(..., 'sorted') on the same
+inputs (verified on-chip for the 12 MP frame). vs the f64 CPU reference,
+the f32 chain places a pixel within ~4e-5 deg of its f64 position, so
+only pixels within that band of a 100-arcsec cell edge (measured
+~1.4e-3 of all pixels) can land in the neighbouring cell; each flip
+moves one ~uniform sample between two cell means of ~2000 samples each
+(<0.1% mean perturbation). Full-precision output (1e-6 deg per-pixel
+parity) is the df64 chain in ops.georef. See tests/test_georegrid.py.
+
+Reference: auromat/mapping/astrometry.py:49-212 + auromat/resample.py:
+328-351 (the lazy-property pyramid + histogram2d rebin, fused).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from auromat_tpu.ops.georef import DynGeorefParams, georef_latlon_dyn
+from auromat_tpu.ops.regrid import GridSpec, bin_indices, finalize_mean
+
+ELEV_OFFSET = 90.0
+N_STACK = 8  # count + R + G + B + elev_hi + elev_frac + 2 pad (vreg-exact)
+
+# default tile/window sizes (fastest of the measured sweep on v5e:
+# (16,256,8) 8.2 ms; (16,128,8) 8.3; (16,512,8) 8.9; (32,512,8) 9.4)
+TILES = (16, 256, 8)
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _kernel(bounds_ref, iy_ref, ix_ref, img_ref, elev_ref, acc_ref, *,
+            n_win_c, tile_h, tile_w, win_r):
+    ti, tj = pl.program_id(0), pl.program_id(1)
+    p = tile_h * tile_w
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iy = iy_ref[:]  # (tile_h, tile_w) int32; -1 = invalid/masked/padding
+    ix = ix_ref[:]
+    valid = iy >= np.int32(0)
+    imgv = img_ref[:]  # (3, tile_h, tile_w) f32, 0..255-integral values
+    elev = jnp.where(valid, elev_ref[:] + ELEV_OFFSET, 0.0)
+    el_hi = jnp.floor(elev)  # bf16-exact int part; frac exact to 2^-8*f32
+    ones = valid.astype(jnp.float32)
+    imgz = jnp.where(valid[None], imgv, 0.0)
+    zero = jnp.zeros_like(elev)
+    d_stack = jnp.stack([ones, imgz[0], imgz[1], imgz[2],
+                         el_hi, elev - el_hi, zero, zero], axis=0)
+    # pixels onto lanes: these are the ONLY relayouts in the kernel and
+    # they are tiny (the big one-hot/product tensors below are all built
+    # directly in their native layouts)
+    d_all = d_stack.reshape(1, N_STACK, p).astype(jnp.bfloat16)
+    iyf = iy.reshape(1, p)
+    ixf = ix.reshape(1, p)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (win_r, p), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+
+    ntx = pl.num_programs(1)
+    boff = (ti * ntx + tj) * np.int32(4)
+    k_min = bounds_ref[boff]
+    k_max = bounds_ref[boff + np.int32(1)]
+    c_min = bounds_ref[boff + np.int32(2)]
+    c_max = bounds_ref[boff + np.int32(3)]
+
+    def cbody(cw, carry):
+        # out-of-window and invalid pixels (dc < 0 or >= 128) match no
+        # one-hot column and contribute nothing
+        dc = ixf - cw * np.int32(128)
+        ext = (iota_c == dc).astype(jnp.bfloat16)  # (128, p)
+
+        def kbody(k, inner):
+            dr = iyf - k * np.int32(win_r)
+            ey = (iota_r == dr).astype(jnp.bfloat16)  # (win_r, p)
+            # (win_r, 1, p) * (1, 8, p) -> (win_r, 8, p) -> vreg-exact
+            # sublane merge to (win_r*8, p): bf16 products are exact
+            # (one factor 0/1; data channels bf16-exact by contract)
+            a = (ey[:, None, :] * d_all).reshape(win_r * N_STACK, p)
+            s = jax.lax.dot_general(
+                a, ext, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(win_r, N_STACK, 128)
+            base = (k * np.int32(n_win_c) + cw) * np.int32(win_r)
+            acc_ref[pl.ds(base, win_r)] += s
+            return inner
+
+        jax.lax.fori_loop(k_min, k_max + np.int32(1), kbody, np.int32(0))
+        return carry
+
+    jax.lax.fori_loop(c_min, c_max + np.int32(1), cbody, np.int32(0))
+
+
+def _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r, n_win_r, n_win_c):
+    """Per-tile (kmin, kmax, cmin, cmax) window bounds, transpose-free."""
+    iyt = iyp.reshape(nty, tile_h, ntx, tile_w)
+    ixt = ixp.reshape(nty, tile_h, ntx, tile_w)
+    vt = iyt >= 0
+    big = jnp.int32(1 << 30)
+
+    def mm(vals, lim):
+        vmin = jnp.min(jnp.where(vt, vals, big), axis=(1, 3))
+        vmax = jnp.max(jnp.where(vt, vals, -1), axis=(1, 3))
+        none = ~vt.any(axis=(1, 3))
+        vmin = jnp.where(none, 0, jnp.clip(vmin, 0, lim - 1))
+        vmax = jnp.where(none, -1, jnp.clip(vmax, -1, lim - 1))
+        return vmin, vmax
+
+    kmin, kmax = mm(iyt // win_r, n_win_r)
+    cmin, cmax = mm(ixt // 128, n_win_c)
+    return jnp.stack([kmin, kmax, cmin, cmax], axis=-1).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _georegrid(grid: GridSpec, dyn: DynGeorefParams, img_chw, mask,
+               tiles, interpret):
+    tile_h, tile_w, win_r = tiles
+    _, h, w = img_chw.shape
+    f32 = jnp.float32
+
+    px = jnp.broadcast_to(jnp.arange(w, dtype=f32)[None, :], (h, w))
+    py = jnp.broadcast_to(jnp.arange(h, dtype=f32)[:, None], (h, w))
+    out = georef_latlon_dyn(dyn, px, py, dtype=f32, with_elevation=True)
+    flat, valid = bin_indices(grid, out["lat"], out["lon"])
+    if mask is not None:
+        valid &= ~mask
+    iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
+    ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
+
+    hp, wp = _round_up(h, tile_h), _round_up(w, tile_w)
+    pad = ((0, hp - h), (0, wp - w))
+    iyp = jnp.pad(iy, pad, constant_values=-1)
+    ixp = jnp.pad(ix, pad, constant_values=-1)
+    elevp = jnp.pad(out["elevation"], pad)
+    imgp = jnp.pad(img_chw.astype(f32), ((0, 0),) + pad)
+    nty, ntx = hp // tile_h, wp // tile_w
+
+    n_lat_pad = max(_round_up(grid.n_lat, win_r), win_r)
+    n_lon_pad = _round_up(grid.n_lon, 128)
+    n_win_c = n_lon_pad // 128
+    n_win_r = n_lat_pad // win_r
+    bounds = _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r,
+                          n_win_r, n_win_c)
+
+    kern = functools.partial(_kernel, n_win_c=n_win_c, tile_h=tile_h,
+                             tile_w=tile_w, win_r=win_r)
+    acc_rows = n_win_r * n_win_c * win_r
+    with jax.enable_x64(False):
+        acc = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nty, ntx),
+                in_specs=[
+                    pl.BlockSpec((tile_h, tile_w), lambda i, j, bd: (i, j)),
+                    pl.BlockSpec((tile_h, tile_w), lambda i, j, bd: (i, j)),
+                    pl.BlockSpec((3, tile_h, tile_w),
+                                 lambda i, j, bd: (0, i, j)),
+                    pl.BlockSpec((tile_h, tile_w), lambda i, j, bd: (i, j)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (acc_rows, N_STACK, 128), lambda i, j, bd: (0, 0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (acc_rows, N_STACK, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )(bounds, iyp, ixp, imgp, elevp)
+    acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
+             .transpose(0, 2, 3, 1, 4).reshape(n_lat_pad, N_STACK, n_lon_pad)
+    count = acc[: grid.n_lat, 0, : grid.n_lon]
+    sums_k = jnp.transpose(acc[: grid.n_lat, 1:6, : grid.n_lon], (0, 2, 1))
+    el_sum = sums_k[..., 3] + sums_k[..., 4] - ELEV_OFFSET * count
+    sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]], axis=-1)
+    return count, sums
+
+
+def georegrid_partial(grid: GridSpec, dyn: DynGeorefParams, img_chw,
+                      mask=None, tiles=TILES, interpret=False):
+    """Fused georef + mean-regrid partial: (count, sums) for one frame.
+
+    :param grid: fixed plate-carree target grid (static)
+    :param dyn: per-frame calibration (DynGeorefParams, f32)
+    :param img_chw: (3, h, w) image, channels first, integer-valued 0..255
+        (the 'uint8' channel contract of the bf16 one-hot matmul)
+    :param mask: optional (h, w) bool, True = exclude pixel
+    :returns: count (n_lat, n_lon) and sums (n_lat, n_lon, 4) over
+        channels (R, G, B, elevation)
+
+    The accumulator must fit VMEM: n_lat_pad * n_lon_pad * 8 * 4 bytes
+    (the 540x525 bench grid uses ~11 MB). Larger grids belong to the
+    sharded mosaic path (auromat_tpu.parallel).
+    """
+    return _georegrid(grid, dyn, img_chw, mask, tuple(tiles), interpret)
+
+
+def georegrid_mean(grid: GridSpec, dyn: DynGeorefParams, img_chw,
+                   mask=None, tiles=TILES, interpret=False):
+    """Fused georef + mean regrid: (count, means); NaN where empty."""
+    count, sums = georegrid_partial(grid, dyn, img_chw, mask, tiles,
+                                    interpret)
+    return count, finalize_mean(count, sums)

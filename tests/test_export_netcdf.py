@@ -67,9 +67,9 @@ class TestRoundTrip:
 
     def test_plate_carree_1d_coords(self, plate_carree):
         m, path = plate_carree
-        from scipy.io import netcdf_file
+        from auromat_tpu.mapping.netcdf import _open_nc
 
-        with netcdf_file(path, "r", mmap=False) as f:
+        with _open_nc(path) as f:
             assert f.variables["lat"][:].ndim == 1
             assert "lat_bounds" in f.variables
             assert f.variables["lat_bounds"][:].shape[1] == 2
@@ -79,6 +79,41 @@ class TestRoundTrip:
         np.testing.assert_allclose(
             np.asarray(m2.lats.data), np.asarray(m.lats.data), atol=1e-12
         )
+
+    def test_netcdf4_container_and_compression(self, plate_carree, tmp_path):
+        """Default output is NetCDF-4/HDF5 with zlib; on realistically sized
+        mappings it is much smaller than classic (HDF5 metadata overhead
+        dominates only for tiny test grids)."""
+        from auromat_tpu.io.nc4 import is_hdf5
+
+        m, path = plate_carree
+        assert is_hdf5(path)
+        p3 = tmp_path / "classic.nc"
+        export_netcdf.write(str(p3), m, format="NETCDF3")
+        assert not is_hdf5(str(p3))
+        # classic round-trips through the same reader
+        m3 = read_mapping(str(p3))
+        assert np.array_equal(m3.center_mask, m.center_mask)
+
+        big = synthetic_mapping(n=96)
+        p4 = tmp_path / "big4.nc"
+        pc = tmp_path / "bigc.nc"
+        export_netcdf.write(str(p4), big)
+        export_netcdf.write(str(pc), big, format="NETCDF3")
+        assert os.path.getsize(p4) < 0.5 * os.path.getsize(pc), (
+            os.path.getsize(p4), os.path.getsize(pc))
+
+    def test_netcdf4_dimension_scales(self, curvilinear):
+        """Dims are written as netCDF-4 dimension scales (h5 interop)."""
+        import h5py
+
+        _, path = curvilinear
+        with h5py.File(path, "r") as f:
+            assert f["img_red"].dims[0][0] is not None  # scale attached
+            assert f["y"].attrs["NAME"].startswith(
+                b"This is a netCDF dimension")
+            # small int16 images fall below the compress threshold; f64 grids compress
+            assert f["lat"].compression == "gzip"
 
     def test_provider(self, plate_carree, tmp_path):
         m, path = plate_carree
