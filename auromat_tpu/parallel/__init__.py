@@ -9,7 +9,13 @@ The two parallel axes of this domain (SURVEY.md P6/P7):
        is the psum of partial regrid bins)
 """
 
+from auromat_tpu.parallel.distributed import (  # noqa: F401
+    global_mesh,
+    initialize,
+    is_multi_process,
+)
 from auromat_tpu.parallel.sharding import (  # noqa: F401
+    make_grid_sharded_mosaic_step,
     make_mesh,
     make_sharded_mosaic_step,
     sharded_batch_georef,

@@ -1,0 +1,81 @@
+"""Multi-host initialization: jax.distributed plumbing + global meshes.
+
+Single-host TPU slices need nothing — ``jax.devices()`` sees every chip on
+the host and the Mesh collectives ride ICI. Multi-host slices (or CPU/GPU
+clusters over DCN) must call :func:`initialize` once per process before any
+other jax use; afterwards ``jax.devices()`` is the GLOBAL device list and
+:func:`global_mesh` builds the (dp, sp) mesh over it, with hosts laid out
+along dp so the regrid reduce-scatter's heavy traffic stays on intra-host
+ICI and only the final band exchange crosses DCN.
+
+The reference has no distributed backend at all (SURVEY.md P6: its only
+inter-process channel is a multiprocessing pipe); this module is the
+TPU-native replacement for scaling BASELINE config 5 beyond one host.
+"""
+
+import os
+
+import jax
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None,
+               local_device_ids=None):
+    """Initialize jax.distributed for a multi-host run (idempotent).
+
+    Arguments default from the standard environment (JAX_COORDINATOR_ADDRESS
+    / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the cloud-TPU metadata that
+    jax.distributed.initialize auto-detects on TPU pods). Call before any
+    other jax API. Safe to call when running single-process (no-op if no
+    coordinator is configured and not on a TPU pod).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    if coordinator_address is None and num_processes is None:
+        # single process, or TPU-pod autodetection
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return False  # no cluster configured: single-process mode
+        return True
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return True
+
+
+def is_multi_process():
+    return jax.process_count() > 1
+
+
+def global_mesh(dp=None, sp=None):
+    """(dp, sp) mesh over the GLOBAL device list.
+
+    With hosts varying along dp (the default global device order groups a
+    host's devices together and dp is the leading mesh axis), frame batches
+    shard across hosts over DCN while the row/band collectives of one frame
+    group stay on the host's ICI.
+    """
+    from auromat_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(jax.devices(), dp=dp, sp=sp)
+
+
+def process_local_batch(global_batch_size):
+    """This process's slice of a globally sharded frame batch.
+
+    :returns: (start, count) frame indices this process should feed into a
+        dp-sharded step via jax.make_array_from_process_local_data
+    """
+    n = jax.process_count()
+    i = jax.process_index()
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    per = global_batch_size // n
+    return i * per, per

@@ -96,6 +96,105 @@ def make_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     return jax.jit(step)
 
 
+def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
+                                  channels=3, dtype=jnp.float32,
+                                  with_elevation=True, bin_method="sorted",
+                                  chunk_rows=None):
+    """Mission-scale mosaic step: the GRID is sharded, not just the samples.
+
+    ``make_sharded_mosaic_step`` psums dense full-grid partials onto every
+    device — fine for regional grids, but a 0.05 deg global mosaic
+    (3600 x 7200 x C f32, ~600 MB; BASELINE config 5) must never be
+    materialized per device. Here every device OWNS one latitude band of
+    the grid (band = ceil(n_lat / n_devices) rows, assigned by linear mesh
+    index); partial bins are routed with ``lax.psum_scatter``
+    (reduce-scatter over the ICI ring — each grid element crosses the
+    interconnect exactly once, vs n_dev times for the psum variant), in
+    row-chunks so the per-device working set stays at
+    n_dev * chunk_rows * n_lon * (C+1) floats (default: ~1/n_dev of the
+    full grid) instead of the full grid.
+
+    step(dyn_params, imgs) -> (count, means) as GLOBAL jax.Arrays of shape
+    (band * n_dev, n_lon[, C]) sharded row-wise over the mesh (each device
+    holds only its band; rows >= n_lat are padding). Slice [:n_lat] on the
+    host, or keep sharded for downstream sharded consumers.
+
+    Reference scale anchor: auromat's convert pipeline writes one sequence
+    = 172 GB (docs/userguide/index.rst:66-78); SURVEY.md P6/P7.
+    """
+    dp_n = mesh.shape["dp"]
+    sp_n = mesh.shape["sp"]
+    n_dev = dp_n * sp_n
+    assert height % sp_n == 0, (height, sp_n)
+    rows_per_shard = height // sp_n
+    n_lon = grid.n_lon
+    band = -(-grid.n_lat // n_dev)
+    band = (band + 7) // 8 * 8  # 8-aligned rows per device
+    if chunk_rows is None:
+        chunk_rows = max(8, ((band // n_dev) + 7) // 8 * 8)
+    chunk_rows = min(chunk_rows, band)
+    n_chunks = -(-band // chunk_rows)
+    n_ch = channels + (1 if with_elevation else 0)
+    from auromat_tpu.ops.regrid import _BIN_METHODS, bin_indices
+
+    bin_fn = _BIN_METHODS[bin_method]
+
+    def shard_fn(dyn_local, imgs_local):
+        px, py = _local_pixel_grid(height, width, rows_per_shard, dtype)
+
+        def per_frame(d, img):
+            out = georef_latlon_dyn(d, px, py, dtype=dtype,
+                                    with_elevation=with_elevation)
+            data = img
+            if with_elevation:
+                data = jnp.concatenate([img, out["elevation"][..., None]],
+                                       axis=-1)
+            return out["lat"], out["lon"], data
+
+        lat, lon, data = jax.vmap(per_frame)(dyn_local, imgs_local)
+        flat_idx, valid = bin_indices(grid, jnp.ravel(lat), jnp.ravel(lon))
+        iy = (flat_idx // n_lon).astype(jnp.int32)
+        ix = (flat_idx % n_lon).astype(jnp.int32)
+        band_id = iy // band
+        rib = iy - band_id * band  # row inside the destination band
+        data2d = jnp.reshape(data, (-1, n_ch)).astype(dtype)
+        data2d = jnp.where(valid[:, None], data2d, 0.0)
+
+        out_count = jnp.zeros((band, n_lon), dtype)
+        out_sums = jnp.zeros((band, n_lon, n_ch), dtype)
+        n_rows_stacked = n_dev * chunk_rows
+        dump = n_rows_stacked * n_lon
+        for c in range(n_chunks):
+            sel = valid & (rib // chunk_rows == c)
+            local_row = band_id * chunk_rows + (rib - c * chunk_rows)
+            flat_local = jnp.where(sel, local_row * n_lon + ix, dump)
+            acc = bin_fn(flat_local, valid.astype(dtype), data2d, dump, n_ch)
+            cnt = acc[:, 0].reshape(n_rows_stacked, n_lon)
+            sms = acc[:, 1:].reshape(n_rows_stacked, n_lon, n_ch)
+            # reduce-scatter: device d receives rows [d*chunk_rows, ...)
+            # (linear mesh order matches the band assignment/out_specs)
+            cnt = jax.lax.psum_scatter(cnt, ("dp", "sp"),
+                                       scatter_dimension=0, tiled=True)
+            sms = jax.lax.psum_scatter(sms, ("dp", "sp"),
+                                       scatter_dimension=0, tiled=True)
+            r0 = c * chunk_rows
+            rows = min(chunk_rows, band - r0)
+            out_count = out_count.at[r0 : r0 + rows].set(cnt[:rows])
+            out_sums = out_sums.at[r0 : r0 + rows].set(sms[:rows])
+        return out_count, finalize_mean(out_count, out_sums)
+
+    dyn_spec = jax.tree.map(lambda _: P("dp"), DynGeorefParams(
+        *[0.0] * len(DynGeorefParams._fields)))
+    step = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(dyn_spec, P("dp", "sp")),
+        out_specs=(P(("dp", "sp")), P(("dp", "sp"))),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def sharded_batch_georef(mesh: Mesh, height, width, dtype=jnp.float32,
                          with_elevation=True, with_mlatmlt=False):
     """Build a jitted batched georef: frames over dp, rows over sp.
