@@ -15,6 +15,13 @@ Main entry points:
   draw_horizon               Earth horizon overlay in image space
   draw_histogram             simple histogram plot (masking diagnostics)
   draw_astrometry_pixel_scales  pixel-scale diagnostic
+  draw_scanlines_map_co      geodesic scanline sequence map (coroutine)
+  draw_azimuth_plots_co      centroid/footpoint track diagnostics (coroutine)
+  draw_line_plot / draw_corr_seq_plot / draw_astrometry_rotation_angles /
+  draw_cd11_cd21 / draw_ra_dec_seq / draw_right_ascension /
+  draw_declination / draw_camera_footpoints   solved-sequence diagnostics
+  draw_date / draw_heatmaps / draw_array_heatmap /
+  draw_lens_distortion_derivative             per-mapping diagnostics
 All ``draw_*`` functions return a matplotlib Figure; use
 :func:`auromat_tpu.draw_helpers.save_fig` to write it out.
 """
@@ -513,3 +520,504 @@ def draw_distortion_displacement(shape=(2832, 4256), model="ptlens",
     im = ax.imshow(mag, origin="upper")
     fig.colorbar(im, ax=ax, label="displacement [px]")
     return fig
+
+
+# ---------------------------------------------------------------------------
+# sequence diagnostics (reference draw.py:589-1935)
+# ---------------------------------------------------------------------------
+
+
+def draw_line_plot(x, y, xlabel=None, ylabel=None, title=None, linecolor=None,
+                   linewidth=None, figsize=(8, 5), **kw):
+    """Generic line plot; datetime x values get a formatted time axis.
+
+    Reference: draw.py:1019-1059 (drawLinePlot). Returns (fig, ax).
+    """
+    import datetime as _dt
+
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=figsize)
+    if xlabel:
+        ax.set_xlabel(xlabel)
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+    if linecolor is not None:
+        kw["color"] = linecolor
+    x = list(x)
+    if len(x) > 0 and isinstance(x[0], _dt.datetime):
+        xs = matplotlib.dates.date2num(x)
+        (line,) = ax.plot(xs, y, "b-", **kw)
+        ax.xaxis.set_major_formatter(
+            matplotlib.dates.DateFormatter("%H:%M:%S"))
+        fig.autofmt_xdate()
+    else:
+        (line,) = ax.plot(x, y, **kw)
+    if linewidth:
+        line.set_linewidth(linewidth)
+    return fig, ax
+
+
+def draw_corr_seq_plot(corr_paths, x=None, xlabel="Frame", figsize=(8, 5)):
+    """Mean +- std distance between corresponding stars per .corr file.
+
+    Reference: draw.py:1673-1706 (drawCorrSeqPlot) — the per-sequence
+    astrometry residual overview. Returns (fig, ax).
+    """
+    import matplotlib.pyplot as plt
+
+    from auromat_tpu.io.fits import read_corr
+
+    corr_paths = list(corr_paths)
+    if x is None:
+        x = list(range(len(corr_paths)))
+    assert len(x) == len(corr_paths)
+    means, stds = [], []
+    for path in corr_paths:
+        fx, fy, ix_, iy_ = read_corr(path)
+        dist = np.hypot(np.asarray(fx) - np.asarray(ix_),
+                        np.asarray(fy) - np.asarray(iy_))
+        means.append(float(np.mean(dist)))
+        stds.append(float(np.std(dist)))
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("Mean distance (pixels)")
+    ax.set_title("Distances between corresponding stars")
+    ax.errorbar(x, means, stds, linestyle="None", marker="s")
+    ax.set_xlim(x[0] - 1, x[-1] + 1)
+    return fig, ax
+
+
+def _headers_of(wcs_headers_or_paths_or_mappings):
+    from auromat_tpu.io import fits as _fits
+
+    out = []
+    for item in wcs_headers_or_paths_or_mappings:
+        if isinstance(item, (str, bytes)):
+            out.append(_fits.read_header(item))
+        elif hasattr(item, "wcs_header"):
+            out.append(item.wcs_header)
+        else:
+            out.append(item)
+    return out
+
+
+def draw_astrometry_rotation_angles(wcs_headers, x=None, xlabel="Time",
+                                    ylabel="Rotation angle (deg)", **kw):
+    """Celestial rotation angle atan2(CD21, CD11) over a solved sequence.
+
+    Wraps angles at 180 deg when the sequence straddles the discontinuity,
+    relabelling the axis accordingly (reference draw.py:1769-1808).
+    """
+    from auromat_tpu.io import fits as _fits
+
+    headers = _headers_of(wcs_headers)
+    if x is None:
+        x = [_fits.get_photo_time(h) for h in headers]
+    assert len(x) == len(headers)
+    angles = np.asarray([_fits.get_rotation_angle(h) for h in headers])
+    wrapped = angles.max() - angles.min() > 100
+    if wrapped:
+        # shift by 180 so sequences hugging the +-180 discontinuity plot
+        # continuously; the axis formatter shifts the labels back
+        angles = np.mod(angles, 360.0) - 180.0
+    fig, ax = draw_line_plot(
+        x, angles, xlabel=xlabel, ylabel=ylabel,
+        title=r"Rotation Angle ($\operatorname{atan}(CD_{21},CD_{11})$)", **kw)
+    if wrapped:
+        from matplotlib.ticker import FuncFormatter
+
+        ax.yaxis.set_major_formatter(FuncFormatter(
+            lambda v, pos: "{:g}".format(np.mod(v + 360.0, 360.0) - 180.0)))
+    return fig, ax
+
+
+def draw_cd11_cd21(wcs_headers, xlabel="$CD_{11}$", ylabel="$CD_{21}$", **kw):
+    """CD11-vs-CD21 trajectory with the median-pixel-scale circle.
+
+    A well-behaved solved sequence traces an arc of the circle (constant
+    pixel scale, drifting rotation); outliers jump off it
+    (reference draw.py:1810-1845).
+    """
+    import matplotlib.pyplot as plt
+
+    from auromat_tpu.io import fits as _fits
+
+    headers = _headers_of(wcs_headers)
+    cd11 = [h["CD1_1"] for h in headers]
+    cd21 = [h["CD2_1"] for h in headers]
+    scale = float(np.median([_fits.get_pixel_scale_deg(h) for h in headers]))
+    fig, ax = draw_line_plot(cd11, cd21, xlabel=xlabel, ylabel=ylabel,
+                             title="WCS Transformation Matrix Values", **kw)
+    circle = plt.Circle((0, 0), scale, fill=False)
+    ax.add_patch(circle)
+    ax.legend([circle], [f"{scale * 3600:0.2f} arcsec/px (median)"],
+              loc="upper right", frameon=False)
+    ax.set_aspect("equal", adjustable="datalim")
+    return fig, ax
+
+
+def draw_ra_dec_seq(wcs_headers, **kw):
+    """RA/Dec trajectory of the image centers (CRVAL) over a sequence
+    (reference draw.py:1847-1866, drawRaDec)."""
+    headers = _headers_of(wcs_headers)
+    ra = [h["CRVAL1"] for h in headers]
+    dec = [h["CRVAL2"] for h in headers]
+    return draw_line_plot(ra, dec, xlabel="Right ascension (deg)",
+                          ylabel="Declination (deg)",
+                          title="Equatorial Coordinates of Image Centers",
+                          **kw)
+
+
+def draw_right_ascension(wcs_headers, x=None, **kw):
+    """Image-center right ascension over time (reference draw.py:1868-1890)."""
+    from auromat_tpu.io import fits as _fits
+
+    headers = _headers_of(wcs_headers)
+    if x is None:
+        x = [_fits.get_photo_time(h) for h in headers]
+    ra = [h["CRVAL1"] for h in headers]
+    return draw_line_plot(x, ra, xlabel="Time",
+                          ylabel="Right ascension (deg)",
+                          title="Right Ascension of Image Centers", **kw)
+
+
+def draw_declination(wcs_headers, x=None, **kw):
+    """Image-center declination over time (reference draw.py:1892-1915)."""
+    from auromat_tpu.io import fits as _fits
+
+    headers = _headers_of(wcs_headers)
+    if x is None:
+        x = [_fits.get_photo_time(h) for h in headers]
+    dec = [h["CRVAL2"] for h in headers]
+    return draw_line_plot(x, dec, xlabel="Time", ylabel="Declination (deg)",
+                          title="Declination of Image Centers", **kw)
+
+
+def draw_camera_footpoints(mappings, **kw):
+    """Camera footpoint (sub-camera ground point) track of a sequence
+    (reference draw.py:1917-1935)."""
+    foot = [m.cameraFootpoint for m in mappings]
+    return draw_line_plot([f.lon for f in foot], [f.lat for f in foot],
+                          xlabel="Longitude (deg)", ylabel="Latitude (deg)",
+                          title="Camera Footpoints", **kw)
+
+
+def draw_date(figax, mapping, color="white"):
+    """Stamp the mapping's photo time in the top centre of a figure image
+    (reference draw.py:1611-1622)."""
+    ax = figax[1]
+    fontsize = ax.get_xlim()[1] * 0.016
+    ax.text(0.5, 0.98, mapping.photoTime.strftime("%Y-%m-%d %H:%M:%S UTC"),
+            fontsize=fontsize, color=color, horizontalalignment="center",
+            verticalalignment="top", transform=ax.transAxes)
+    return figax
+
+
+def draw_array_heatmap(data, cb_label=None, xlabel=None, ylabel=None,
+                       figsize=(10, 8)):
+    """Blue-red heatmap of one per-pixel array (NaN transparent)
+    (reference draw.py:562-586, drawHeatmap)."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=figsize)
+    arr = np.ma.masked_invalid(np.asarray(
+        data.filled(np.nan) if hasattr(data, "filled") else data,
+        dtype=np.float64))
+    im = ax.imshow(arr, cmap="coolwarm", interpolation="nearest")
+    cb = fig.colorbar(im, ax=ax)
+    if cb_label:
+        cb.set_label(cb_label)
+    if xlabel:
+        ax.set_xlabel(xlabel)
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    return fig, ax
+
+
+def draw_heatmaps(mapping, path_prefix="heat_", xlabel="Image Width (px)",
+                  ylabel="Image Height (px)", widthPx=None, dpi=None):
+    """Write lats/lons/elevation (and azimuth when available) heatmap PNGs
+    for one mapping (reference draw.py:531-560, drawHeatmaps).
+
+    :returns: list of written paths
+    """
+    written = []
+
+    def _save(name, data, label):
+        fig, _ = draw_array_heatmap(data, cb_label=label, xlabel=xlabel,
+                                    ylabel=ylabel)
+        path = f"{path_prefix}{name}.png"
+        save_fig(path, fig, dpi=dpi, width_px=widthPx)
+        written.append(path)
+
+    _save("lats", mapping.lats, "Latitude (deg)")
+    _save("lons", mapping.lons, "Longitude (deg)")
+    _save("elevation", mapping.elevation, "Elevation angle (deg)")
+    az = getattr(mapping, "azimuthCenter", None)
+    if az is not None:
+        _save("azimuth", az, "Azimuth (deg)")
+    return written
+
+
+def draw_lens_distortion_derivative(model, terms, focal_length=None,
+                                    crop_factor=1.0, figsize=(8, 5)):
+    """Lens distortion derivative dD/dh over the sensor radius: positive =
+    pincushion, negative = barrel (reference draw.py:1096-1169).
+
+    :param model: 'ptlens' | 'poly3' | 'poly5'
+    :param terms: model coefficients (a,b,c) / (k1,) / (k1,k2)
+    """
+    if model == "ptlens":
+        a, b, c = terms
+        deriv = lambda ru: 3 * a * ru**2 + 2 * b * ru + c
+        label = f"ptlens(a={a:g}, b={b:g}, c={c:g})"
+    elif model == "poly3":
+        (k1,) = tuple(terms)[:1]
+        deriv = lambda ru: 2 * k1 * ru
+        label = f"poly3(k1={k1:g})"
+    elif model == "poly5":
+        k1, k2 = tuple(terms)[:2]
+        deriv = lambda ru: 2 * k1 * ru + 4 * k2 * ru**3
+        label = f"poly5(k1={k1:g}, k2={k2:g})"
+    else:
+        raise NotImplementedError(model)
+
+    # sensor half height sets lensfun's unit radius (reference 1139-1153)
+    w_fx, h_fx = 36.0, 24.0
+    d_fx = np.hypot(w_fx, h_fx)
+    alpha = np.arcsin(w_fx / d_fx)
+    d = d_fx / crop_factor
+    half_height = np.cos(alpha) * d / 2
+    half_diag = d / 2
+    xs = np.linspace(0, half_diag, 100)
+    fig, ax = draw_line_plot(xs, deriv(xs / half_height) * half_height,
+                             xlabel=r"$h\;(\mathrm{mm})$",
+                             ylabel=r"$dD/dh\;(\mathrm{mm}^{-1})$",
+                             title=label, figsize=figsize)
+    ax.set_xlim([0, half_diag])
+    ymin, ymax = ax.get_ylim()
+    ax.autoscale(False)
+    pin = ax.fill_between([0, half_diag], 0, max(ymax, 1e-9),
+                          facecolor="peachpuff")
+    bar = ax.fill_between([0, half_diag], min(ymin, -1e-9), 0,
+                          facecolor="lightblue")
+    ax.legend([pin, bar], ["pincushion", "barrel"], loc="lower right")
+    return fig, ax
+
+
+def draw_azimuth_plots_co(out, figsize=(8, 5)):
+    """Coroutine: centroid/footpoint track diagnostics over a sequence.
+
+    Send mappings (or their ``.properties``), close, then read figures from
+    ``out``: az_centroid, az_centroid_from_cam, latlon_centroid,
+    latlon_centroid_from_az, latlon_cam_foot — the five overview plots of
+    reference draw.py:889-1017 (drawAzimuthPlotsCo). The recalculated
+    centroids assume a fixed camera tilt: the centroid azimuth track is
+    rebuilt from the (much smoother) camera footpoint track.
+    """
+    from auromat_tpu.coordinates import geodesic
+    from auromat_tpu.util.coroutine import coroutine
+
+    @coroutine
+    def _co():
+        props = []
+        try:
+            while True:
+                m = yield
+                props.append(m if hasattr(m, "cameraFootpoint") and not
+                             hasattr(m, "img") else m.properties)
+        except GeneratorExit:
+            if len(props) < 2:
+                raise ValueError("mapping sequence too short")
+            photo_times, centroids, cam_feet = [], [], []
+            az_centroid, az_centroid_from_cam, centroids_from_az = [], [], []
+            delta_dist = delta_az = None
+            for cur, nxt in zip(props[:-1], props[1:]):
+                photo_times.append(cur.photoTime)
+                centroids.append(cur.centroid)
+                cam_feet.append(cur.cameraFootpoint)
+                az_cam = geodesic.course(cur.cameraFootpoint,
+                                         nxt.cameraFootpoint)
+                if delta_dist is None:
+                    delta_dist = geodesic.distance(cur.cameraFootpoint,
+                                                   cur.centroid)
+                    delta_az = az_cam - geodesic.course(cur.cameraFootpoint,
+                                                        cur.centroid)
+                az_centroid.append(geodesic.course(cur.centroid,
+                                                   nxt.centroid))
+                az_c2c = az_cam - delta_az
+                c_cur = geodesic.destination(cur.cameraFootpoint, az_c2c,
+                                             delta_dist)
+                c_nxt = geodesic.destination(nxt.cameraFootpoint, az_c2c,
+                                             delta_dist)
+                centroids_from_az.append(c_cur)
+                az_centroid_from_cam.append(geodesic.course(c_cur, c_nxt))
+
+            out["az_centroid"] = draw_line_plot(
+                photo_times, az_centroid, xlabel="Time",
+                ylabel=r"Azimuth ($^\circ$) using centroid",
+                figsize=figsize)[0]
+            out["az_centroid_from_cam"] = draw_line_plot(
+                photo_times, az_centroid_from_cam, xlabel="Time",
+                ylabel=r"Azimuth ($^\circ$) using recalculated centroid",
+                figsize=figsize)[0]
+            out["latlon_centroid"] = draw_line_plot(
+                [c.lon for c in centroids], [c.lat for c in centroids],
+                xlabel=r"Longitude ($^\circ$) of centroid",
+                ylabel=r"Latitude ($^\circ$) of centroid",
+                figsize=figsize)[0]
+            out["latlon_centroid_from_az"] = draw_line_plot(
+                [c.lon for c in centroids_from_az],
+                [c.lat for c in centroids_from_az],
+                xlabel=r"Longitude ($^\circ$) of recalculated centroid",
+                ylabel=r"Latitude ($^\circ$) of recalculated centroid",
+                figsize=figsize)[0]
+            out["latlon_cam_foot"] = draw_line_plot(
+                [c.lon for c in cam_feet], [c.lat for c in cam_feet],
+                xlabel=r"Longitude ($^\circ$) of camera footpoint",
+                ylabel=r"Latitude ($^\circ$) of camera footpoint",
+                figsize=figsize)[0]
+
+    return _co()
+
+
+def draw_scanlines_map_co(out, arcsec_per_px=100, line_width_factor=1.0,
+                          mlatmlt=False, figsize=(14, 8)):
+    """Geodesic scanline sequence overview on a stereographic map.
+
+    The faithful counterpart of reference drawScanLinesCo (draw.py:589-856):
+    each mapping contributes the strip of its pixels inside a spherical
+    rectangle centred on its centroid and oriented perpendicular to the
+    flight direction (derived from the camera-footpoint track, which is far
+    smoother than the raw centroid track); strips are polygon-masked and
+    drawn together with a geodesic time axis.
+
+    Usage: send RESAMPLED mappings (or dicts {'props': unresampled-props,
+    'mapping': resampled}) like the keogram coroutine; close; read
+    ``out['figure']``. ``draw_scanlines_co`` remains the cheap keogram
+    variant.
+    """
+    from auromat_tpu.coordinates import geodesic
+    from auromat_tpu.mapping.mapping import BoundingBox
+    from auromat_tpu.util.coroutine import coroutine
+
+    @coroutine
+    def _co():
+        entries = []  # (props, mapping)
+        try:
+            while True:
+                m = yield
+                if isinstance(m, dict):
+                    entries.append((m["props"], m["mapping"]))
+                else:
+                    entries.append((m.properties, m))
+        except GeneratorExit:
+            if len(entries) < 2:
+                raise ValueError(
+                    "mapping sequence too short, need at least 2 mappings")
+            props = [p for p, _ in entries]
+            bb0 = props[0].boundingBox
+            height = geodesic.distance(bb0.topLeft, bb0.bottomRight) * 1.5
+            # flight direction from the footpoint track, fixed camera tilt
+            az_cam0 = geodesic.course(props[0].cameraFootpoint,
+                                      props[1].cameraFootpoint)
+            delta_dist = geodesic.distance(props[0].cameraFootpoint,
+                                           props[0].centroid)
+            delta_az = az_cam0 - geodesic.course(props[0].cameraFootpoint,
+                                                 props[0].centroid)
+            width = geodesic.distance(props[0].centroid,
+                                      props[1].centroid) * 3.0 \
+                * line_width_factor
+
+            verts_arr, colors_arr = [], []
+            centroids, azimuths, photo_times, line_bbs = [], [], [], []
+            max_height = 0.0
+            az = 0.0
+            for i, (p, m) in enumerate(entries):
+                if i + 1 < len(entries):
+                    az_cam = geodesic.course(p.cameraFootpoint,
+                                             entries[i + 1][0].cameraFootpoint)
+                    az_c2c = az_cam - delta_az
+                    c_cur = geodesic.destination(p.cameraFootpoint, az_c2c,
+                                                 delta_dist)
+                    c_nxt = geodesic.destination(
+                        entries[i + 1][0].cameraFootpoint, az_c2c, delta_dist)
+                    az = geodesic.course(c_cur, c_nxt)
+                # else: reuse the previous azimuth (last frame)
+                photo_times.append(p.photoTime)
+                centroids.append(p.centroid)
+                azimuths.append(az)
+                mid_r = geodesic.destination(p.centroid, az, width / 2)
+                mid_l = geodesic.destination(p.centroid, az + 180, width / 2)
+                tl = geodesic.destination(mid_l, az - 90, height / 2)
+                bl = geodesic.destination(mid_l, az + 90, height / 2)
+                tr = geodesic.destination(mid_r, az - 90, height / 2)
+                br = geodesic.destination(mid_r, az + 90, height / 2)
+                polygon = np.concatenate([
+                    geodesic.line(tl, tr)[:-1], geodesic.line(tr, br)[:-1],
+                    geodesic.line(br, bl)[:-1], geodesic.line(bl, tl)[:-1]])
+                strip = m.maskedByPolygon(polygon)
+                sb = strip.boundingBox
+                line_bbs.append(sb)
+                max_height = max(max_height,
+                                 geodesic.distance(sb.topLeft, sb.bottomRight))
+                verts, colors = polygons_from_mapping_or_collection(strip)
+                verts_arr.append(verts)
+                colors_arr.append(colors)
+
+            # geodesic time axis alongside the strip band
+            n = len(entries)
+            axis_dist = max_height / 2 * 1.1
+            idx_line = np.round(np.linspace(0, n - 1, max(4, n // 10))) \
+                .astype(int)
+            axis_line = [geodesic.destination(centroids[i], azimuths[i] - 90,
+                                              axis_dist) for i in idx_line]
+            idx_tick = np.round(np.linspace(0, n - 1, 4)).astype(int)
+            ticks = [(geodesic.destination(centroids[i], azimuths[i] - 90,
+                                           axis_dist),
+                      geodesic.destination(centroids[i], azimuths[i] - 90,
+                                           axis_dist * 1.04),
+                      photo_times[i]) for i in idx_tick]
+            label_edges = [geodesic.destination(centroids[i],
+                                                azimuths[i] - 90,
+                                                axis_dist * 1.32)
+                           for i in idx_tick]
+            bbs = line_bbs + [BoundingBox.minimumBoundingBox(
+                [[p.lat, p.lon] for p in label_edges])]
+            bb = BoundingBox.mergedBoundingBoxes(bbs)
+            lat0, lon0 = bb.center.lat, bb.center.lon
+
+            fig, ax = _new_axes(figsize)
+            for verts, colors in zip(verts_arr, colors_arr):
+                if len(verts) == 0:
+                    continue
+                pv = np.stack([
+                    np.stack(stereographic_project(
+                        v[:, 0], v[:, 1], lat0, lon0), axis=-1)
+                    for v in verts])
+                _poly_collection(ax, pv, colors)
+            xs, ys = stereographic_project(
+                np.array([p.lat for p in axis_line]),
+                np.array([p.lon for p in axis_line]), lat0, lon0)
+            ax.plot(xs, ys, color="gray")
+            for p1, p2, date in ticks:
+                txs, tys = stereographic_project(
+                    np.array([p1.lat, p2.lat]), np.array([p1.lon, p2.lon]),
+                    lat0, lon0)
+                ax.plot(txs, tys, color="gray")
+                ax.text(txs[1], tys[1], date.strftime("%H:%M:%S"),
+                        ha="center", va="bottom", fontsize=8)
+            ax.autoscale()
+            ax.set_aspect("equal")
+            t0, t1 = min(photo_times), max(photo_times)
+            fig.suptitle(t0.strftime("%Y-%m-%d %H:%M:%S") + " - "
+                         + t1.strftime("%H:%M:%S UTC")
+                         + (" (MLat/MLT)" if mlatmlt else ""))
+            out["figure"] = fig
+            out["times"] = photo_times
+
+    return _co()

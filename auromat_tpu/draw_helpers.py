@@ -95,8 +95,13 @@ def figure_image(fig):
     return buf[:, :, :3].copy()
 
 
-def save_fig(path, fig, dpi=None, transparent=False):
-    """Save and close a figure (reference draw.py:1937-1956)."""
+def save_fig(path, fig, dpi=None, transparent=False, width_px=None):
+    """Save and close a figure (reference draw.py:1937-1956).
+
+    :param width_px: target raster width in pixels (sets dpi accordingly)
+    """
+    if width_px is not None and dpi is None:
+        dpi = width_px / fig.get_size_inches()[0]
     fig.savefig(path, dpi=dpi, transparent=transparent,
                 bbox_inches="tight", pad_inches=0.1)
     import matplotlib.pyplot as plt

@@ -276,6 +276,15 @@ def get_center_radec(header):
     return header["CRVAL1"], header["CRVAL2"]
 
 
+def get_rotation_angle(header):
+    """Celestial rotation angle atan2(CD2_1, CD1_1) in degrees.
+
+    Reference: auromat/fits.py:43-92 (getRotationAngle).
+    """
+    cd = get_cd_matrix(header)
+    return math.degrees(math.atan2(cd[1][0], cd[0][0]))
+
+
 # ---------------------------------------------------------------------------
 # FITS checksums (DATASUM/CHECKSUM, the standard ones-complement scheme)
 # ---------------------------------------------------------------------------

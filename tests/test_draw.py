@@ -163,3 +163,156 @@ class TestAstrometryDiagnostics:
             (200, 300), "ptlens", (0.05, -0.02, 0.01))
         save_fig(str(tmp_path / "dist.png"), fig)
         assert (tmp_path / "dist.png").stat().st_size > 0
+
+
+class TestSequenceDiagnostics:
+    """The reference's sequence-overview plots (draw.py:589-1935)."""
+
+    def _fake_props(self, n=5):
+        from datetime import datetime, timedelta
+
+        from auromat_tpu.mapping.mapping import (BoundingBox,
+                                                 MappingProperties)
+        from auromat_tpu.coordinates.geodesic import Location
+
+        t0 = datetime(2012, 1, 25, 9, 27, 0)
+        props = []
+        for i in range(n):
+            lat, lon = 50.0 + 0.5 * i, -100.0 + 0.8 * i
+            bb = BoundingBox(latSouth=lat - 2, lonWest=lon - 3,
+                             latNorth=lat + 2, lonEast=lon + 3)
+            props.append(MappingProperties(
+                altitude=110.0, cameraPosGCRS=np.zeros(3), boundingBox=bb,
+                photoTime=t0 + timedelta(seconds=6 * i),
+                centroid=Location(lat, lon),
+                cameraFootpoint=Location(lat - 3.0, lon - 1.0),
+                identifier=f"f{i}",
+            ))
+        return props
+
+    def test_line_plot_datetime_axis(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2012, 1, 25, 9, 27, 0)
+        xs = [t0 + timedelta(seconds=6 * i) for i in range(10)]
+        fig, ax = draw.draw_line_plot(xs, np.arange(10.0), "Time", "v")
+        save_fig(str(tmp_path / "line.png"), fig)
+        assert (tmp_path / "line.png").stat().st_size > 0
+
+    def test_corr_seq_plot(self, tmp_path):
+        from auromat_tpu.io.fits import write_bintable
+
+        rng = np.random.default_rng(2)
+        paths = []
+        for i in range(4):
+            n = 12
+            fx = rng.uniform(0, 4000, n)
+            fy = rng.uniform(0, 2800, n)
+            cols = {"field_x": fx, "field_y": fy,
+                    "index_x": fx + rng.normal(0, 0.5, n),
+                    "index_y": fy + rng.normal(0, 0.5, n)}
+            p = str(tmp_path / f"{i}.corr")
+            write_bintable(p, cols)
+            paths.append(p)
+        fig, ax = draw.draw_corr_seq_plot(paths)
+        save_fig(str(tmp_path / "corrseq.png"), fig)
+        assert (tmp_path / "corrseq.png").stat().st_size > 0
+
+    def test_wcs_sequence_plots(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        from auromat_tpu.io import fits
+
+        h = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+        headers = [h] * 4
+        x = [datetime(2012, 1, 25) + timedelta(seconds=6 * i)
+             for i in range(4)]
+        for name, fn in [
+            ("rot", lambda: draw.draw_astrometry_rotation_angles(headers, x)),
+            ("cd", lambda: draw.draw_cd11_cd21(headers)),
+            ("radec", lambda: draw.draw_ra_dec_seq(headers)),
+            ("ra", lambda: draw.draw_right_ascension(headers, x)),
+            ("dec", lambda: draw.draw_declination(headers, x)),
+        ]:
+            fig, ax = fn()
+            save_fig(str(tmp_path / f"{name}.png"), fig)
+            assert (tmp_path / f"{name}.png").stat().st_size > 0
+
+    def test_rotation_angle_wrap(self):
+        # headers straddling the +-180 rotation discontinuity get wrapped
+        from auromat_tpu.io.fits import FitsHeader
+
+        def mk(angle_deg, scale=0.01):
+            a = np.deg2rad(angle_deg)
+            h = FitsHeader()
+            h["CD1_1"] = scale * np.cos(a)
+            h["CD2_1"] = scale * np.sin(a)
+            h["CD1_2"] = -scale * np.sin(a)
+            h["CD2_2"] = scale * np.cos(a)
+            h["DATE-OBS"] = "2012-01-25T09:27:00"
+            return h
+
+        fig, ax = draw.draw_astrometry_rotation_angles(
+            [mk(178.0), mk(179.5), mk(-179.0)], x=[0, 1, 2])
+        ys = ax.lines[0].get_ydata()
+        assert np.max(ys) - np.min(ys) < 10  # wrapped, not a 358-deg jump
+
+    def test_camera_footpoints(self, tmp_path):
+        fig, ax = draw.draw_camera_footpoints(self._fake_props())
+        save_fig(str(tmp_path / "foot.png"), fig)
+        assert (tmp_path / "foot.png").stat().st_size > 0
+
+    def test_draw_date(self, resampled, tmp_path):
+        fig = draw.draw_plot(resampled)
+        draw.draw_date((fig, fig.axes[0]), resampled, color="black")
+        save_fig(str(tmp_path / "dated.png"), fig)
+        assert (tmp_path / "dated.png").stat().st_size > 0
+
+    def test_heatmaps(self, resampled, tmp_path):
+        written = draw.draw_heatmaps(resampled,
+                                     path_prefix=str(tmp_path / "heat_"))
+        assert len(written) == 3
+        for p in written:
+            assert os.path.getsize(p) > 0
+
+    def test_lens_distortion_derivative(self, tmp_path):
+        for model, terms in [("ptlens", (0.01, -0.03, 0.0)),
+                             ("poly3", (-0.02,)),
+                             ("poly5", (-0.02, 0.004))]:
+            fig, ax = draw.draw_lens_distortion_derivative(
+                model, terms, crop_factor=1.5)
+            save_fig(str(tmp_path / f"lens_{model}.png"), fig)
+            assert (tmp_path / f"lens_{model}.png").stat().st_size > 0
+
+    def test_azimuth_plots_coroutine(self, tmp_path):
+        out = {}
+        co = draw.draw_azimuth_plots_co(out)
+        for p in self._fake_props(6):
+            co.send(p)
+        co.close()
+        assert set(out) == {"az_centroid", "az_centroid_from_cam",
+                            "latlon_centroid", "latlon_centroid_from_az",
+                            "latlon_cam_foot"}
+        for name, fig in out.items():
+            save_fig(str(tmp_path / f"az_{name}.png"), fig)
+            assert (tmp_path / f"az_{name}.png").stat().st_size > 0
+
+    def test_scanlines_map_coroutine(self, resampled, tmp_path):
+        from datetime import timedelta
+
+        out = {}
+        co = draw.draw_scanlines_map_co(out)
+        base_props = resampled.properties
+        c = base_props.centroid
+        for i in range(4):
+            props = base_props._replace(
+                photoTime=base_props.photoTime + timedelta(seconds=6 * i),
+                centroid=type(c)(c.lat + 0.3 * i, c.lon + 0.5 * i),
+                cameraFootpoint=type(c)(c.lat - 3 + 0.3 * i,
+                                        c.lon - 1 + 0.5 * i),
+            )
+            co.send({"props": props, "mapping": resampled})
+        co.close()
+        assert "figure" in out and len(out["times"]) == 4
+        save_fig(str(tmp_path / "scanmap.png"), out["figure"])
+        assert (tmp_path / "scanmap.png").stat().st_size > 5000
