@@ -101,3 +101,183 @@ def correct_lens_distortion(folder, out_folder, **kw):
         save_image(out, corrected)
         outputs.append(out)
     return outputs
+
+
+# ---------------------------------------------------------------------------
+# RAW (NEF) ordering pipeline (reference eol.py:229-396)
+# ---------------------------------------------------------------------------
+
+# EOL endpoints; override (e.g. with a local test server) via the urls dict
+RAW_URLS = {
+    # HTML photo page carrying the RAW filename
+    "photo_page": ("https://eol.jsc.nasa.gov/SearchPhotos/photo.pl"
+                   "?mission={mission}&roll={roll}&frame={frame}"),
+    # probing this tells whether the frame exists at all (200/404)
+    "jpg": ("https://eol.jsc.nasa.gov/DatabaseImages/ESC/large/"
+            "{mission}/{mission}-{roll}-{frame}.JPG"),
+    # GET fires the server-side order that stages the RAW file
+    "raw_request": ("https://eol.jsc.nasa.gov/OrderImages/requestImage.pl"
+                    "?mission={mission}&roll={roll}&frame={frame}&file={file}"),
+    # staged file location, available minutes after the request
+    "raw": "https://eol.jsc.nasa.gov/OrderImages/{file}",
+}
+
+RAW_FILE_PHOTO_PAGE_RE = r'href="[^"]*?([\w.-]+\.(?:NEF|nef|CR2|cr2))"'
+
+
+def _raw_filename_pattern(raw_filename, mission, roll, from_frame):
+    """Derive the RAW filename template from one concrete example.
+
+    EOL stores RAW names with inconsistent casing/zero-padding across
+    missions; the reference derives the pattern from the first frame's
+    photo page (eol.py:262-306). Returns (pattern, frame_formatter).
+    """
+    base, ext = os.path.splitext(raw_filename)
+    pattern = base
+    for cand in (mission, mission.lower()):
+        if cand in pattern:
+            pattern = pattern.replace(cand, "{mission}", 1)
+            mission_cased = cand
+            break
+    else:
+        raise RuntimeError(f"mission name not found in {base!r}")
+    for cand in (roll, roll.lower()):
+        if cand in pattern:
+            pattern = pattern.replace(cand, "{roll}", 1)
+            roll_cased = cand
+            break
+    else:
+        raise RuntimeError(f"roll name not found in {base!r}")
+    zfilled = str(from_frame).zfill(6)
+    if zfilled in pattern:
+        pattern = pattern.replace(zfilled, "{frame}", 1)
+        frame_fn = lambda f: str(f).zfill(6)
+    elif str(from_frame) in pattern:
+        pattern = pattern.replace(str(from_frame), "{frame}", 1)
+        frame_fn = str
+    else:
+        raise RuntimeError(f"frame number not found in {base!r}")
+    full = pattern + ext
+
+    def fmt(frame):
+        return full.format(mission=mission_cased, roll=roll_cased,
+                           frame=frame_fn(frame))
+
+    return full, fmt
+
+
+def download_image_sequence_raw(folder, mission, from_frame, to_frame,
+                                roll="E", urls=None, batch_size=30,
+                                poll_interval=30.0, stall_timeout=480.0,
+                                sleep=None):
+    """Order and download the RAW (NEF) files of a frame sequence.
+
+    The EOL archive does not serve RAW files directly: each file must be
+    ORDERED (a GET on the request endpoint), after which the server stages
+    it "within 5 minutes or more". This mirrors the reference flow
+    (eol.py:245-396): derive the RAW filename pattern from the first
+    frame's photo page, probe the JPEG URLs for frame gaps, fire order
+    requests in batches of ``batch_size``, then poll-download each batch
+    until it drains or makes no progress for ``stall_timeout`` seconds.
+    Files land in a temp subfolder and move over atomically; a metadata
+    sidecar records the sequence (resume: a sidecar short-circuits).
+
+    :param urls: endpoint template overrides (see RAW_URLS) — tests point
+        these at a local fake server
+    :param sleep: injectable sleep(seconds) for tests
+    :returns: (SequenceMetadata, failures list); metadata is None when any
+        frame failed
+    """
+    import re
+    import shutil
+    import time as _time
+
+    from auromat_tpu.util.url import (download_files, fetch_text,
+                                      url_response_code)
+
+    u = dict(RAW_URLS)
+    u.update(urls or {})
+    sleep = sleep or _time.sleep
+    from_frame, to_frame = int(from_frame), int(to_frame)
+    meta = SequenceMetadata(folder)
+    if meta.get("pattern") and meta.get("raw"):
+        return meta, []
+    tmp_folder = os.path.join(folder, "in_progress")
+    os.makedirs(tmp_folder, exist_ok=True)
+
+    page = fetch_text(u["photo_page"].format(mission=mission, roll=roll,
+                                             frame=from_frame))
+    m = re.search(RAW_FILE_PHOTO_PAGE_RE, page)
+    if m is None:
+        raise RuntimeError("could not find RAW filename on the photo page")
+    _, fmt = _raw_filename_pattern(m.group(1), mission, roll, from_frame)
+
+    disk_name = lambda f: f"{mission}-{roll}-{f}" + os.path.splitext(
+        m.group(1))[1].lower()
+
+    frames = range(from_frame, to_frame + 1)
+    frame_gaps, failures, queue = [], [], []
+    for frame in frames:
+        path = os.path.join(tmp_folder, disk_name(frame))
+        final = os.path.join(folder, disk_name(frame))
+        if os.path.exists(path) or os.path.exists(final):
+            continue
+        jpg_url = u["jpg"].format(mission=mission, roll=roll, frame=frame)
+        try:
+            code = url_response_code(jpg_url)
+        except Exception as e:
+            failures.append((jpg_url, e))
+            continue
+        if code == 200:
+            raw_file = fmt(frame)
+            queue.append((
+                u["raw"].format(file=raw_file),
+                u["raw_request"].format(mission=mission, roll=roll,
+                                        frame=frame, file=raw_file),
+                path,
+            ))
+        elif code == 404:
+            if from_frame < frame < to_frame:
+                frame_gaps.append(frame)
+            else:
+                raise ValueError(
+                    f"start/end frame {frame} not downloadable (404)")
+        else:
+            failures.append((jpg_url, code))
+
+    for i in range(0, len(queue), batch_size):
+        batch = queue[i : i + batch_size]
+        pairs = []
+        for raw_url, request_url, path in batch:
+            try:
+                code = url_response_code(request_url)
+            except Exception as e:
+                failures.append((raw_url, e))
+                continue
+            if code == 200:
+                pairs.append((raw_url, path))
+            else:
+                failures.append((raw_url, code))
+        # poll until the staged files drain or progress stalls
+        pending = download_files(pairs, ignore_errors=True)
+        last_progress = _time.monotonic()
+        while pending and _time.monotonic() - last_progress < stall_timeout:
+            sleep(poll_interval)
+            n_before = len(pending)
+            pending = download_files([(url, path) for url, path, _ in pending],
+                                     ignore_errors=True)
+            if len(pending) < n_before:
+                last_progress = _time.monotonic()
+        failures.extend(pending)
+
+    if failures:
+        return None, failures
+
+    for name in os.listdir(tmp_folder):
+        shutil.move(os.path.join(tmp_folder, name), os.path.join(folder, name))
+    os.rmdir(tmp_folder)
+    meta.update(mission=mission, roll=roll, fromFrame=from_frame,
+                toFrame=to_frame, frameGaps=frame_gaps, raw=True,
+                pattern=disk_name(0).replace("-0.", "-{frame}."),
+                lensDistortionCorrected=False)
+    return meta, []

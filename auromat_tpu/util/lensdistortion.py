@@ -118,3 +118,97 @@ def distortion_displacement(shape, model="ptlens", params=(0.0, 0.0, 0.0)):
     dx = (xx * factor - xx) * half
     dy = (yy * factor - yy) * half
     return dx, dy
+
+
+# ---------------------------------------------------------------------------
+# EXIF-driven model lookup (replaces the reference's lensfun-DB path,
+# auromat/util/lensdistortion.py:44-107, without the lensfun C library)
+# ---------------------------------------------------------------------------
+
+def _norm(s):
+    return " ".join(str(s).lower().split())
+
+
+# (camera_model, lens_model) -> sorted list of (focal_mm, model, terms).
+# crop factor keyed per camera. Coefficients for the bundled entries are
+# APPROXIMATE poly3 fits from published rectilinear-distortion figures
+# (D ~= k1 at the image half-height); the ISS production path does NOT use
+# this table — the ESA archive supplies per-sequence model parameters
+# (mapping/iss.py), exactly like the reference consumes them. Register
+# calibrated entries with :func:`register_lens`.
+LENS_DB = {}
+CAMERA_CROP = {}
+
+
+def register_lens(camera, lens, focal_mm, model, terms, crop_factor=1.0):
+    """Register distortion parameters for (camera, lens) at one focal length."""
+    key = (_norm(camera), _norm(lens))
+    LENS_DB.setdefault(key, []).append((float(focal_mm), model, tuple(terms)))
+    LENS_DB[key].sort(key=lambda e: e[0])
+    CAMERA_CROP[_norm(camera)] = float(crop_factor)
+
+
+# the ISS aurora imagery bodies/lenses (NASA EOL metadata); approximate
+for cam in ("NIKON D3S", "NIKON D3", "NIKON D4"):
+    register_lens(cam, "24.0 mm f/1.4", 24.0, "poly3", (-0.019,), 1.0)
+    register_lens(cam, "28.0 mm f/1.4", 28.0, "poly3", (-0.015,), 1.0)
+    register_lens(cam, "50.0 mm f/1.4", 50.0, "poly3", (-0.007,), 1.0)
+    register_lens(cam, "85.0 mm f/1.4", 85.0, "poly3", (0.002,), 1.0)
+
+
+def lookup_from_exif(exif):
+    """Distortion model parameters for an EXIF tag dict.
+
+    Accepts the tag names written by exiftool (``Model``, ``LensModel``/
+    ``Lens``, ``FocalLength``) or plain keys (camera/lens/focal_length).
+    Interpolates terms linearly between the two nearest registered focal
+    lengths of the matched lens (the lensfun behaviour).
+
+    :returns: dict(model=..., params=..., crop_factor=..., focal_length=...)
+    :raises LookupError: when no entry matches
+    """
+    cam = exif.get("Model") or exif.get("camera")
+    lens = exif.get("LensModel") or exif.get("Lens") or exif.get("lens")
+    focal = exif.get("FocalLength") or exif.get("focal_length")
+    if cam is None or lens is None or focal is None:
+        raise LookupError("EXIF lacks Model/LensModel/FocalLength")
+    focal = float(str(focal).split()[0])
+    key = (_norm(cam), _norm(lens))
+    entries = LENS_DB.get(key)
+    if not entries:
+        # partial lens-name match (exiftool and lensfun spell lenses
+        # differently; match on the shared focal/aperture designation)
+        for (c, l), e in LENS_DB.items():
+            if c == _norm(cam) and (l in _norm(lens) or _norm(lens) in l):
+                entries = e
+                break
+    if not entries:
+        raise LookupError(f"no distortion entry for {cam!r} + {lens!r}; "
+                          "register one with register_lens()")
+    focals = [e[0] for e in entries]
+    if focal <= focals[0]:
+        _, model, terms = entries[0]
+    elif focal >= focals[-1]:
+        _, model, terms = entries[-1]
+    else:
+        import bisect
+
+        i = bisect.bisect_left(focals, focal)
+        f0, m0, t0 = entries[i - 1]
+        f1, m1, t1 = entries[i]
+        if m0 != m1 or len(t0) != len(t1):
+            _, model, terms = entries[i if focal - f0 > f1 - focal else i - 1]
+        else:
+            w = (focal - f0) / (f1 - f0)
+            model = m0
+            terms = tuple((1 - w) * a + w * b for a, b in zip(t0, t1))
+    return dict(model=model, params=tuple(terms),
+                crop_factor=CAMERA_CROP.get(_norm(cam), 1.0),
+                focal_length=focal)
+
+
+def correct_lens_distortion_exif(img, exif):
+    """Undistort an image using EXIF-matched model parameters."""
+    info = lookup_from_exif(exif)
+    return correct_lens_distortion(img, model=info["model"],
+                                   params=info["params"])
