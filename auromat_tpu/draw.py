@@ -453,16 +453,22 @@ def draw_corr_plot(corr, image=None, figsize=(12, 8)):
     return fig
 
 
-def draw_constellations(wcs_or_mapping, data, color="white", figsize=(12, 8),
-                        image=None):
+def draw_constellations(wcs_or_mapping, data=None, color="white",
+                        figsize=(12, 8), image=None):
     """Constellation stick figures over the frame.
 
-    Reference: auromat/draw.py:1399-1480 (drawConstellations). The reference
-    vendors xephem's constellation dataset (coordinates/constellations.py);
-    that dataset is not bundled here — supply ``data`` as a mapping of
-    ``name -> [((ra1, dec1), (ra2, dec2)), ...]`` line segments in degrees.
+    Reference: auromat/draw.py:1399-1480 (drawConstellations). By default
+    uses the bundled Xephem figure dataset
+    (auromat_tpu.coordinates.constellations); pass ``data`` as a mapping of
+    ``name -> [((ra1, dec1), (ra2, dec2)), ...]`` degree segments to
+    override.
     """
     from auromat_tpu.coordinates.wcs import TanWcs, tan_world2pix
+
+    if data is None:
+        from auromat_tpu.coordinates.constellations import figure_segments
+
+        data = figure_segments()
 
     wcs = (wcs_or_mapping if isinstance(wcs_or_mapping, TanWcs)
            else _wcs_from_mapping(wcs_or_mapping,

@@ -572,14 +572,105 @@ def recompute_xyls_pixel_positions(original_xyls_path, original_wcs_path,
     return _np.asarray(nx), _np.asarray(ny)
 
 
-def get_catalog_stars(header, limit=500, catalog="tycho2"):
-    """Bright catalog stars inside the frame (reference fits.py:218-316 uses
-    astroquery/Vizier). Requires network + astroquery; gated here."""
-    try:
-        from astroquery.vizier import Vizier  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "get_catalog_stars requires the optional astroquery package "
-            "(network catalog query)"
-        ) from e
-    raise NotImplementedError("online catalog query not wired in this build")
+def _query_vizier_tycho2(center_ra, center_dec, radius_deg, row_limit,
+                         max_vmag=None, timeout=60):
+    """Cone-search Tycho-2 via VizieR's ASU-TSV endpoint (no astroquery).
+
+    :returns: (ra, dec, vmag) float64 arrays sorted by VTmag
+    """
+    import io as _io
+    import urllib.parse
+    import urllib.request
+
+    import numpy as _np
+
+    params = {
+        "-source": "I/259/tyc2",
+        "-c": f"{center_ra:+.6f}{center_dec:+.6f}",
+        "-c.rd": f"{radius_deg:.4f}",
+        "-out": "RA(ICRS) DE(ICRS) VTmag",
+        "-sort": "VTmag",
+        "-out.max": str(row_limit if row_limit > 0 else 999999),
+    }
+    if max_vmag:
+        params["VTmag"] = f"<{max_vmag}"
+    url = ("https://vizier.cds.unistra.fr/viz-bin/asu-tsv?"
+           + urllib.parse.urlencode(params))
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        text = r.read().decode("utf-8", errors="replace")
+    rows = []
+    for line in text.splitlines():
+        if not line or line.startswith("#") or line[0].isalpha() \
+                or line.startswith("-"):
+            continue
+        parts = line.split("\t")
+        if len(parts) < 3:
+            continue
+        try:
+            rows.append((float(parts[0]), float(parts[1]),
+                         float(parts[2]) if parts[2].strip() else _np.nan))
+        except ValueError:
+            continue
+    if not rows:
+        return (_np.empty(0),) * 3
+    a = _np.asarray(rows, dtype=_np.float64)
+    return a[:, 0], a[:, 1], a[:, 2]
+
+
+def get_catalog_stars(header, limit=500, limit_factor=2.5, max_vmag=None,
+                      ret_vmag=False, catalog="bright", retry=1):
+    """Catalog-star pixel positions inside the frame.
+
+    Mirrors the reference's getCatalogStars (fits.py:218-316): cone-search a
+    star catalog around the frame centre (radius = half diagonal + a small
+    border so circles at the frame edge draw as half circles), project to
+    pixels and keep in-frame stars.
+
+    :param catalog: 'bright' — the bundled OFFLINE naked-eye star set
+        (positions only; vmag comes back NaN and ordering is undefined);
+        'tycho2' — a live VizieR Tycho-2 cone search, sorted by VTmag
+        (needs network; retried ``retry`` times)
+    :returns: (x, y) or (x, y, vmag) arrays, origin (0, 0)
+    """
+    import numpy as _np
+
+    from auromat_tpu.coordinates.wcs import TanWcs, tan_world2pix
+
+    w, h = header["IMAGEW"], header["IMAGEH"]
+    wcs = TanWcs(header)
+    center_ra, center_dec = get_center_radec(header)
+    scale = get_pixel_scale_deg(header)
+    border = 0.01 * w
+    radius = scale * (math.hypot(w, h) / 2 + border)
+
+    if catalog == "bright":
+        from auromat_tpu.coordinates.constellations import bright_stars
+
+        stars = bright_stars()
+        ra, dec = stars[:, 0], stars[:, 1]
+        vmag = _np.full(len(ra), _np.nan)
+    elif catalog == "tycho2":
+        row_limit = int(limit_factor * limit) if limit else -1
+        last = None
+        for _ in range(max(1, retry + 1)):
+            try:
+                ra, dec, vmag = _query_vizier_tycho2(
+                    center_ra, center_dec, radius, row_limit, max_vmag)
+                break
+            except Exception as e:  # network errors
+                last = e
+        else:
+            raise RuntimeError(f"Vizier query failed: {last!r}")
+    else:
+        raise ValueError(f"unknown catalog {catalog!r}")
+
+    x, y = tan_world2pix(wcs, _np.asarray(ra), _np.asarray(dec))
+    x, y = _np.asarray(x, dtype=_np.float64), _np.asarray(y, dtype=_np.float64)
+    inside = (x >= -border) & (x < w + border) & (y >= -border) & (y < h + border)
+    x, y, vmag = x[inside], y[inside], _np.asarray(vmag)[inside]
+    order = _np.argsort(_np.where(_np.isnan(vmag), _np.inf, vmag),
+                        kind="stable")
+    x, y, vmag = x[order], y[order], vmag[order]
+    if limit:
+        x, y, vmag = x[:limit], y[:limit], vmag[:limit]
+    return (x, y, vmag) if ret_vmag else (x, y)

@@ -6,11 +6,13 @@ to f32 here). The georeferencing parity budget (<1e-6 deg, SURVEY.md section
 ~0.4 m representational floor, and even a single f32 arctan rounds at ~6e-6
 deg. This module implements error-free-transformation arithmetic on (hi, lo)
 f32 pairs (Dekker 1971 / Knuth two-sum; no FMA assumed) plus the
-transcendentals the geodetic chain needs (sqrt, atan/atan2 via sin/cos
-series with argument reduction).
+transcendentals the geodetic chain needs (sqrt, sincos, and atan/atan2 via
+a 17-entry table reduction + one df division + short f32 series).
 
-Accuracy: basic ops ~1e-14 relative; atan/atan2 ~1e-13 rad absolute —
-comfortably inside the 1e-6 deg (1.7e-8 rad) budget.
+Accuracy: basic ops ~1e-14 relative; atan/atan2 ~2e-12 rad absolute —
+comfortably inside the 1e-6 deg (1.7e-8 rad) budget. The full df64
+georeference chain runs 12M pixels in ~24 ms on one v5e chip (was 51 ms
+with the earlier sincos-series atan).
 """
 
 from typing import NamedTuple
@@ -113,6 +115,10 @@ def _two_prod(a, b):
 def add(x: DF, y: DF) -> DF:
     # accurate (IEEE) variant: the sloppy single-two-sum add loses ~8 digits
     # when adding near-cancelling opposite-sign values (series evaluation!)
+    # CALLER HAZARD: do not pass a broadcast LITERAL constant as the FIRST
+    # operand under jit on CPU — XLA's algebraic simplifier folds the
+    # two_sum error term (measured: add(df(1), y) degrades to f32, while
+    # add(y, df(1)) stays exact). Put the constant second.
     s1, s2 = _two_sum(x.hi, y.hi)
     t1, t2 = _two_sum(x.lo, y.lo)
     s2 = s2 + t1
@@ -138,10 +144,13 @@ def mul(x: DF, y: DF) -> DF:
 
 
 def div(x: DF, y: DF) -> DF:
+    # residuals written as add(neg(m), x) so a literal-constant numerator
+    # (div(df(1), y) — reciprocals!) never reaches add() as the first
+    # operand (the XLA CPU folding hazard documented on add())
     q1 = x.hi / y.hi
-    r = sub(x, mul(df(q1), y))
+    r = add(neg(mul(df(q1), y)), x)
     q2 = r.hi / y.hi
-    r = sub(r, mul(df(q2), y))
+    r = add(neg(mul(df(q2), y)), r)
     q3 = r.hi / y.hi
     s, e = _quick_two_sum(q1, q2)
     return add(DF(s, e), df(q3))
@@ -229,19 +238,58 @@ def sincos(x: DF):
     return DF(sin_x_hi, sin_x_lo), DF(cos_x_hi, cos_x_lo)
 
 
-def atan(x: DF) -> DF:
-    """arctan via f32 seed + one exact-tangent Newton correction.
+# atan(k/16) for k = 0..16 as (hi, lo) f32 pairs (f64-exact split)
+_ATAN_TABLE = np.arctan(np.arange(17, dtype=np.float64) / 16.0)
+_ATAN_HI = _ATAN_TABLE.astype(np.float32)
+_ATAN_LO = (_ATAN_TABLE - _ATAN_HI.astype(np.float64)).astype(np.float32)
 
-    y0 = atan32(x); y = y0 + atan(t) with t = (x - tan y0) / (1 + x tan y0);
-    t ~ 1e-7 so atan(t) = t - t^3/3 is exact to ~1e-21.
+
+def atan(x: DF) -> DF:
+    """arctan via 17-entry table reduction + one df division + f32 series.
+
+    |x| reduces to t in [0, 1] (reciprocal branch), then against the
+    nearest table node a = k/16: atan(t) = atan(a) + atan(r) with
+    r = (t - a)/(1 + t a), |r| <= 1/32, and atan(r) = r + f32 series
+    (the r^3.. terms are < 2^-15 so f32 evaluation keeps ~1e-12 absolute).
+    ~10x cheaper than the previous sincos-series Newton correction
+    (measured 27 ms -> 2.5 ms for 12M points on v5e).
     """
-    y0 = jnp.arctan(x.hi)
-    sin0, cos0 = sincos(df(y0))
-    tan0 = div(sin0, cos0)
-    num = sub(x, tan0)
-    den = add(df(jnp.ones_like(x.hi)), mul(x, tan0))
-    t = div(num, den)
-    return add(df(y0), t)
+    sign_neg = x.hi < 0
+    ax = DF(jnp.where(sign_neg, -x.hi, x.hi), jnp.where(sign_neg, -x.lo, x.lo))
+    inv = ax.hi > 1.0
+    # reciprocal branch: atan(x) = pi/2 - atan(1/x)
+    rec = div(df(jnp.ones_like(ax.hi)), DF(jnp.where(inv, ax.hi, 1.0),
+                                           jnp.where(inv, ax.lo, 0.0)))
+    t = DF(jnp.where(inv, rec.hi, ax.hi), jnp.where(inv, rec.lo, ax.lo))
+
+    k = jnp.clip(jnp.round(t.hi * 16.0), 0.0, 16.0)
+    oh = (k[..., None] == jnp.arange(17, dtype=k.dtype)).astype(jnp.float32)
+    ta_hi = oh @ jnp.asarray(_ATAN_HI)
+    ta_lo = oh @ jnp.asarray(_ATAN_LO)
+    a = k * jnp.float32(1.0 / 16.0)  # k/16 is exactly representable
+
+    num = sub(t, df(a))
+    # constant operand LAST: XLA's CPU algebraic simplifier folds the
+    # two_sum error term of add(df(1), y) (literal-constant first arg)
+    # and silently degrades the pair to f32 — see test_dfloat
+    # test_add_constant_operand_under_jit
+    den = add(mul(t, df(a)), df(jnp.ones_like(a)))
+    r = div(num, den)
+    rr = r.hi
+    r2 = rr * rr
+    corr = rr * r2 * (jnp.float32(-1.0 / 3.0)
+                      + r2 * (jnp.float32(0.2) - r2 * jnp.float32(1.0 / 7.0)))
+    res = add(DF(ta_hi, ta_lo), add(r, df(corr)))
+
+    hp = _df_const(PI_OVER_2)
+    # pi/2 - res with the constant as the SECOND add operand (see the
+    # folding hazard on add())
+    res_inv = add(neg(res), DF(jnp.full_like(res.hi, hp.hi),
+                               jnp.full_like(res.lo, hp.lo)))
+    res = DF(jnp.where(inv, res_inv.hi, res.hi),
+             jnp.where(inv, res_inv.lo, res.lo))
+    return DF(jnp.where(sign_neg, -res.hi, res.hi),
+              jnp.where(sign_neg, -res.lo, res.lo))
 
 
 def atan2(y: DF, x: DF) -> DF:

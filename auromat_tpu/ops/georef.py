@@ -387,11 +387,11 @@ def georeference_points_df(params: GeorefParams, px, py):
     r = dfl.sqrt(dfl.add(p2, dfl.mul(gz, gz)))
     tu = dfl.div(
         dfl.mul(dfl.mul(c(b_e), gz),
-                dfl.add(c(1.0), dfl.div(c(dd), r))),
+                dfl.add(dfl.div(c(dd), r), c(1.0))),
         dfl.mul(c(a_e), p),
     )
     tu2 = dfl.mul(tu, tu)
-    cu = dfl.div(c(1.0), dfl.sqrt(dfl.add(c(1.0), tu2)))
+    cu = dfl.div(c(1.0), dfl.sqrt(dfl.add(tu2, c(1.0))))
     cu3 = dfl.mul(dfl.mul(cu, cu), cu)
     su3 = dfl.mul(dfl.mul(cu3, tu2), tu)
     tp = dfl.div(

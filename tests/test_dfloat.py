@@ -104,4 +104,40 @@ class TestTranscendentals:
         x = rand(5000, -10, 10, 17)
         a = dfl.to_f64(dfl.atan(dfl.from_f64(x)))
         err = np.abs(a - np.arctan(x))
-        assert err.max() < 1e-12
+        # the table-reduced atan evaluates its r^3.. series in f32: ~2e-12
+        # absolute, 3.5 orders below the 1.7e-8 rad parity budget (the old
+        # df sincos series reached 1e-13 at ~10x the flops)
+        assert err.max() < 5e-12
+
+
+class TestXlaFoldingHazards:
+    def test_add_constant_operand_under_jit(self):
+        """XLA CPU folds the two_sum residual of add(df(const), y) —
+        constants must ride as the SECOND operand. Guards the pattern the
+        atan table reduction and the Bowring chain rely on."""
+        import jax
+        import jax.numpy as jnp
+
+        x = rand(20000, 0.0, 1.0, 11)
+        X = dfl.from_f64(x)
+        t64 = dfl.to_f64(X)
+
+        def den(t):
+            k = jnp.clip(jnp.round(t.hi * 16.0), 0.0, 16.0)
+            a = k * jnp.float32(1.0 / 16.0)
+            d = dfl.add(dfl.mul(t, dfl.df(a)), dfl.df(jnp.ones_like(a)))
+            return a, d.hi, d.lo
+
+        a, hi, lo = jax.jit(lambda h, l: den(dfl.DF(h, l)))(X.hi, X.lo)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        exact = 1.0 + t64 * np.asarray(a, np.float64)
+        assert np.abs(got - exact).max() < 1e-13
+
+    def test_atan_under_jit(self):
+        import jax
+
+        x = rand(20000, -20.0, 20.0, 12)
+        X = dfl.from_f64(x)
+        hi, lo = jax.jit(lambda h, l: tuple(dfl.atan(dfl.DF(h, l))))(X.hi, X.lo)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        assert np.abs(got - np.arctan(x)).max() < 5e-12

@@ -316,3 +316,45 @@ class TestSequenceDiagnostics:
         assert "figure" in out and len(out["times"]) == 4
         save_fig(str(tmp_path / "scanmap.png"), out["figure"])
         assert (tmp_path / "scanmap.png").stat().st_size > 5000
+
+
+class TestBundledConstellations:
+    def test_dataset_loads(self):
+        from auromat_tpu.coordinates.constellations import figure_segments, load
+
+        data = load()
+        assert len(data) == 89
+        assert "Orion" in data and "Ursa_Major" in data
+        segs = figure_segments("Orion")["Orion"]
+        assert len(segs) > 5
+        for (ra1, dec1), (ra2, dec2) in segs:
+            assert 0 <= ra1 <= 360 and -90 <= dec1 <= 90
+        # Betelgeuse (alpha Ori) is a figure vertex: ra ~88.8, dec ~7.4
+        pts = np.array([p for seg in segs for p in seg])
+        d = np.hypot(pts[:, 0] - 88.79, pts[:, 1] - 7.41)
+        assert d.min() < 0.5, d.min()
+
+    def test_draw_with_bundled_data(self, mapping, tmp_path):
+        fig = draw.draw_constellations(mapping)
+        save_fig(str(tmp_path / "const_bundled.png"), fig)
+        assert (tmp_path / "const_bundled.png").stat().st_size > 0
+
+
+class TestCatalogStars:
+    def test_offline_bright_catalog(self, mapping, tmp_path):
+        """Zero-input reference-star overlay: the bundled bright-star set
+        projected through the frame's WCS (reference fits.py:218-316 needs
+        a live Vizier query; the offline set covers drawing)."""
+        from auromat_tpu.io import fits
+
+        header = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+        x, y, vmag = fits.get_catalog_stars(header, ret_vmag=True)
+        assert len(x) > 3  # a 40-deg FOV frame sees many naked-eye stars
+        assert np.isnan(vmag).all()
+        assert (x >= -50).all() and (x <= header["IMAGEW"] + 50).all()
+        fig = draw.draw_reference_stars(
+            np.zeros((int(header["IMAGEH"]) // 8,
+                      int(header["IMAGEW"]) // 8)),
+            [(x / 8, y / 8)])
+        save_fig(str(tmp_path / "cat_stars.png"), fig)
+        assert (tmp_path / "cat_stars.png").stat().st_size > 0

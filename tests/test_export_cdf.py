@@ -74,3 +74,23 @@ class TestRoundTrip:
         assert len(list(prov.getSequence())) == 1
         t0, t1 = prov.range
         assert abs((t0 - m.photoTime).total_seconds()) < 1e-3
+
+
+class TestCompression:
+    def test_gzip_cvvr_default_smaller_and_roundtrips(self, tmp_path):
+        """Compressed CVVR is the write default (reference export/cdf.py
+        uses GZIP; one uncompressed sequence is 172 GB, userguide:66-78)."""
+        import os
+
+        m = synthetic_mapping(n=96)
+        pc = tmp_path / "c.cdf"
+        pu = tmp_path / "u.cdf"
+        export_cdf.write(str(pc), m)  # compress defaults to True
+        export_cdf.write(str(pu), m, compress=False)
+        assert os.path.getsize(pc) < 0.6 * os.path.getsize(pu), (
+            os.path.getsize(pc), os.path.getsize(pu))
+        m2 = read_mapping(str(pc))
+        assert np.array_equal(m2.center_mask, m.center_mask)
+        np.testing.assert_allclose(
+            np.asarray(m2.latsCenter.filled(np.nan))[~m.center_mask],
+            np.asarray(m.latsCenter.filled(np.nan))[~m.center_mask])

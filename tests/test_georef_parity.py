@@ -93,17 +93,37 @@ def test_df64_chain_parity(name):
     lat, lon = georeference_points_df64(p, px.astype(np.float32),
                                         py.astype(np.float32))
     ref_lat, ref_lon = golden["lat"], golden["lon"]
-    # near-grazing rays may flip between hit/miss at f32 input resolution;
-    # compare where both are defined and demand near-total mask agreement
-    both = ~np.isnan(lat) & ~np.isnan(ref_lat)
-    agree = (np.isnan(lat) == np.isnan(ref_lat)).mean()
-    assert agree > 0.999, agree
+
+    # The only legitimate disagreement region is the horizon: a grazing ray
+    # flips between hit/miss under the f32 quantisation of the input pixel
+    # grid itself. Quantify that band EXPLICITLY as the hit/miss boundary
+    # of the f64 reference (one strided-grid step of dilation) and demand
+    # exactness everywhere else: identical masks and max error < 1e-6 deg.
+    ref_hit = ~np.isnan(ref_lat)
+
+    def dilate(mask):
+        out = mask.copy()
+        out[1:] |= mask[:-1]
+        out[:-1] |= mask[1:]
+        out[:, 1:] |= mask[:, :-1]
+        out[:, :-1] |= mask[:, 1:]
+        return out
+
+    boundary = dilate(ref_hit & dilate(~ref_hit)) \
+        | dilate(~ref_hit & dilate(ref_hit))
+    interior = ~boundary
+    # the grazing band is a few strided-grid rows around the horizon line
+    assert boundary.mean() < 0.10, boundary.mean()
+    # away from it: EXACT mask agreement (the north star's "identical
+    # NaN/mask semantics")
+    assert np.array_equal(np.isnan(lat[interior]), np.isnan(ref_lat[interior]))
+    both = interior & ref_hit
     assert both.sum() > 1000
     lat_err = np.abs(lat[both] - ref_lat[both])
     lon_err = np.abs(lon[both] - ref_lon[both])
-    # exclude the extreme horizon (grazing geometry amplifies the f32 pixel
-    # quantisation of the input grid itself)
-    elev_proxy = np.abs(ref_lat[both] - 60.9) > 0.05
-    assert np.percentile(lat_err, 99.9) < 1e-6
-    assert np.percentile(lon_err, 99.9) < 1e-6
+    assert lat_err.max() < 1e-6, lat_err.max()
+    assert lon_err.max() < 1e-6, lon_err.max()
     assert np.median(lat_err) < 2e-8
+    # inside the band, hit/miss flips are allowed but must stay rare
+    band_agree = (np.isnan(lat[boundary]) == np.isnan(ref_lat[boundary])).mean()
+    assert band_agree > 0.95, band_agree
