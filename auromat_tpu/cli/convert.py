@@ -79,6 +79,10 @@ def build_parser():
                       help="mask pixels below this elevation before resampling")
     proc.add_argument("--precision", choices=["float64", "float32"],
                       default="float64", help="device compute precision")
+    proc.add_argument("--batched", type=int, default=0, metavar="N",
+                      help="georeference N frames per device call (the "
+                           "batched vmap pipeline; f32 device precision — "
+                           "spacecraft sources only; 0 = per-frame float64)")
     proc.add_argument("--platform", choices=["cpu", "tpu", "default"],
                       default="cpu",
                       help="jax backend; cpu (default) runs the float64 "
@@ -139,8 +143,18 @@ def main(argv=None):
     out_folder = args.out or args.folder
     os.makedirs(out_folder, exist_ok=True)
 
+    if args.batched and hasattr(provider, "getSequenceBatched"):
+        seq = provider.getSequenceBatched(args.start, args.end,
+                                          batch=args.batched,
+                                          with_mlatmlt=not args.without_mag)
+    else:
+        if args.batched:
+            print("warning: --batched unsupported for this source; "
+                  "using the per-frame path", file=sys.stderr)
+        seq = provider.getSequence(args.start, args.end)
+
     count = 0
-    for mapping in provider.getSequence(args.start, args.end):
+    for mapping in seq:
         from auromat_tpu.mapping.mapping import MappingCollection
 
         mappings = mapping.mappings if isinstance(mapping, MappingCollection) else [mapping]

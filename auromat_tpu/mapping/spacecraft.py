@@ -6,9 +6,13 @@ Mirrors auromat/mapping/spacecraft.py: pairs image files with astrometric
 recomputation via auromat_tpu.coordinates.ephem), and yields Mappings.
 
 The reference's NuMap process-parallel sequence pipeline
-(spacecraft.py:308-377) is unnecessary here: sequences georeference lazily
-per frame on device; for burst throughput use
-auromat_tpu.parallel.sharded_batch_georef instead.
+(spacecraft.py:308-377) becomes a batched device call:
+:meth:`SpacecraftMappingProvider.getSequenceBatched` /
+:func:`get_mapping_batch` stack a frame burst's calibration into
+DynGeorefParams and georeference all frames in ONE vmapped jit step
+(f32 device precision; the per-frame ``get``/``getSequence`` path keeps
+float64 CPU parity). For multi-chip bursts use
+auromat_tpu.parallel.sharded_batch_georef / make_sharded_mosaic_step.
 """
 
 import os
@@ -159,3 +163,123 @@ class SpacecraftMappingProvider(BaseMappingProvider):
             if dateEnd is not None and (e["time"] is None or e["time"] > dateEnd):
                 continue
             yield self._load(e)
+
+    def getSequenceBatched(self, dateBegin=None, dateEnd=None, batch=4,
+                           with_mlatmlt=True):
+        """Sequence via the batched device pipeline (P2 replacement).
+
+        Groups same-shaped frames into bursts of ``batch`` and runs ONE
+        vmapped georeference jit step per burst (f32 on device — bin-grade
+        precision, see ops.georegrid; use getSequence for f64 CPU parity).
+        """
+        entries = [e for e in self._build_index()
+                   if not (dateBegin is not None and (e["time"] is None
+                                                      or e["time"] < dateBegin))
+                   and not (dateEnd is not None and (e["time"] is None
+                                                     or e["time"] > dateEnd))]
+        chunk = []
+        for e in entries:
+            chunk.append(e)
+            if len(chunk) == batch:
+                yield from self._load_batch(chunk, with_mlatmlt)
+                chunk = []
+        if chunk:
+            yield from self._load_batch(chunk, with_mlatmlt)
+
+    def _load_batch(self, entries, with_mlatmlt):
+        pairs = [(e["image"], e["wcs"]) for e in entries]
+        yield from get_mapping_batch(
+            pairs, altitude=self.altitude, tle_path=self.tle_path,
+            identifiers=[e["id"] for e in entries],
+            with_mlatmlt=with_mlatmlt,
+        )
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_georef_fn(width, height, fast_center, with_mlatmlt):
+    import jax
+    import jax.numpy as jnp
+
+    from auromat_tpu.ops.georef import georeference_dyn
+
+    def fn(dyn):
+        return jax.vmap(
+            lambda d: georeference_dyn(d, width, height,
+                                       fast_center=fast_center,
+                                       with_mlatmlt=with_mlatmlt,
+                                       dtype=jnp.float32)
+        )(dyn)
+
+    return jax.jit(fn)
+
+
+def get_mapping_batch(image_wcs_pairs, altitude=110.0, tle_path=None,
+                      identifiers=None, with_mlatmlt=True, fast_center=True):
+    """Georeference a burst of same-shaped frames in one device call.
+
+    The whole burst's per-frame calibration stacks into DynGeorefParams and
+    the full georeference chain runs ONCE under vmap (SURVEY.md P2: the
+    reference's NuMap process pipeline, spacecraft.py:334-361, as a batched
+    jit step). Device math is f32 — adequate for binned products (see
+    ops.georegrid's error budget); use :func:`get_mapping` for f64 parity.
+
+    :param image_wcs_pairs: [(image_path, wcs_path), ...] — all frames must
+        share the image shape
+    :returns: list of AstrometryMapping
+    """
+    import jax.numpy as jnp
+    import numpy.ma as ma
+
+    from auromat_tpu.coordinates.frames import FrameMatrices
+    from auromat_tpu.coordinates.wcs import TanWcs
+    from auromat_tpu.mapping.astrometry import AstrometryMapping
+    from auromat_tpu.ops.georef import DynGeorefParams, GeorefParams
+
+    headers, imgs, params, times, poss, fms = [], [], [], [], [], []
+    for image_path, wcs_path in image_wcs_pairs:
+        header = fits.read_header(wcs_path)
+        pos, photo_time, _ = resolve_camera_position(header, tle_path)
+        img = load_image(image_path)
+        fm = FrameMatrices(photo_time)
+        p = GeorefParams.from_wcs(TanWcs(header), pos, photo_time, altitude, fm)
+        assert (img.shape[1], img.shape[0]) == (p.width, p.height)
+        headers.append(header)
+        imgs.append(img)
+        params.append(p)
+        times.append(photo_time)
+        poss.append(pos)
+        fms.append(fm)
+    shapes = {(p.width, p.height) for p in params}
+    assert len(shapes) == 1, f"batch must share one frame shape, got {shapes}"
+    w, h = shapes.pop()
+
+    dyn = DynGeorefParams.stack(params, dtype=jnp.float32)
+    out = _batched_georef_fn(w, h, fast_center, with_mlatmlt)(dyn)
+    out_np = {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+
+    mappings = []
+    for i, (image_path, _) in enumerate(image_wcs_pairs):
+        ident = (identifiers[i] if identifiers
+                 else os.path.splitext(os.path.basename(image_path))[0])
+        m = AstrometryMapping(
+            out_np["lats"][i].copy(), out_np["lons"][i].copy(),
+            out_np["lats_center"][i].copy(), out_np["lons_center"][i].copy(),
+            out_np["elevation"][i].copy(), altitude, imgs[i], poss[i],
+            times[i], ident, sanitized=fast_center, frame_matrices=fms[i],
+        )
+        m.wcs_header = headers[i]
+        if with_mlatmlt:
+            def masked(key, mask):
+                a = out_np[key][i].copy()
+                a[mask] = np.nan
+                return ma.masked_invalid(a, copy=False)
+
+            cm, ccm = m.corner_mask, m.center_mask
+            m._mlatmlt = (masked("mlat", cm), masked("mlt", cm))
+            m._mlatmlt_center = (masked("mlat_center", ccm),
+                                 masked("mlt_center", ccm))
+        mappings.append(m)
+    return mappings

@@ -195,7 +195,28 @@ def georeference(params: GeorefParams, fast_center=False, with_mlatmlt=True,
         elevation (h, w); and mlat, mlt, mlat_center, mlt_center if requested.
         All NaN-masked where rays miss the inflated ellipsoid.
     """
-    px, py = _grid(params, corner=True, dtype=dtype)
+    return _georeference_body(params, params.width, params.height,
+                              fast_center, with_mlatmlt, dtype)
+
+
+def georeference_dyn(p, width, height, fast_center=True, with_mlatmlt=True,
+                     dtype=jnp.float32):
+    """:func:`georeference` with TRACED per-frame params (DynGeorefParams).
+
+    vmap/shard_map-safe: batch a frame burst by stacking params
+    (``DynGeorefParams.stack``) and vmapping this function — the TPU-native
+    replacement for the reference's NuMap process pipeline (SURVEY.md P2).
+    """
+    return _georeference_body(p, width, height, fast_center, with_mlatmlt,
+                              dtype)
+
+
+def _georeference_body(params, width, height, fast_center, with_mlatmlt,
+                       dtype):
+    off = -0.5
+    xs = jnp.arange(off, off + width + 1, dtype=dtype)
+    ys = jnp.arange(off, off + height + 1, dtype=dtype)
+    px, py = jnp.meshgrid(xs, ys)
     vx, vy, vz = _pixel_dirs(params, px, py)
     ix, iy, iz = _intersect(params, vx, vy, vz, dtype)
     lats, lons = _latlon_from_j2000(params, ix, iy, iz)
@@ -206,7 +227,9 @@ def georeference(params: GeorefParams, fast_center=False, with_mlatmlt=True,
         cvx, cvy, cvz = mean4(vx), mean4(vy), mean4(vz)
         cix, ciy, ciz = mean4(ix), mean4(iy), mean4(iz)
     else:
-        cpx, cpy = _grid(params, corner=False, dtype=dtype)
+        cxs = jnp.arange(width, dtype=dtype)
+        cys = jnp.arange(height, dtype=dtype)
+        cpx, cpy = jnp.meshgrid(cxs, cys)
         cvx, cvy, cvz = _pixel_dirs(params, cpx, cpy)
         cix, ciy, ciz = _intersect(params, cvx, cvy, cvz, dtype)
 

@@ -67,3 +67,61 @@ class TestDownloadParser:
         args = p.parse_args(["themis", "/tmp/x", "--start", "2012-02-04",
                              "--end", "2012-02-05"])
         assert args.provider == "themis"
+
+
+@pytest.fixture()
+def spacecraft_folder2(tmp_path):
+    """Two same-shaped frames (the second is a renamed copy)."""
+    res = os.path.join(os.path.dirname(__file__), "resources")
+    d = tmp_path / "data2"
+    d.mkdir()
+    shutil.copy(os.path.join(res, "ISS030-E-102170_dc.jpg"), d)
+    shutil.copy(os.path.join(res, "ISS030-E-102170_dc.wcs"), d)
+    shutil.copy(os.path.join(res, "ISS030-E-102170_dc.jpg"),
+                d / "ISS030-E-102171_dc.jpg")
+    shutil.copy(os.path.join(res, "ISS030-E-102170_dc.wcs"),
+                d / "ISS030-E-102171_dc.wcs")
+    return str(d)
+
+
+class TestBatchedPipeline:
+    def test_sequence_batched_matches_per_frame(self, spacecraft_folder2):
+        """The batched vmap pipeline (VERDICT r1 item 3): one device call
+        georeferences the burst; values match the per-frame f64 path within
+        the f32 chain budget."""
+        import numpy as np
+
+        from auromat_tpu.mapping.spacecraft import SpacecraftMappingProvider
+
+        prov = SpacecraftMappingProvider(spacecraft_folder2)
+        batched = list(prov.getSequenceBatched(batch=2))
+        assert len(batched) == 2
+        ref = next(iter(prov.getSequence()))
+        b = batched[0]
+        assert b.identifier == ref.identifier
+        a = np.asarray(b.latsCenter.filled(np.nan))
+        r = np.asarray(ref.latsCenter.filled(np.nan))
+        elev = np.asarray(ref.elevation.filled(np.nan))
+        both = ~np.isnan(a) & ~np.isnan(r)
+        assert both.mean() > 0.5
+        # grazing rays amplify the f32 chain error without bound as
+        # elevation -> 0 (the footprint diverges); gate away from the
+        # horizon like the georegrid budget does
+        clear = both & (elev > 5.0)
+        assert clear.mean() > 0.3
+        assert np.abs(a[clear] - r[clear]).max() < 2e-4  # f32 chain budget
+        assert (np.isnan(a) == np.isnan(r)).mean() > 0.995
+        mlat_b, _ = b.mLatMltCenter
+        assert np.isfinite(np.asarray(mlat_b.filled(np.nan))[both]).all()
+        b.checkGuarantees()
+
+    def test_convert_batched(self, spacecraft_folder2, tmp_path):
+        out = tmp_path / "outb"
+        rc = convert.main([
+            spacecraft_folder2, "--grid", "geo", "--arcsecperpx", "600",
+            "--min-elevation", "10", "--format", "cdf", "--out", str(out),
+            "--batched", "2",
+        ])
+        assert rc == 0
+        files = sorted(os.listdir(out))
+        assert files == ["ISS030-E-102170_dc.cdf", "ISS030-E-102171_dc.cdf"]
