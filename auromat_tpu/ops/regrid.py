@@ -669,9 +669,9 @@ def bin_partial(grid: GridSpec, lats, lons, data, method="segment"):
     'uint8' channel contract) — the fast path for imagery+elevation.
     """
     if method == "pallas":
-        from auromat_tpu.ops.regrid_pallas import bin_partial_pallas
+        from auromat_tpu.ops.regrid_pallas import bin_partial_pallas2
 
-        return bin_partial_pallas(grid, lats, lons, data, "uint8")
+        return bin_partial_pallas2(grid, lats, lons, data, "uint8")
     n_ch = data.shape[-1]
     flat_lats = jnp.ravel(lats)
     flat_lons = jnp.ravel(lons)

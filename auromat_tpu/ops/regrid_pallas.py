@@ -482,8 +482,8 @@ def bin_partial_pallas2(grid: GridSpec, lats, lons, data, mode="uint8",
 def bin_mean_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
                     interpret=False):
     """Mean binning via the Pallas kernel; NaN where empty."""
-    count, sums = bin_partial_pallas(grid, lats, lons, data, mode,
-                                     interpret)
+    count, sums = bin_partial_pallas2(grid, lats, lons, data, mode,
+                                      interpret)
     means = jnp.where(count[..., None] > 0, sums / count[..., None], jnp.nan)
     return count, means
 
@@ -508,8 +508,8 @@ def bin_mean_pallas_taint(grid: GridSpec, lats, lons, data, interpret=False):
     taints = nan.astype(jnp.float32)
     chans = jnp.concatenate([dataz[..., : n - 1], taints, dataz[..., n - 1:]],
                             axis=-1)
-    count, sums = bin_partial_pallas(grid, lats, lons, chans, "uint8",
-                                     interpret)
+    count, sums = bin_partial_pallas2(grid, lats, lons, chans, "uint8",
+                                      interpret)
     sums_data = jnp.concatenate([sums[..., : n - 1], sums[..., -1:]], axis=-1)
     taint_counts = sums[..., n - 1 : 2 * n - 1]
     means = jnp.where(count[..., None] > 0, sums_data / count[..., None],
