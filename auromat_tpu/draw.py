@@ -904,11 +904,13 @@ def draw_scanlines_map_co(out, arcsec_per_px=100, line_width_factor=1.0,
 
     Usage: send RESAMPLED mappings (or dicts {'props': unresampled-props,
     'mapping': resampled}) like the keogram coroutine; close; read
-    ``out['figure']``. ``draw_scanlines_co`` remains the cheap keogram
+    ``out['figure']``. With ``mlatmlt=True`` sent mappings are converted to
+    the SM frame first (the reference's drawScanLinesMLatMLTCo wrapper,
+    draw.py:859-887). ``draw_scanlines_co`` remains the cheap keogram
     variant.
     """
     from auromat_tpu.coordinates import geodesic
-    from auromat_tpu.mapping.mapping import BoundingBox
+    from auromat_tpu.mapping.mapping import BoundingBox, convert_mapping_to_sm
     from auromat_tpu.util.coroutine import coroutine
 
     @coroutine
@@ -918,9 +920,14 @@ def draw_scanlines_map_co(out, arcsec_per_px=100, line_width_factor=1.0,
             while True:
                 m = yield
                 if isinstance(m, dict):
-                    entries.append((m["props"], m["mapping"]))
+                    # dict sends carry caller-prepared (possibly SM) data
+                    pm = (m["props"], m["mapping"])
+                elif mlatmlt:
+                    sm = convert_mapping_to_sm(m)
+                    pm = (sm.properties, sm)
                 else:
-                    entries.append((m.properties, m))
+                    pm = (m.properties, m)
+                entries.append(pm)
         except GeneratorExit:
             if len(entries) < 2:
                 raise ValueError(

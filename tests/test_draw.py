@@ -358,3 +358,27 @@ class TestCatalogStars:
             [(x / 8, y / 8)])
         save_fig(str(tmp_path / "cat_stars.png"), fig)
         assert (tmp_path / "cat_stars.png").stat().st_size > 0
+
+
+def test_scanlines_map_mlatmlt(resampled, tmp_path):
+    from datetime import timedelta
+
+    from auromat_tpu.mapping.mapping import convert_mapping_to_sm
+
+    sm = convert_mapping_to_sm(resampled)
+    out = {}
+    co = draw.draw_scanlines_map_co(out, mlatmlt=True)
+    base_props = sm.properties
+    c = base_props.centroid
+    for i in range(3):
+        # dict sends are caller-prepared SM data (reference props_sm path)
+        props = base_props._replace(
+            photoTime=base_props.photoTime + timedelta(seconds=6 * i),
+            centroid=type(c)(c.lat + 0.3 * i, c.lon + 0.5 * i),
+            cameraFootpoint=type(c)(c.lat - 3 + 0.3 * i, c.lon - 1 + 0.5 * i),
+        )
+        co.send({"props": props, "mapping": sm})
+    co.close()
+    assert "figure" in out
+    save_fig(str(tmp_path / "scanmap_sm.png"), out["figure"])
+    assert (tmp_path / "scanmap_sm.png").stat().st_size > 5000

@@ -198,3 +198,15 @@ class TestGridShardedMosaic:
         m = ~np.isnan(a)
         # different chunk partitions sum samples in different orders
         assert_allclose(a[m], b[m], rtol=1e-10)
+
+
+class TestDistributed:
+    def test_single_process_helpers(self):
+        from auromat_tpu.parallel import global_mesh, is_multi_process
+        from auromat_tpu.parallel.distributed import process_local_batch
+
+        assert not is_multi_process()
+        mesh = global_mesh()
+        assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+        start, count = process_local_batch(16)
+        assert (start, count) == (0, 16)
