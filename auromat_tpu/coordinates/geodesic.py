@@ -176,6 +176,12 @@ def _inverse_antipodal(lat1, lon1, lat2, lon2):
     score = np.where(sign_change, np.abs(g[:-1]) + np.abs(g[1:]), np.inf)
     idx = np.argmin(score, axis=0)
     found = np.take_along_axis(sign_change, idx[None], axis=0)[0]
+    # without a bracket the bisection below converges to the first scan
+    # interval. That is CORRECT for the singular exact-antipode family
+    # (g <= 0 everywhere with sup g -> 0 at alpha -> 0) but garbage
+    # otherwise — tell them apart by how close g gets to zero
+    near_zero = np.min(np.abs(g), axis=0) < 5e-5
+    solvable = found | near_zero
     idx = np.where(found, idx, 0)
     lo = alphas[idx]
     hi = alphas[idx + 1]
@@ -225,6 +231,11 @@ def _inverse_antipodal(lat1, lon1, lat2, lon2):
     a2_m = np.where(eff_sign < 0, -a2_f, a2_f)
     azi1 = np.rad2deg(np.mod(a1_m + np.pi, 2 * np.pi) - np.pi)
     azi2 = np.rad2deg(np.mod(a2_m + np.pi, 2 * np.pi) - np.pi)
+    # unsolvable pairs: return NaN loudly instead of a wrong geodesic
+    s = np.where(solvable, s, np.nan)
+    sigma12 = np.where(solvable, sigma12, np.nan)
+    azi1 = np.where(solvable, azi1, np.nan)
+    azi2 = np.where(solvable, azi2, np.nan)
     return s, sigma12, azi1, azi2
 
 

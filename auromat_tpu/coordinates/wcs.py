@@ -115,7 +115,14 @@ def tan_pix2world(wcs: TanWcs, px, py, origin=0):
 
 def tan_world2pix(wcs: TanWcs, ra_deg, dec_deg, origin=0):
     """Celestial (ra, dec) degrees -> pixel coordinates (inverse of
-    :func:`tan_pix2world`; forward TAN projection, FITS Paper II)."""
+    :func:`tan_pix2world`; forward TAN projection, FITS Paper II).
+
+    Directions >= 90 deg from the tangent point (theta <= 0, behind the
+    tangent plane) are unprojectable and return NaN — without this the
+    gnomonic formula MIRRORS the far hemisphere into the frame (the
+    antipode of the frame centre lands exactly on the frame centre),
+    producing ghost stars/constellations in all-sky overlays.
+    """
     ra = jnp.deg2rad(jnp.asarray(ra_deg))
     dec = jnp.deg2rad(jnp.asarray(dec_deg))
     cos_d = jnp.cos(dec)
@@ -123,6 +130,7 @@ def tan_world2pix(wcs: TanWcs, ra_deg, dec_deg, origin=0):
     n = v @ jnp.asarray(wcs.rotmat)  # == rotmat.T @ v
     phi = jnp.arctan2(n[..., 1], n[..., 0])
     theta = jnp.arctan2(n[..., 2], jnp.hypot(n[..., 0], n[..., 1]))
+    theta = jnp.where(theta > 0, theta, jnp.nan)
     r = (180.0 / jnp.pi) / jnp.tan(theta)
     x = r * jnp.sin(phi)
     y = -r * jnp.cos(phi)

@@ -58,10 +58,8 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
         from auromat_tpu.io.nc4 import Nc4Writer
 
         def open_file():
-            w = Nc4Writer(output_path, complevel=complevel)
-            if not compress:
-                w._nc4_complevel = 0
-            return w
+            return Nc4Writer(output_path, complevel=complevel,
+                             compress=compress)
     elif format == "NETCDF3":
         from scipy.io import netcdf_file
 

@@ -64,12 +64,13 @@ class Nc4Variable:
 class Nc4Writer:
     """NetCDF-4 writer with zlib compression (scipy-netcdf_file-like API)."""
 
-    def __init__(self, path, complevel=4):
+    def __init__(self, path, complevel=4, compress=True):
         import h5py
 
         object.__setattr__(self, "_nc4_h5", h5py.File(path, "w"))
         object.__setattr__(self, "_nc4_dims", {})
         object.__setattr__(self, "_nc4_complevel", int(complevel))
+        object.__setattr__(self, "_nc4_compress", bool(compress))
         self._nc4_h5.attrs["_NCProperties"] = np.bytes_(
             "version=2,auromat_tpu=1"
         )
@@ -88,7 +89,7 @@ class Nc4Writer:
         shape = tuple(self._nc4_dims[d].shape[0] for d in dims)
         nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
         kwargs = {}
-        if zlib and nbytes >= _COMPRESS_MIN_BYTES:
+        if zlib and self._nc4_compress and nbytes >= _COMPRESS_MIN_BYTES:
             kwargs = dict(
                 compression="gzip",
                 compression_opts=self._nc4_complevel,

@@ -112,7 +112,8 @@ class SpacecraftMappingProvider(BaseMappingProvider):
                 photo_time = fits.get_photo_time(header)
             entries.append(
                 {"id": base, "image": os.path.join(self.image_dir, f),
-                 "wcs": wcs_path, "time": photo_time}
+                 "wcs": wcs_path, "time": photo_time,
+                 "shape": (header.get("IMAGEW"), header.get("IMAGEH"))}
             )
         entries.sort(key=lambda e: (e["time"] is None, e["time"]))
         self._index = entries
@@ -171,6 +172,8 @@ class SpacecraftMappingProvider(BaseMappingProvider):
         Groups same-shaped frames into bursts of ``batch`` and runs ONE
         vmapped georeference jit step per burst (f32 on device — bin-grade
         precision, see ops.georegrid; use getSequence for f64 CPU parity).
+        A shape change mid-sequence (camera/crop change) closes the current
+        burst, so mixed-shape folders work like the per-frame path.
         """
         entries = [e for e in self._build_index()
                    if not (dateBegin is not None and (e["time"] is None
@@ -179,6 +182,9 @@ class SpacecraftMappingProvider(BaseMappingProvider):
                                                      or e["time"] > dateEnd))]
         chunk = []
         for e in entries:
+            if chunk and e.get("shape") != chunk[-1].get("shape"):
+                yield from self._load_batch(chunk, with_mlatmlt)
+                chunk = []
             chunk.append(e)
             if len(chunk) == batch:
                 yield from self._load_batch(chunk, with_mlatmlt)

@@ -37,9 +37,13 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
 
     if coordinator_address is None and num_processes is None:
         # single process, or TPU-pod autodetection
+        cluster_markers = ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                          "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID")
         try:
             jax.distributed.initialize()
         except Exception:
+            if any(os.environ.get(k) for k in cluster_markers):
+                raise  # a cluster IS configured: fail fast, do not degrade
             return False  # no cluster configured: single-process mode
         return True
     jax.distributed.initialize(

@@ -350,6 +350,18 @@ class TestCatalogStars:
         header = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
         x, y, vmag = fits.get_catalog_stars(header, ret_vmag=True)
         assert len(x) > 3  # a 40-deg FOV frame sees many naked-eye stars
+        # no ghost stars: every returned star must be on the NEAR
+        # hemisphere (tan_world2pix masks theta <= 0; regression for the
+        # gnomonic far-hemisphere mirror)
+        from auromat_tpu.coordinates.wcs import TanWcs, tan_pix2world
+
+        wcs = TanWcs(header)
+        ra, dec = (np.asarray(a) for a in tan_pix2world(wcs, x, y))
+        ra0, dec0 = header["CRVAL1"], header["CRVAL2"]
+        cosd = (np.sin(np.deg2rad(dec)) * np.sin(np.deg2rad(dec0))
+                + np.cos(np.deg2rad(dec)) * np.cos(np.deg2rad(dec0))
+                * np.cos(np.deg2rad(ra - ra0)))
+        assert (cosd > 0).all()
         assert np.isnan(vmag).all()
         assert (x >= -50).all() and (x <= header["IMAGEW"] + 50).all()
         fig = draw.draw_reference_stars(

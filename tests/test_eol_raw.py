@@ -175,3 +175,21 @@ class TestExifLensLookup:
             img, {"Model": "NIKON D3S", "LensModel": "24.0 mm f/1.4",
                   "FocalLength": "24.0 mm"})
         assert np.asarray(out).shape == img.shape
+
+
+class TestRawResumeExtension:
+    def test_extending_the_range_downloads_new_frames(self, fake_server,
+                                                      tmp_path):
+        base, state = fake_server
+        kw = dict(urls=_urls(base), poll_interval=0.01, stall_timeout=5.0,
+                  sleep=lambda s: None)
+        meta, failures = download_image_sequence_raw(
+            str(tmp_path), "ISS030", 100, 101, **kw)
+        assert failures == [] and meta["toFrame"] == 101
+        # a wider request must NOT short-circuit on the old sidecar
+        meta2, failures2 = download_image_sequence_raw(
+            str(tmp_path), "ISS030", 100, 104, **kw)
+        assert failures2 == []
+        assert meta2["toFrame"] == 104
+        assert (tmp_path / "ISS030-E-104.nef").exists()
+        assert meta2["frameGaps"] == [102]

@@ -103,6 +103,16 @@ class TestRoundTrip:
         assert os.path.getsize(p4) < 0.5 * os.path.getsize(pc), (
             os.path.getsize(p4), os.path.getsize(pc))
 
+    def test_compress_false_writes_no_filter(self, curvilinear, tmp_path):
+        import h5py
+
+        m, _ = curvilinear
+        p = tmp_path / "nofilter.nc"
+        export_netcdf.write(str(p), m, compress=False)
+        with h5py.File(p, "r") as f:
+            assert f["lat"].compression is None
+            assert not f["lat"].shuffle
+
     def test_netcdf4_dimension_scales(self, curvilinear):
         """Dims are written as netCDF-4 dimension scales (h5 interop)."""
         import h5py

@@ -214,3 +214,25 @@ class TestWorld2Pix:
         bx, by = tan_world2pix(wcs, np.asarray(ra), np.asarray(dec))
         np.testing.assert_allclose(np.asarray(bx), px, atol=1e-8)
         np.testing.assert_allclose(np.asarray(by), py, atol=1e-8)
+
+
+def test_world2pix_masks_far_hemisphere():
+    """The gnomonic inverse MIRRORS the far hemisphere into the frame
+    unless theta <= 0 is masked: the antipode of the frame centre would
+    project exactly onto the frame centre (ghost stars)."""
+    import os
+
+    import numpy as np
+
+    from auromat_tpu.coordinates.wcs import TanWcs, tan_world2pix
+    from auromat_tpu.io import fits
+
+    res = os.path.join(os.path.dirname(__file__), "resources")
+    header = fits.read_header(os.path.join(res, "ISS030-E-102170_dc.wcs"))
+    wcs = TanWcs(header)
+    ra0, dec0 = header["CRVAL1"], header["CRVAL2"]
+    # frame centre projects near CRPIX; its antipode must be NaN
+    x, y = tan_world2pix(wcs, ra0, dec0)
+    assert np.isfinite(float(np.asarray(x)))
+    xa, ya = tan_world2pix(wcs, (ra0 + 180.0) % 360.0, -dec0)
+    assert np.isnan(float(np.asarray(xa))) and np.isnan(float(np.asarray(ya)))
