@@ -196,6 +196,19 @@ def get_l2_data(l2_folder, station):
     return (lat_asi, lon_asi), az, el, lats_ref, lons_ref, heights / 1000.0
 
 
+def l1_times(l1_folder, station, date):
+    """All frame timestamps in the hour-file covering ``date`` (possibly
+    empty when the file is absent)."""
+    path = os.path.join(l1_folder, l1_filename(station, date))
+    if not os.path.exists(path):
+        return []
+    cdf = cdflib.CDFReader(path)
+    epoch_var = cdf[f"thg_asf_{station}_epoch"]
+    if epoch_var.cdf_type == cdflib.CDF_TIME_TT2000:
+        return [cdflib.tt2000_to_datetime(int(v)) for v in epoch_var.data]
+    return [cdflib.epoch_to_datetime(float(v)) for v in epoch_var.data]
+
+
 def get_l1_data(l1_folder, station, date, maxTimeOffset=2):
     """Single image nearest to ``date`` (or (None, None))."""
     path = os.path.join(l1_folder, l1_filename(station, date))
@@ -362,5 +375,38 @@ class ThemisMappingProvider(BaseMappingProvider):
             raise ValueError(f"no mapping with identifier {identifier!r}")
         return m
 
+    def availableTimes(self, dateBegin, dateEnd):
+        """Sorted union of cached frame timestamps in the interval, with
+        cross-station ticks within maxTimeOffset merged into one."""
+        times = set()
+        begin_hour = datetime(*dateBegin.timetuple()[:4])
+        n_hours = int((dateEnd - begin_hour).total_seconds()) // 3600
+        for station in self.stations:
+            for hh in range(n_hours + 1):
+                hour = begin_hour + timedelta(hours=hh)
+                for t in l1_times(self.l1_folder, station, hour):
+                    if dateBegin <= t <= dateEnd:
+                        times.add(t)
+        merged = []
+        for t in sorted(times):
+            if merged and (t - merged[-1]).total_seconds() <= self.maxTimeOffset:
+                continue
+            merged.append(t)
+        return merged
+
     def getSequence(self, dateBegin=None, dateEnd=None):
-        raise NotImplementedError("iterate explicit timestamps with get()")
+        """Yield one MappingCollection (all stations) per cached frame tick.
+
+        Goes beyond the reference, whose getSequence raises
+        NotImplementedError (themis.py:107-108): the cached L1 hour files
+        already carry every frame timestamp, so the sequence is the merged
+        cross-station tick list. Requires both dates (the archive is
+        unbounded); call :meth:`download` first (or pass offline caches).
+        """
+        if dateBegin is None or dateEnd is None:
+            raise ValueError("THEMIS sequences need explicit begin/end dates")
+        for t in self.availableTimes(dateBegin, dateEnd):
+            try:
+                yield self.get(t)
+            except ValueError:
+                continue

@@ -207,3 +207,24 @@ class TestThemis:
 
         touch(path404)
         assert themis.has_l1_data(str(tmp_path), "gill", date) == "404"
+
+
+def test_themis_sequence(tmp_path):
+    """getSequence iterates the cached frame ticks (the reference raises
+    NotImplementedError here, themis.py:107-108; we exceed it)."""
+    date, imgs = synth_themis_cdfs(str(tmp_path))
+    prov = themis.ThemisMappingProvider(
+        str(tmp_path), str(tmp_path), offline=True, stations=["gill"]
+    )
+    t0 = date - datetime.timedelta(seconds=5)
+    t1 = date + datetime.timedelta(seconds=30)
+    times = prov.availableTimes(t0, t1)
+    assert len(times) == len(imgs)
+    colls = list(prov.getSequence(t0, t1))
+    assert len(colls) == len(imgs)
+    for coll in colls:
+        assert len(coll) == 1
+    # a window containing only the second frame
+    mid = list(prov.getSequence(times[1] - datetime.timedelta(seconds=1),
+                                times[1] + datetime.timedelta(seconds=1)))
+    assert len(mid) == 1
