@@ -15,6 +15,7 @@ float64 CPU parity). For multi-chip bursts use
 auromat_tpu.parallel.sharded_batch_georef / make_sharded_mosaic_step.
 """
 
+import functools
 import os
 from datetime import timedelta
 
@@ -199,9 +200,6 @@ class SpacecraftMappingProvider(BaseMappingProvider):
             identifiers=[e["id"] for e in entries],
             with_mlatmlt=with_mlatmlt,
         )
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=8)

@@ -50,7 +50,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from auromat_tpu.ops.georef import DynGeorefParams, georef_latlon_dyn
-from auromat_tpu.ops.regrid import GridSpec, bin_indices, finalize_mean
+from auromat_tpu.ops.regrid import (GridSpec, bin_indices, finalize_mean,
+                                    round_up)
 
 ELEV_OFFSET = 90.0
 N_STACK = 8  # count + R + G + B + elev_hi + elev_frac + 2 pad (vreg-exact)
@@ -60,10 +61,6 @@ N_STACK = 8  # count + R + G + B + elev_hi + elev_frac + 2 pad (vreg-exact)
 TILES = (16, 256, 8)
 
 _VMEM_LIMIT = 100 * 1024 * 1024
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def _kernel(bounds_ref, iy_ref, ix_ref, img_ref, elev_ref, acc_ref, *,
@@ -166,7 +163,7 @@ def _georegrid(grid: GridSpec, dyn: DynGeorefParams, img_chw, mask,
     iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
     ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
 
-    hp, wp = _round_up(h, tile_h), _round_up(w, tile_w)
+    hp, wp = round_up(h, tile_h), round_up(w, tile_w)
     pad = ((0, hp - h), (0, wp - w))
     iyp = jnp.pad(iy, pad, constant_values=-1)
     ixp = jnp.pad(ix, pad, constant_values=-1)
@@ -174,8 +171,8 @@ def _georegrid(grid: GridSpec, dyn: DynGeorefParams, img_chw, mask,
     imgp = jnp.pad(img_chw.astype(f32), ((0, 0),) + pad)
     nty, ntx = hp // tile_h, wp // tile_w
 
-    n_lat_pad = max(_round_up(grid.n_lat, win_r), win_r)
-    n_lon_pad = _round_up(grid.n_lon, 128)
+    n_lat_pad = max(round_up(grid.n_lat, win_r), win_r)
+    n_lon_pad = round_up(grid.n_lon, 128)
     n_win_c = n_lon_pad // 128
     n_win_r = n_lat_pad // win_r
     bounds = _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r,

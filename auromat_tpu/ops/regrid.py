@@ -23,6 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def round_up(x, m):
+    """Smallest multiple of m >= x (tile/window padding helper)."""
+    return (x + m - 1) // m * m
+
+
 @dataclass(frozen=True)
 class GridSpec:
     """A fixed plate-carree grid (host-side, static under jit).

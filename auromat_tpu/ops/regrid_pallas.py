@@ -52,7 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from auromat_tpu.ops.regrid import GridSpec, bin_indices
+from auromat_tpu.ops.regrid import GridSpec, bin_indices, round_up
 
 TILE_H = 16
 TILE_W = 128
@@ -63,10 +63,6 @@ WIN_R = 16  # grid rows per accumulation window (and acc row alignment)
 _SLAB_BYTES = 9 * 1024 * 1024
 
 ELEV_OFFSET = 90.0
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def _kernel(bounds_ref, iy_ref, ix_ref, data_ref, acc_ref, *,
@@ -185,8 +181,8 @@ def bin_partial_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
         data_k = data
     n_ch = data_k.shape[-1]
 
-    hp = _round_up(h, TILE_H)
-    wp = _round_up(w, TILE_W)
+    hp = round_up(h, TILE_H)
+    wp = round_up(w, TILE_W)
     pad_spec = ((0, hp - h), (0, wp - w))
     # exact bin indices (same arithmetic as the sorted path)
     flat_full, valid_full = bin_indices(grid, lats, lons)
@@ -200,12 +196,12 @@ def bin_partial_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
     ixp = jnp.pad(ix_full, pad_spec, constant_values=-1)
     datap = jnp.pad(jnp.transpose(data_k, (2, 0, 1)), ((0, 0),) + pad_spec)
 
-    n_lat_pad = max(_round_up(grid.n_lat, WIN_R), WIN_R)
-    n_lon_pad = _round_up(grid.n_lon, 128)
+    n_lat_pad = max(round_up(grid.n_lat, WIN_R), WIN_R)
+    n_lon_pad = round_up(grid.n_lon, 128)
     nty, ntx = hp // TILE_H, wp // TILE_W
     n_stack = n_ch + 1
     slab_rows = max(WIN_R, min(
-        n_lat_pad, _round_up(_SLAB_BYTES // (n_stack * n_lon_pad * 4), WIN_R)
+        n_lat_pad, round_up(_SLAB_BYTES // (n_stack * n_lon_pad * 4), WIN_R)
     ))
 
     iy_tiles = iyp.reshape(nty, TILE_H, ntx, TILE_W).transpose(0, 2, 1, 3) \
@@ -373,15 +369,15 @@ def bin_partial_pallas_cw(grid: GridSpec, iyix, data_k, n_ch_in,
     n_ch = data_k.shape[-1]
     n_stack = n_ch + 1
 
-    hp = _round_up(h, tile_h)
-    wp = _round_up(w, tile_w)
+    hp = round_up(h, tile_h)
+    wp = round_up(w, tile_w)
     pad_spec = ((0, hp - h), (0, wp - w))
     iyp = jnp.pad(iy_full, pad_spec, constant_values=-1)
     ixp = jnp.pad(ix_full, pad_spec, constant_values=-1)
     datap = jnp.pad(jnp.transpose(data_k, (2, 0, 1)), ((0, 0),) + pad_spec)
 
-    n_lat_pad = max(_round_up(grid.n_lat, win_r), win_r)
-    n_lon_pad = _round_up(grid.n_lon, 128)
+    n_lat_pad = max(round_up(grid.n_lat, win_r), win_r)
+    n_lon_pad = round_up(grid.n_lon, 128)
     n_win_c = n_lon_pad // 128
     nty, ntx = hp // tile_h, wp // tile_w
 
@@ -396,7 +392,7 @@ def bin_partial_pallas_cw(grid: GridSpec, iyix, data_k, n_ch_in,
     # row-window slabs bound the VMEM accumulator as in v1
     slab_rows = max(win_r, min(
         n_lat_pad,
-        _round_up(_SLAB_BYTES // (n_stack * n_lon_pad * 4), win_r),
+        round_up(_SLAB_BYTES // (n_stack * n_lon_pad * 4), win_r),
     ))
     cmin, cmax = _tile_minmax(ix_tiles // 128, valid_t, n_win_c)
     slabs = []

@@ -127,11 +127,12 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     n_dev = dp_n * sp_n
     assert height % sp_n == 0, (height, sp_n)
     rows_per_shard = height // sp_n
+    from auromat_tpu.ops.regrid import round_up
+
     n_lon = grid.n_lon
-    band = -(-grid.n_lat // n_dev)
-    band = (band + 7) // 8 * 8  # 8-aligned rows per device
+    band = round_up(-(-grid.n_lat // n_dev), 8)  # 8-aligned rows per device
     if chunk_rows is None:
-        chunk_rows = max(8, ((band // n_dev) + 7) // 8 * 8)
+        chunk_rows = max(8, round_up(band // n_dev, 8))
     chunk_rows = min(chunk_rows, band)
     n_chunks = -(-band // chunk_rows)
     n_ch = channels + (1 if with_elevation else 0)

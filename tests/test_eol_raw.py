@@ -110,10 +110,6 @@ class TestRawOrderFlow:
 
     def test_stalled_staging_reports_failures(self, fake_server, tmp_path):
         base, state = fake_server
-
-        class Never(FakeEOL):
-            pass
-
         # files never stage: polls never reach the threshold
         state["polls"] = {}
         orig = FakeEOL.do_GET
