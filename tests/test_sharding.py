@@ -210,3 +210,27 @@ class TestDistributed:
         assert mesh.shape["dp"] * mesh.shape["sp"] == 8
         start, count = process_local_batch(16)
         assert (start, count) == (0, 16)
+
+
+def test_multihost_two_process_mosaic():
+    """TRUE multi-host run: two processes x 4 virtual devices, coordinator
+    + Gloo collectives via parallel.distributed.initialize, the grid-banded
+    mosaic over the global mesh, each process checking the gathered result
+    against a single-process oracle (bit-exact)."""
+    import random
+    import subprocess
+    import sys
+
+    port = random.randint(20000, 40000)
+    worker = os.path.join(os.path.dirname(__file__), "mh_mosaic_worker.py")
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert "multi-host grid-banded mosaic OK" in outs[0]
+    assert "multi-host grid-banded mosaic OK" in outs[1]
