@@ -228,6 +228,17 @@ def georegrid_partial(grid: GridSpec, dyn: DynGeorefParams, img_chw,
     (the 540x525 bench grid uses ~11 MB). Larger grids belong to the
     sharded mosaic path (auromat_tpu.parallel).
     """
+    tile_h, tile_w, win_r = tiles
+    n_lat_pad = max(round_up(grid.n_lat, win_r), win_r)
+    n_lon_pad = round_up(grid.n_lon, 128)
+    acc_bytes = n_lat_pad * n_lon_pad * N_STACK * 4
+    if acc_bytes > _VMEM_LIMIT - 16 * 1024 * 1024:
+        raise ValueError(
+            f"grid {grid.n_lat}x{grid.n_lon} needs a {acc_bytes / 2**20:.0f}"
+            " MiB VMEM accumulator — too large for the fused single-kernel"
+            " path. Use ops.regrid_pallas.bin_partial_pallas2 (lat-slab"
+            " loop) or the sharded mosaic (auromat_tpu.parallel)."
+        )
     return _georegrid(grid, dyn, img_chw, mask, tuple(tiles), interpret)
 
 

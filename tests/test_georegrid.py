@@ -122,3 +122,10 @@ class TestGeoregrid:
         assert flips < 5e-3, flips
         # validity itself must agree except at the same edge-band level
         assert (np.asarray(v64) != np.asarray(v32)).mean() < 5e-3
+
+
+def test_oversized_grid_raises_clearly(setup):
+    _, dyn, img, _ = setup
+    big = fixed_grid(20, -89.0, 89.0, -179.0, 179.0)  # ~3500x7100 cells
+    with pytest.raises(ValueError, match="VMEM accumulator"):
+        georegrid_mean(big, dyn, img, interpret=True)
