@@ -264,8 +264,13 @@ def atan(x: DF) -> DF:
 
     k = jnp.clip(jnp.round(t.hi * 16.0), 0.0, 16.0)
     oh = (k[..., None] == jnp.arange(17, dtype=k.dtype)).astype(jnp.float32)
-    ta_hi = oh @ jnp.asarray(_ATAN_HI)
-    ta_lo = oh @ jnp.asarray(_ATAN_LO)
+    # HIGHEST precision: the TPU MXU default truncates f32 operands to
+    # bf16, which would round the table entries (~2^-9) and silently
+    # void the whole df64 budget; with exact 0/1 one-hots HIGHEST makes
+    # the lookup bit-exact
+    hp_ = jax.lax.Precision.HIGHEST
+    ta_hi = jnp.matmul(oh, jnp.asarray(_ATAN_HI), precision=hp_)
+    ta_lo = jnp.matmul(oh, jnp.asarray(_ATAN_LO), precision=hp_)
     a = k * jnp.float32(1.0 / 16.0)  # k/16 is exactly representable
 
     num = sub(t, df(a))

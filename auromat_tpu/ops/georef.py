@@ -147,11 +147,11 @@ def _rot(m, x, y, z):
     )
 
 
-def _grid(p: GeorefParams, corner: bool, dtype):
+def _grid(width, height, corner, dtype):
     off = -0.5 if corner else 0.0
     extra = 1 if corner else 0
-    xs = jnp.arange(off, off + p.width + extra, dtype=dtype)
-    ys = jnp.arange(off, off + p.height + extra, dtype=dtype)
+    xs = jnp.arange(off, off + width + extra, dtype=dtype)
+    ys = jnp.arange(off, off + height + extra, dtype=dtype)
     return jnp.meshgrid(xs, ys)
 
 
@@ -199,7 +199,7 @@ def georeference(params: GeorefParams, fast_center=False, with_mlatmlt=True,
                               fast_center, with_mlatmlt, dtype)
 
 
-def georeference_dyn(p, width, height, fast_center=True, with_mlatmlt=True,
+def georeference_dyn(p, width, height, fast_center=False, with_mlatmlt=True,
                      dtype=jnp.float32):
     """:func:`georeference` with TRACED per-frame params (DynGeorefParams).
 
@@ -213,10 +213,7 @@ def georeference_dyn(p, width, height, fast_center=True, with_mlatmlt=True,
 
 def _georeference_body(params, width, height, fast_center, with_mlatmlt,
                        dtype):
-    off = -0.5
-    xs = jnp.arange(off, off + width + 1, dtype=dtype)
-    ys = jnp.arange(off, off + height + 1, dtype=dtype)
-    px, py = jnp.meshgrid(xs, ys)
+    px, py = _grid(width, height, corner=True, dtype=dtype)
     vx, vy, vz = _pixel_dirs(params, px, py)
     ix, iy, iz = _intersect(params, vx, vy, vz, dtype)
     lats, lons = _latlon_from_j2000(params, ix, iy, iz)
@@ -227,9 +224,7 @@ def _georeference_body(params, width, height, fast_center, with_mlatmlt,
         cvx, cvy, cvz = mean4(vx), mean4(vy), mean4(vz)
         cix, ciy, ciz = mean4(ix), mean4(iy), mean4(iz)
     else:
-        cxs = jnp.arange(width, dtype=dtype)
-        cys = jnp.arange(height, dtype=dtype)
-        cpx, cpy = jnp.meshgrid(cxs, cys)
+        cpx, cpy = _grid(width, height, corner=False, dtype=dtype)
         cvx, cvy, cvz = _pixel_dirs(params, cpx, cpy)
         cix, ciy, ciz = _intersect(params, cvx, cvy, cvz, dtype)
 

@@ -52,8 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from auromat_tpu.ops.georef import DynGeorefParams, georef_latlon_dyn
 from auromat_tpu.ops.regrid import (GridSpec, bin_indices, finalize_mean,
                                     round_up)
-
-ELEV_OFFSET = 90.0
+from auromat_tpu.ops.regrid_pallas import ELEV_OFFSET
 N_STACK = 8  # count + R + G + B + elev_hi + elev_frac + 2 pad (vreg-exact)
 
 # default tile/window sizes (fastest of the measured sweep on v5e:
@@ -128,7 +127,14 @@ def _kernel(bounds_ref, iy_ref, ix_ref, img_ref, elev_ref, acc_ref, *,
 
 
 def _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r, n_win_r, n_win_c):
-    """Per-tile (kmin, kmax, cmin, cmax) window bounds, transpose-free."""
+    """Per-tile (kmin, kmax, cmin, cmax) window bounds.
+
+    Same reduction idiom as regrid_pallas._tile_minmax but over axes
+    (1, 3) of the UNtransposed (nty, tile_h, ntx, tile_w) view — sharing
+    the helper would materialize a 100 MB tile transpose (measured 4.6 ms
+    of pure data movement in an earlier variant), so the near-duplication
+    is deliberate.
+    """
     iyt = iyp.reshape(nty, tile_h, ntx, tile_w)
     ixt = ixp.reshape(nty, tile_h, ntx, tile_w)
     vt = iyt >= 0

@@ -222,18 +222,16 @@ def _searchsorted_binary(sorted_keys, queries, side="left"):
     return jnp.minimum(lo, n)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _accumulate_sorted(sidx, sdata, n_bins, dtype):
-    """Shared tail: per-bin ranges via one extended binary search + two-level
-    compensated prefix sums over already-sorted (keys, channels-first data)."""
-    # one search for bins 0..n_bins: ends[b] == starts[b+1] for dense bin ids
-    bins_ext = jnp.arange(n_bins + 1, dtype=sidx.dtype)
+def _accumulate_sorted_range(sidx, prefix_state, bin_lo, n_bins, dtype):
+    """Accumulate one contiguous bin range [bin_lo, bin_lo + n_bins) from a
+    globally sorted key/prefix state (sort + prefix sums paid ONCE; each
+    range query costs one extended binary search + gathers)."""
+    inner, off_h, off_l = prefix_state
+    bins_ext = jnp.arange(n_bins + 1, dtype=sidx.dtype) + sidx.dtype.type(bin_lo)
     starts_ext = _searchsorted_binary(sidx, bins_ext, side="left")
     starts = starts_ext[:-1]
     ends = starts_ext[1:]
     count = (ends - starts).astype(dtype)
-
-    inner, off_h, off_l = _chunked_prefix(sdata)  # (n_ch, m, CH), (n_ch, m)
 
     def prefix(pos):
         # inclusive channel prefixes at pos-1; zero when pos == 0
@@ -249,6 +247,30 @@ def _accumulate_sorted(sidx, sdata, n_bins, dtype):
     h_sta, l_sta = prefix(starts)
     sums = (h_end - h_sta) + (l_end - l_sta)  # (n_ch, n_bins)
     return jnp.concatenate([count[:, None], sums.T], axis=1)
+
+
+def sorted_prefix_state(flat_idx, data):
+    """Sort keys with channel payloads and build the two-level prefix sums
+    — the reusable front half of the sorted binning path. Query bin ranges
+    with :func:`_accumulate_sorted_range`.
+
+    :param data: (n, C) channel values
+    :returns: (sidx sorted keys, prefix_state)
+    """
+    n_ch = data.shape[-1]
+    operands = [flat_idx] + [data[:, c] for c in range(n_ch)]
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    sidx = sorted_ops[0]
+    sdata = jnp.stack(sorted_ops[1:], axis=0)  # channels-first
+    return sidx, _chunked_prefix(sdata)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _accumulate_sorted(sidx, sdata, n_bins, dtype):
+    """Shared tail: per-bin ranges via one extended binary search + two-level
+    compensated prefix sums over already-sorted (keys, channels-first data)."""
+    return _accumulate_sorted_range(sidx, _chunked_prefix(sdata), 0, n_bins,
+                                    dtype)
 
 
 def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):

@@ -28,12 +28,22 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     other jax API. Safe to call when running single-process (no-op if no
     coordinator is configured and not on a TPU pod).
     """
+    try:
+        if jax.distributed.is_initialized():
+            return True  # idempotent: already connected
+    except AttributeError:  # older jax
+        if getattr(initialize, "_done", False):
+            return True
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    if (coordinator_address is None) != (num_processes is None):
+        raise ValueError(
+            "incomplete cluster config: set BOTH JAX_COORDINATOR_ADDRESS "
+            "and JAX_NUM_PROCESSES (got only one)")
 
     if coordinator_address is None and num_processes is None:
         # single process, or TPU-pod autodetection
@@ -45,6 +55,7 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
             if any(os.environ.get(k) for k in cluster_markers):
                 raise  # a cluster IS configured: fail fast, do not degrade
             return False  # no cluster configured: single-process mode
+        initialize._done = True
         return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -52,6 +63,7 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
         process_id=process_id,
         local_device_ids=local_device_ids,
     )
+    initialize._done = True
     return True
 
 

@@ -27,13 +27,19 @@ def make_mesh(devices=None, dp=None, sp=None):
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if dp is None or sp is None:
+    if dp is None and sp is None:
         sp = 1
         for cand in range(int(np.sqrt(n)), 0, -1):
             if n % cand == 0:
                 sp = cand
                 break
         dp = n // sp
+    elif dp is None:
+        assert n % sp == 0, (n, sp)
+        dp = n // sp
+    elif sp is None:
+        assert n % dp == 0, (n, dp)
+        sp = n // dp
     assert dp * sp == len(devices), (dp, sp, len(devices))
     dev = np.asarray(devices).reshape(dp, sp)
     return Mesh(dev, axis_names=("dp", "sp"))
@@ -164,12 +170,36 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         out_count = jnp.zeros((band, n_lon), dtype)
         out_sums = jnp.zeros((band, n_lon, n_ch), dtype)
         n_rows_stacked = n_dev * chunk_rows
-        dump = n_rows_stacked * n_lon
+        chunk_bins = n_rows_stacked * n_lon
+
+        state = None
+        if bin_method == "sorted":
+            # sort ONCE in chunk-major key order; each chunk then costs one
+            # binary-search range query over the shared prefix sums (the
+            # per-chunk re-sort variant paid ~n_dev full payload sorts)
+            from auromat_tpu.ops.regrid import (_accumulate_sorted_range,
+                                                sorted_prefix_state)
+
+            chunk_id = rib // chunk_rows
+            key = (chunk_id * n_rows_stacked
+                   + band_id * chunk_rows
+                   + (rib - chunk_id * chunk_rows)) * n_lon + ix
+            key = jnp.where(valid, key, n_chunks * chunk_bins)
+            vals = jnp.concatenate([valid.astype(dtype)[:, None], data2d],
+                                   axis=1)
+            sidx, state = sorted_prefix_state(key, vals)
+
         for c in range(n_chunks):
-            sel = valid & (rib // chunk_rows == c)
-            local_row = band_id * chunk_rows + (rib - c * chunk_rows)
-            flat_local = jnp.where(sel, local_row * n_lon + ix, dump)
-            acc = bin_fn(flat_local, valid.astype(dtype), data2d, dump, n_ch)
+            if state is not None:
+                acc = _accumulate_sorted_range(sidx, state, c * chunk_bins,
+                                               chunk_bins, dtype)[:, 1:]
+            else:
+                sel = valid & (rib // chunk_rows == c)
+                local_row = band_id * chunk_rows + (rib - c * chunk_rows)
+                flat_local = jnp.where(sel, local_row * n_lon + ix,
+                                       chunk_bins)
+                acc = bin_fn(flat_local, valid.astype(dtype), data2d,
+                             chunk_bins, n_ch)
             cnt = acc[:, 0].reshape(n_rows_stacked, n_lon)
             sms = acc[:, 1:].reshape(n_rows_stacked, n_lon, n_ch)
             # reduce-scatter: device d receives rows [d*chunk_rows, ...)
