@@ -10,6 +10,7 @@ High-level date-dependent conversions (J2000<->GEO/SM) take a pre-computed
 device function stays pure.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,7 +107,10 @@ def apply_rotation(mat, x, y, z):
 
 def apply_rotation_vecs(mat, vecs):
     """Apply a 3x3 rotation to an (..., 3) array of vectors."""
-    return jnp.einsum("ij,...j->...i", jnp.asarray(mat), vecs)
+    # HIGHEST: the TPU MXU otherwise truncates f32 operands to bf16 —
+    # fatal for the <=11-decimal geodetic accuracy contract on device
+    return jnp.einsum("ij,...j->...i", jnp.asarray(mat), vecs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rotate_pole(lats, lons, altitude, angle_deg=90.0, axis=(1, 0, 0), a=WGS84_A, b=WGS84_B):

@@ -12,6 +12,7 @@ Math (FITS Paper II, Calabretta & Greisen 2002):
   Rz(ra_ref + 90) @ Rx(90 - dec_ref) @ Rz(-(lonpole - 90))   [degrees]
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,7 +128,8 @@ def tan_world2pix(wcs: TanWcs, ra_deg, dec_deg, origin=0):
     dec = jnp.deg2rad(jnp.asarray(dec_deg))
     cos_d = jnp.cos(dec)
     v = jnp.stack([cos_d * jnp.cos(ra), cos_d * jnp.sin(ra), jnp.sin(dec)], axis=-1)
-    n = v @ jnp.asarray(wcs.rotmat)  # == rotmat.T @ v
+    n = jnp.matmul(v, jnp.asarray(wcs.rotmat),  # == rotmat.T @ v
+                   precision=jax.lax.Precision.HIGHEST)
     phi = jnp.arctan2(n[..., 1], n[..., 0])
     theta = jnp.arctan2(n[..., 2], jnp.hypot(n[..., 0], n[..., 1]))
     theta = jnp.where(theta > 0, theta, jnp.nan)

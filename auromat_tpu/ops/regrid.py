@@ -577,6 +577,10 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
         g_onehot, s.reshape(n_tiles, -1),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
+        # f32 x f32 on the MXU truncates to bf16 at DEFAULT precision,
+        # which would round the accumulated sums; the one-hot side is
+        # exact so HIGHEST restores exactness
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(n_groups, n_stack, _WIN_R, n_lon_pad)
 
     acc = jnp.zeros((n_stack, n_lat_pad + _WIN_R, n_lon_pad), f32)
