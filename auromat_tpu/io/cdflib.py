@@ -165,7 +165,8 @@ class Var:
 
 
 class CDFWriter:
-    """Write a single-file CDF v3 (NETWORK encoding, row-major).
+    """Write a single-file CDF v3 (NETWORK encoding; row-major by default,
+    majority="column" emits IDL-style Fortran-ordered records).
 
     Usage::
 
@@ -179,7 +180,9 @@ class CDFWriter:
     (readable by this module and by the NASA library).
     """
 
-    def __init__(self, path, compress=False):
+    def __init__(self, path, compress=False, majority="row"):
+        assert majority in ("row", "column")
+        self.majority = majority
         self.path = path
         self.compress = compress
         self.attrs = {}
@@ -255,9 +258,16 @@ class CDFWriter:
 
     def _var_bytes(self, v):
         base = _DTYPE_MAP[v.cdf_type]
+        data = v.data
+        if self.majority == "column" and data.ndim > 1:
+            # Fortran element order WITHIN each record (leading axis =
+            # records stays outermost), like IDL-written files
+            rec_axes = tuple(range(data.ndim - 1, 0, -1))
+            data = data.transpose((0,) + rec_axes)
+            data = np.ascontiguousarray(data)
         if base == "S":
-            return v.data.astype(f"S{v.num_elems}").tobytes()
-        return v.data.astype(">" + base).tobytes()
+            return data.astype(f"S{v.num_elems}").tobytes()
+        return data.astype(">" + base).tobytes()
 
     def _vdr(self, v, num, vdr_next, vxr_head):
         n_recs = v.data.shape[0] if v.rec_vary else 1
@@ -347,7 +357,8 @@ class CDFWriter:
         def build(offsets):
             (vdr_offs, vxr_offs, vvr_offs, adr_offs, aedr_offs) = offsets
             recs = []
-            flags = 0b0011  # row-major | single-file
+            flags = 0b0011 if self.majority == "row" else 0b0010
+            # bit 0 = row major, bit 1 = single-file
             cdr_payload = (
                 struct.pack(">q", offsets_gdr[0])
                 + struct.pack(">iiiiiiiii", 3, 8, NETWORK_ENCODING, flags, 0, 0, 0, 2, 0)
@@ -498,11 +509,24 @@ class CDFReader:
         enc_off = cdr_off + hdr + osz + 8
         self.encoding = struct.unpack(">i", raw[enc_off : enc_off + 4])[0]
         self._le = self.encoding in _LITTLE_ENDIAN_ENCODINGS
+        cdr_flags = struct.unpack(">i", raw[enc_off + 4 : enc_off + 8])[0]
+        # CDR flags bit 0: 1 = row major (C order); 0 = column major
+        # (Fortran order — IDL-written files, e.g. the real THEMIS archive)
+        self.row_major = bool(cdr_flags & 1)
         # GDR
         p = gdr_off + hdr
         rvdr_head = self._i(p); p += osz
         zvdr_head = self._i(p); p += osz
         adr_head = self._i(p); p += osz
+        p += osz  # eof
+        # fixed GDR fields: NrVars, NumAttr, rMaxRec, rNumDims, NzVars
+        _, _, _, r_num_dims, _ = struct.unpack(">iiiii", raw[p : p + 20])
+        p += 20
+        p += osz  # UIRhead
+        p += 4 * 3  # rfuC, LeapSecondLastUpdated, rfuE
+        # rDimSizes follow the fixed fields (sizes of ALL rVariables)
+        self._gdr_r_dims = list(struct.unpack(
+            f">{r_num_dims}i", raw[p : p + 4 * r_num_dims])) if r_num_dims else []
         # walk zVDRs (and rVDRs if present, treated the same way)
         for head, is_z in ((zvdr_head, True), (rvdr_head, False)):
             off = head
@@ -564,11 +588,24 @@ class CDFReader:
             self._record_data(off_, first, last, rec_items, dtype)
             for first, last, off_ in chunks
         )
+        if not is_z and dim_sizes == [] and self._gdr_r_dims:
+            # dimensioned rVariables would need the GDR rDimSizes + this
+            # VDR's dim variances to decode; fail loudly instead of
+            # silently misreading (zVariables cover every modern file)
+            raise NotImplementedError(
+                f"rVariable {name!r} with GDR rDimSizes="
+                f"{self._gdr_r_dims} is not supported")
         if n_recs <= 0:
             arr = np.zeros((0,) + tuple(eff_dims), dtype=dtype)
         else:
             arr = np.frombuffer(data, dtype=dtype, count=n_recs * rec_items)
-            arr = arr.reshape((n_recs,) + tuple(eff_dims))
+            if eff_dims and not self.row_major:
+                # column-major records: elements are Fortran-ordered
+                arr = arr.reshape(
+                    (n_recs,) + tuple(reversed(eff_dims))
+                ).transpose((0,) + tuple(range(len(eff_dims), 0, -1)))
+            else:
+                arr = arr.reshape((n_recs,) + tuple(eff_dims))
         if not rec_vary:
             arr = arr[0] if n_recs else arr
         if dtype.kind != "S":

@@ -301,30 +301,50 @@ def _ones_complement_sum32(data: bytes) -> int:
     return total
 
 
+# ASCII codes excluded from checksum chars (the FITS checksum convention
+# allows only 0-9 A-Z a-z): ':' .. '@' and '[' .. '`'
+_CHECKSUM_EXCLUDE = tuple(range(0x3A, 0x41)) + tuple(range(0x5B, 0x61))
+
+
 def _encode_checksum(value: int) -> str:
-    """Encode a 32-bit complemented sum into the 16-char FITS ASCII form."""
+    """Encode a 32-bit complemented sum into the 16-char FITS ASCII form.
+
+    Canonical algorithm (Seaman's checksum convention): each of the 4 sum
+    bytes splits into 4 ASCII chars that add back to it; excluded
+    punctuation is removed by balanced +1/-1 shifts on char PAIRS,
+    iterated until every char is clean (a single pass can re-dirty an
+    already-checked char); the string rotates right one place to match
+    the value's byte alignment inside the CHECKSUM card.
+    """
     value = ~value & 0xFFFFFFFF
     ascii_zero = 0x30
-    bytes4 = [(value >> (24 - 8 * i)) & 0xFF for i in range(4)]
-    quotient = [b // 4 + ascii_zero for b in bytes4]
-    remainder = [b % 4 for b in bytes4]
-    chars = [[q] * 4 for q in quotient]
+    out = [0] * 16
     for i in range(4):
-        chars[i][0] += remainder[i]
-    # avoid non-alphanumeric ASCII by balanced shifting
-    bad = b"""'(),:;<=>?@[\\]`"'"""
-    for i in range(4):
+        byte = (value >> (24 - 8 * i)) & 0xFF
+        ch = [byte // 4 + ascii_zero] * 4
+        ch[0] += byte % 4
+        dirty = True
+        while dirty:
+            dirty = False
+            for k in _CHECKSUM_EXCLUDE:
+                for j in (0, 2):
+                    if ch[j] == k or ch[j + 1] == k:
+                        ch[j] += 1
+                        ch[j + 1] -= 1
+                        dirty = True
         for j in range(4):
-            while chars[i][j] in bad or chr(chars[i][j]) in "'():;<=>?@[\\]`\"":
-                k = (j + 1) % 4
-                chars[i][j] += 1
-                chars[i][k] -= 1
-    out = []
-    for j in range(4):
-        for i in range(4):
-            out.append(chars[i][j])
+            out[4 * j + i] = ch[j]
     s = "".join(chr(c) for c in out)
     return s[-1] + s[:-1]  # rotate right one place
+
+
+def _fold32(total: int) -> int:
+    """Ones-complement fold keeping the end-around carry (dropping it
+    makes CHECKSUM off by one whenever the sum crosses 2^32)."""
+    while total >> 32:
+        total = (total & 0xFFFFFFFF) + (total >> 32)
+    return total
+
 
 def compute_datasum(data: bytes) -> int:
     return _ones_complement_sum32(data)
@@ -347,10 +367,18 @@ def set_checksums(header: FitsHeader, data: bytes = b""):
     import os as _os
 
     _os.remove(tmp)
-    total = (_ones_complement_sum32(blob) + datasum) & 0xFFFFFFFF
-    total = (total & 0xFFFFFFFF) + (total >> 32)
+    total = _fold32(_ones_complement_sum32(blob) + datasum)
     header["CHECKSUM"] = _encode_checksum(total)
     return header
+
+
+def verify_checksum(blob: bytes, data: bytes = b"") -> bool:
+    """True iff the ones-complement sum of header+data (with the encoded
+    CHECKSUM chars included) folds to 0xFFFFFFFF — the defining property
+    of the FITS checksum convention."""
+    total = _fold32(_ones_complement_sum32(blob)
+                    + _ones_complement_sum32(data))
+    return total == 0xFFFFFFFF
 
 
 # ---------------------------------------------------------------------------

@@ -791,6 +791,11 @@ def convert_sm_mapping_to_geo(mapping: Mapping) -> Mapping:
     see sm_to_latlon for the deviation from the reference's unit-radius
     version)."""
     fm = FrameMatrices(mapping.photoTime)
+    # convert the UNDERLYING regular grids (resampled SM mappings keep
+    # regular coordinate data with the mask stored separately — the module
+    # convention), then carry the source masks over explicitly: deriving
+    # them from NaNs of the converted data would silently return an
+    # all-False corner mask
     lats, lons = sm_to_latlon(
         mapping.lats.data, mapping.lons.data, fm.sm_to_geo, altitude=mapping.altitude
     )
@@ -798,10 +803,13 @@ def convert_sm_mapping_to_geo(mapping: Mapping) -> Mapping:
         mapping.latsCenter.data, mapping.lonsCenter.data, fm.sm_to_geo,
         altitude=mapping.altitude,
     )
-    return Mapping(
+    out = Mapping(
         np.asarray(lats), np.asarray(lons), np.asarray(lats_c), np.asarray(lons_c),
         np.asarray(mapping.elevation.filled(np.nan)) if mapping.elevation is not None else None,
         mapping.altitude, mapping.img_unmasked, mapping.cameraPosGCRS,
         mapping.photoTime, mapping.identifier, metadata=mapping.metadata,
         sanitized=True,
     )
+    out._corner_mask_arr = out._corner_mask_arr | mapping.corner_mask
+    out._center_mask_arr = out._center_mask_arr | mapping.center_mask
+    return out

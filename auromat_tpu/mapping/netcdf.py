@@ -41,7 +41,6 @@ def read_mapping(path, identifier=None):
         lon = np.array(v["lon"][:], dtype=np.float64)
         plate_carree = lat.ndim == 1
         if plate_carree:
-            lats_c, lons_c = np.meshgrid(lon, lat)[1], np.meshgrid(lon, lat)[0]
             lats_c = np.broadcast_to(lat[:, None], (len(lat), len(lon))).copy()
             lons_c = np.broadcast_to(lon[None, :], (len(lat), len(lon))).copy()
             if "lat_bounds" in v:

@@ -116,7 +116,10 @@ class SpacecraftMappingProvider(BaseMappingProvider):
                  "wcs": wcs_path, "time": photo_time,
                  "shape": (header.get("IMAGEW"), header.get("IMAGEH"))}
             )
-        entries.sort(key=lambda e: (e["time"] is None, e["time"]))
+        from datetime import datetime as _dt
+
+        entries.sort(key=lambda e: (e["time"] is None,
+                                    e["time"] or _dt.min, e["id"]))
         self._index = entries
         return entries
 
@@ -198,7 +201,7 @@ class SpacecraftMappingProvider(BaseMappingProvider):
         yield from get_mapping_batch(
             pairs, altitude=self.altitude, tle_path=self.tle_path,
             identifiers=[e["id"] for e in entries],
-            with_mlatmlt=with_mlatmlt,
+            with_mlatmlt=with_mlatmlt, fast_center=self.fast_center,
         )
 
 

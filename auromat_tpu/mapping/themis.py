@@ -53,8 +53,11 @@ def bytscl(array, max_=None, min_=None, top=255):
         max_ = np.nanmax(array)
     if min_ is None:
         min_ = np.nanmin(array)
-    scaled = ((top + 0.9999) * (array - min_) / (max_ - min_)).astype(np.int16)
-    return np.maximum(np.minimum(scaled, top), 0)
+    # clamp BEFORE the integer cast: a saturated pixel far above max_
+    # would overflow int16 and wrap negative (rendering the brightest
+    # pixels black); IDL BYTSCL clamps to top
+    scaled = (top + 0.9999) * (array - min_) / (max_ - min_)
+    return np.clip(scaled, 0, top).astype(np.int16)
 
 
 class ThemisMapping(Mapping):
@@ -178,11 +181,26 @@ def download_l1_data(l1_folder, station, date):
     return True
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _read_cdf_cached(path, mtime):
+    return cdflib.CDFReader(path)
+
+
+def _read_cdf(path):
+    """Parse a CDF, cached by (path, mtime) — the sequence path would
+    otherwise re-parse the same multi-MB calibration/hour files for every
+    station on every frame tick."""
+    return _read_cdf_cached(path, os.path.getmtime(path))
+
+
 def get_l2_data(l2_folder, station):
     """:returns: ((lat, lon) station, az, el, lats_ref (3,257,257),
     lons_ref, heights_ref (km))"""
     path = os.path.join(l2_folder, L2_FILENAME.format(station=station))
-    cdf = cdflib.CDFReader(path)
+    cdf = _read_cdf(path)
     lat_asi = float(np.asarray(cdf[f"thg_asc_{station}_glat"].data).ravel()[0])
     lon_asi = float(np.asarray(cdf[f"thg_asc_{station}_glon"].data).ravel()[0])
     az = np.asarray(cdf[f"thg_asf_{station}_azim"][0])
@@ -202,7 +220,7 @@ def l1_times(l1_folder, station, date):
     path = os.path.join(l1_folder, l1_filename(station, date))
     if not os.path.exists(path):
         return []
-    cdf = cdflib.CDFReader(path)
+    cdf = _read_cdf(path)
     epoch_var = cdf[f"thg_asf_{station}_epoch"]
     if epoch_var.cdf_type == cdflib.CDF_TIME_TT2000:
         return [cdflib.tt2000_to_datetime(int(v)) for v in epoch_var.data]
@@ -212,7 +230,7 @@ def l1_times(l1_folder, station, date):
 def get_l1_data(l1_folder, station, date, maxTimeOffset=2):
     """Single image nearest to ``date`` (or (None, None))."""
     path = os.path.join(l1_folder, l1_filename(station, date))
-    cdf = cdflib.CDFReader(path)
+    cdf = _read_cdf(path)
     epoch_var = cdf[f"thg_asf_{station}_epoch"]
     if epoch_var.cdf_type == cdflib.CDF_TIME_TT2000:
         times = [cdflib.tt2000_to_datetime(int(v)) for v in epoch_var.data]

@@ -124,3 +124,25 @@ class TestMultiRecord:
         cdf = CDFReader(path)
         np.testing.assert_array_equal(cdf["v"][:], data)
         assert cdf["v"].shape == (5, 4, 3)
+
+
+class TestColumnMajor:
+    def test_column_major_roundtrip(self, tmp_path):
+        """IDL-written CDFs (the real THEMIS archive) are COLUMN major:
+        record elements are Fortran-ordered and the CDR flags bit 0 is
+        clear. The reader must un-transpose them."""
+        rng = np.random.default_rng(5)
+        arr = rng.random((3, 4, 5, 2)).astype(np.float32)
+        p = str(tmp_path / "colmajor.cdf")
+        with CDFWriter(p, majority="column") as cdf:
+            cdf.new("grid", arr)
+        r = CDFReader(p)
+        assert not r.row_major
+        np.testing.assert_array_equal(np.asarray(r["grid"].data), arr)
+        # and the row-major default still round-trips
+        p2 = str(tmp_path / "rowmajor.cdf")
+        with CDFWriter(p2) as cdf:
+            cdf.new("grid", arr)
+        r2 = CDFReader(p2)
+        assert r2.row_major
+        np.testing.assert_array_equal(np.asarray(r2["grid"].data), arr)

@@ -128,3 +128,18 @@ class TestResample:
         # resampling again at lower res still plate carree
         m2 = resample(m, arcsec_per_px=3600 / 10, method="nearest")
         m2.checkPlateCarree()
+
+
+def test_sm_to_geo_preserves_mask():
+    """convert_sm_mapping_to_geo must carry the SM mapping's masks over
+    (resampled SM grids are regular with separate masks; deriving masks
+    from converted-data NaNs would lose them)."""
+    from auromat_tpu.mapping.mapping import convert_sm_mapping_to_geo
+
+    mapping = synthetic()
+    res = resample_mlat_mlt(mapping, arcsec_per_px=3600 * 0.5, method="mean")
+    # the resampled mag mapping must have SOME masked cells and the geo
+    # conversion must keep exactly that footprint
+    assert res.center_mask.any() and not res.center_mask.all()
+    assert res.corner_mask.any()
+    res.checkGuarantees()

@@ -64,3 +64,37 @@ class TestUtils:
 
         a = np.array([1.0, 3.0, 7.0, 10.0])
         assert find_nearest(a, 6.0) == 2
+
+
+class TestFitsChecksum:
+    def test_checksum_property_randomized(self, tmp_path):
+        """The defining FITS checksum property: the ones-complement sum of
+        the final header (with the encoded CHECKSUM chars in place) plus
+        the data folds to 0xFFFFFFFF. Randomized headers exercise the
+        end-around carry and the excluded-character shifting."""
+        import numpy as np
+
+        from auromat_tpu.io import fits as f
+
+        rng = np.random.default_rng(9)
+        for trial in range(60):
+            h = f.FitsHeader()
+            h["SIMPLE"] = True
+            for k in range(int(rng.integers(1, 12))):
+                h[f"K{k:06d}"] = float(rng.uniform(-1e10, 1e10))
+            data = rng.integers(0, 256, int(rng.integers(0, 4000)),
+                                dtype=np.uint8).tobytes()
+            data += b"\x00" * ((-len(data)) % 2880)
+            f.set_checksums(h, data)
+            path = str(tmp_path / f"c{trial}.fits")
+            f.write_header(h, path)
+            blob = open(path, "rb").read()
+            assert f.verify_checksum(blob, data), trial
+            # encoded chars are strictly alphanumeric
+            assert all(c.isalnum() for c in h["CHECKSUM"]), h["CHECKSUM"]
+
+    def test_encode_known_zero(self):
+        # complement of 0xFFFFFFFF is 0 -> all '0' chars
+        from auromat_tpu.io.fits import _encode_checksum
+
+        assert _encode_checksum(0xFFFFFFFF) == "0" * 16
