@@ -61,15 +61,8 @@ def _inverse(lat1, lon1, lat2, lon2, iterations=30):
                 sigma + c * sin_sigma * (cos_2sm + c * cos_sigma * (-1 + 2 * cos_2sm**2))
             )
 
-        u2_ = cos2_alpha * (_A**2 - _B**2) / _B**2
-        big_a = 1 + u2_ / 16384 * (4096 + u2_ * (-768 + u2_ * (320 - 175 * u2_)))
-        big_b = u2_ / 1024 * (256 + u2_ * (-128 + u2_ * (74 - 47 * u2_)))
-        d_sigma = big_b * sin_sigma * (
-            cos_2sm + big_b / 4 * (
-                cos_sigma * (-1 + 2 * cos_2sm**2)
-                - big_b / 6 * cos_2sm * (-3 + 4 * sin_sigma**2) * (-3 + 4 * cos_2sm**2)
-            )
-        )
+        big_a, big_b = _vincenty_ab(cos2_alpha)
+        d_sigma = _vincenty_delta_sigma(big_b, sin_sigma, cos_sigma, cos_2sm)
         s = _B * big_a * (sigma - d_sigma)
         azi1 = np.rad2deg(np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl))
         azi2 = np.rad2deg(np.arctan2(cu1 * sl, -su1 * cu2 + cu1 * su2 * cl))
@@ -92,6 +85,32 @@ def _inverse(lat1, lon1, lat2, lon2, iterations=30):
                                 for x in np.broadcast_arrays(s, sigma, azi1, azi2))
         s[bad], sigma[bad], azi1[bad], azi2[bad] = s_a, sig_a, a1_a, a2_a
     return s, sigma, azi1, azi2
+
+
+def _vincenty_ab(cos2_alpha):
+    """Vincenty's A/B series coefficients from cos^2(alpha)."""
+    u2_ = cos2_alpha * (_A**2 - _B**2) / _B**2
+    big_a = 1 + u2_ / 16384 * (4096 + u2_ * (-768 + u2_ * (320 - 175 * u2_)))
+    big_b = u2_ / 1024 * (256 + u2_ * (-128 + u2_ * (74 - 47 * u2_)))
+    return big_a, big_b
+
+
+def _vincenty_delta_sigma(big_b, sin_sigma, cos_sigma, cos_2sm):
+    return big_b * sin_sigma * (
+        cos_2sm + big_b / 4 * (
+            cos_sigma * (-1 + 2 * cos_2sm**2)
+            - big_b / 6 * cos_2sm * (-3 + 4 * sin_sigma**2)
+            * (-3 + 4 * cos_2sm**2)
+        )
+    )
+
+
+def _vincenty_distance(cos2_alpha, sigma12, two_sigma_m):
+    """Ellipsoidal arc length from auxiliary-sphere quantities."""
+    big_a, big_b = _vincenty_ab(cos2_alpha)
+    d_sigma = _vincenty_delta_sigma(big_b, np.sin(sigma12), np.cos(sigma12),
+                                    np.cos(two_sigma_m))
+    return _B * big_a * (sigma12 - d_sigma)
 
 
 def _antipodal_lam12(alpha1, su1, cu1, su2, cu2):
@@ -170,46 +189,64 @@ def _inverse_antipodal(lat1, lon1, lat2, lon2):
                                              su2, cu2)
         g[i] = lam12 - ls
     sign_change = np.sign(g[:-1]) != np.sign(g[1:])
-    # a true root has small |g| on both sides of its interval; the branch
-    # selection can also produce sign-flipping DISCONTINUITIES where |g|
-    # stays large — score intervals and take the most root-like one
+    # lam12(alpha1) = L can have SEVERAL roots near the antipode (distinct
+    # geodesics through different vertices); each sign-change interval is a
+    # candidate, and picking by any g-based score alone can land on a valid
+    # but NON-minimal geodesic (observed +30..100 km). Bisect the best few
+    # candidates and keep the SHORTEST converged solution.
     score = np.where(sign_change, np.abs(g[:-1]) + np.abs(g[1:]), np.inf)
-    idx = np.argmin(score, axis=0)
-    found = np.take_along_axis(sign_change, idx[None], axis=0)[0]
-    # without a bracket the bisection below converges to the first scan
-    # interval. That is CORRECT for the singular exact-antipode family
-    # (g <= 0 everywhere with sup g -> 0 at alpha -> 0) but garbage
-    # otherwise — tell them apart by how close g gets to zero
-    near_zero = np.min(np.abs(g), axis=0) < 5e-5
-    solvable = found | near_zero
-    idx = np.where(found, idx, 0)
-    lo = alphas[idx]
-    hi = alphas[idx + 1]
-    g_lo = np.take_along_axis(g, idx[None], axis=0)[0]
-    for _ in range(60):
-        mid = 0.5 * (lo + hi)
-        gm, _, _, _, _ = _antipodal_lam12(mid, su1, cu1, su2, cu2)
-        gm = gm - ls
-        same = np.sign(gm) == np.sign(g_lo)
-        lo = np.where(same, mid, lo)
-        hi = np.where(same, hi, mid)
-    alpha1 = 0.5 * (lo + hi)
+    order = np.argsort(score, axis=0)
+    n_cand = 6
+
+    best_s = np.full(ua.shape, np.inf)
+    best_alpha1 = np.zeros(ua.shape)
+    any_root = np.zeros(ua.shape, dtype=bool)
+    for ci in range(n_cand):
+        idx = order[ci]
+        bracket = np.take_along_axis(sign_change, idx[None], axis=0)[0]
+        # degenerate exact-antipode family: no bracket anywhere, but
+        # sup g -> 0 at alpha -> 0: alpha = the scan origin is near-optimal
+        no_bracket = np.zeros(ua.shape, dtype=bool)
+        if ci == 0:
+            no_bracket = ~sign_change.any(axis=0) \
+                & (np.min(np.abs(g), axis=0) < 5e-5)
+            idx = np.where(bracket, idx, 0)
+        cand_ok = bracket | no_bracket
+        if not np.any(cand_ok):
+            continue
+        lo = alphas[idx]
+        hi = alphas[idx + 1]
+        g_lo = np.take_along_axis(g, idx[None], axis=0)[0]
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            gm, _, _, _, _ = _antipodal_lam12(mid, su1, cu1, su2, cu2)
+            gm = gm - ls
+            same = np.sign(gm) == np.sign(g_lo)
+            lo = np.where(same, mid, lo)
+            hi = np.where(same, hi, mid)
+        cand_alpha = np.where(no_bracket, alphas[0], 0.5 * (lo + hi))
+        c_lam, c_sig1, c_sig2, _, c_cos2a0 = _antipodal_lam12(
+            cand_alpha, su1, cu1, su2, cu2)
+        # a TRUE root bisects to |g| ~ 1e-12; a branch-switch DISCONTINUITY
+        # also flips sign but leaves |g| at the jump size (>= 1e-3 rad) —
+        # reject those instead of letting a spurious shorter "solution" win
+        converged = np.abs(c_lam - ls) < 1e-4
+        cand_ok = cand_ok & converged
+        c_s12 = c_sig2 - c_sig1
+        cand_s = _vincenty_distance(c_cos2a0, c_s12, c_sig1 + c_sig2)
+        # several genuine geodesics coexist inside the antipodal wedge;
+        # return the SHORTEST (geographiclib's contract)
+        better = cand_ok & (cand_s < best_s)
+        best_s = np.where(better, cand_s, best_s)
+        best_alpha1 = np.where(better, cand_alpha, best_alpha1)
+        any_root = any_root | cand_ok
+
+    solvable = any_root
+    alpha1 = best_alpha1
     lam12, sigma1, sigma2, sin_a0, cos2_a0 = _antipodal_lam12(
         alpha1, su1, cu1, su2, cu2)
     sigma12 = sigma2 - sigma1
-
-    u2_ = cos2_a0 * (_A**2 - _B**2) / _B**2
-    big_a = 1 + u2_ / 16384 * (4096 + u2_ * (-768 + u2_ * (320 - 175 * u2_)))
-    big_b = u2_ / 1024 * (256 + u2_ * (-128 + u2_ * (74 - 47 * u2_)))
-    ss, cs = np.sin(sigma12), np.cos(sigma12)
-    cos_2sm = np.cos(sigma1 + sigma2)
-    d_sigma = big_b * ss * (
-        cos_2sm + big_b / 4 * (
-            cs * (-1 + 2 * cos_2sm**2)
-            - big_b / 6 * cos_2sm * (-3 + 4 * ss**2) * (-3 + 4 * cos_2sm**2)
-        )
-    )
-    s = _B * big_a * (sigma12 - d_sigma)
+    s = _vincenty_distance(cos2_a0, sigma12, sigma1 + sigma2)
 
     # azimuths on the normalized problem (identity cos(alpha) cos(U) =
     # cos(alpha0) cos(sigma))
@@ -254,20 +291,13 @@ def _direct(lat1, lon1, azi1, s, iterations=30):
     sigma1 = np.arctan2(np.tan(u1), ca1)
     sin_alpha = cu1 * sa1
     cos2_alpha = 1 - sin_alpha**2
-    u2_ = cos2_alpha * (_A**2 - _B**2) / _B**2
-    big_a = 1 + u2_ / 16384 * (4096 + u2_ * (-768 + u2_ * (320 - 175 * u2_)))
-    big_b = u2_ / 1024 * (256 + u2_ * (-128 + u2_ * (74 - 47 * u2_)))
+    big_a, big_b = _vincenty_ab(cos2_alpha)
 
     sigma = s / (_B * big_a)
     for _ in range(iterations):
         cos_2sm = np.cos(2 * sigma1 + sigma)
-        ss, cs = np.sin(sigma), np.cos(sigma)
-        d_sigma = big_b * ss * (
-            cos_2sm + big_b / 4 * (
-                cs * (-1 + 2 * cos_2sm**2)
-                - big_b / 6 * cos_2sm * (-3 + 4 * ss**2) * (-3 + 4 * cos_2sm**2)
-            )
-        )
+        d_sigma = _vincenty_delta_sigma(big_b, np.sin(sigma), np.cos(sigma),
+                                        cos_2sm)
         sigma = s / (_B * big_a) + d_sigma
 
     ss, cs = np.sin(sigma), np.cos(sigma)
@@ -335,6 +365,9 @@ def line(location1, location2, resolution=1000):
     :returns: (n, 2) array of lat, lon in degrees
     """
     s, _, azi1, _ = _inverse(location1[0], location1[1], location2[0], location2[1])
+    if not np.isfinite(s):
+        raise ValueError(
+            "no geodesic solution for this (degenerate antipodal) pair")
     num = int(s // resolution)
     if num < 2:
         return np.array([[location1[0], location1[1]], [location2[0], location2[1]]])

@@ -200,11 +200,13 @@ def download_image_sequence_raw(folder, mission, from_frame, to_frame,
     sleep = sleep or _time.sleep
     from_frame, to_frame = int(from_frame), int(to_frame)
     meta = SequenceMetadata(folder)
-    if meta.get("pattern") and meta.get("raw") \
-            and meta.get("fromFrame") is not None \
-            and meta["fromFrame"] <= from_frame \
-            and meta.get("toFrame", -1) >= to_frame:
-        # requested range already covered by a completed download
+    # RAW-prefixed keys: the JPEG downloader shares the sidecar and writes
+    # its own fromFrame/toFrame — trusting those would silently skip RAW
+    # downloads after a JPEG run over a wider range
+    if meta.get("raw") and meta.get("rawFromFrame") is not None \
+            and meta["rawFromFrame"] <= from_frame \
+            and meta.get("rawToFrame", -1) >= to_frame:
+        # requested range already covered by a completed RAW download
         return meta, []
     tmp_folder = os.path.join(folder, "in_progress")
     os.makedirs(tmp_folder, exist_ok=True)
@@ -281,15 +283,15 @@ def download_image_sequence_raw(folder, mission, from_frame, to_frame,
     for name in os.listdir(tmp_folder):
         shutil.move(os.path.join(tmp_folder, name), os.path.join(folder, name))
     os.rmdir(tmp_folder)
-    prev_from = meta.get("fromFrame")
-    prev_to = meta.get("toFrame")
-    prev_gaps = meta.get("frameGaps", []) if meta.get("raw") else []
+    prev_from = meta.get("rawFromFrame")
+    prev_to = meta.get("rawToFrame")
+    prev_gaps = meta.get("rawFrameGaps", []) if meta.get("raw") else []
     meta.update(
         mission=mission, roll=roll,
-        fromFrame=from_frame if prev_from is None
+        rawFromFrame=from_frame if prev_from is None
         else min(prev_from, from_frame),
-        toFrame=to_frame if prev_to is None else max(prev_to, to_frame),
-        frameGaps=sorted(set(prev_gaps) | set(frame_gaps)),
+        rawToFrame=to_frame if prev_to is None else max(prev_to, to_frame),
+        rawFrameGaps=sorted(set(prev_gaps) | set(frame_gaps)),
         raw=True, pattern=disk_name(0).replace("-0.", "-{frame}."),
         lensDistortionCorrected=False)
     return meta, []

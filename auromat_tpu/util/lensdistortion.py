@@ -141,10 +141,15 @@ CAMERA_CROP = {}
 
 
 def register_lens(camera, lens, focal_mm, model, terms, crop_factor=1.0):
-    """Register distortion parameters for (camera, lens) at one focal length."""
+    """Register distortion parameters for (camera, lens) at one focal
+    length, REPLACING any existing entry at that focal length (so a
+    calibrated entry overrides the bundled approximate one)."""
     key = (_norm(camera), _norm(lens))
-    LENS_DB.setdefault(key, []).append((float(focal_mm), model, tuple(terms)))
-    LENS_DB[key].sort(key=lambda e: e[0])
+    focal_mm = float(focal_mm)
+    entries = [e for e in LENS_DB.get(key, []) if e[0] != focal_mm]
+    entries.append((focal_mm, model, tuple(terms)))
+    entries.sort(key=lambda e: e[0])
+    LENS_DB[key] = entries
     CAMERA_CROP[_norm(camera)] = float(crop_factor)
 
 

@@ -65,23 +65,32 @@ def download_files(url_path_pairs, ignore_errors=False):
 
 
 def url_response_code(url, timeout=60):
-    """HTTP status code of a GET without downloading the body.
+    """HTTP status code of a GET without downloading the body (retries
+    once on transport errors, like download_file).
 
     Reference: auromat/util/url.py urlResponseCode (used by the EOL RAW
     flow to probe frame existence and to fire order requests).
     """
     req = urllib.request.Request(url, method="GET")
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as r:
-            return r.status
-    except urllib.error.HTTPError as e:
-        return e.code
+    last = None
+    for _ in range(2):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+        except Exception as e:  # transport errors: retry once
+            last = e
+    raise DownloadError(f"failed to reach {url}: {last!r}")
 
 
 def fetch_text(url, timeout=60):
-    """Fetch a small text resource (e.g. an HTML photo page)."""
-    try:
-        with urllib.request.urlopen(url, timeout=timeout) as r:
-            return r.read().decode("utf-8", errors="replace")
-    except Exception as e:
-        raise DownloadError(f"failed to fetch {url}: {e!r}")
+    """Fetch a small text resource (e.g. an HTML photo page); one retry."""
+    last = None
+    for _ in range(2):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r:
+                return r.read().decode("utf-8", errors="replace")
+        except Exception as e:
+            last = e
+    raise DownloadError(f"failed to fetch {url}: {last!r}")

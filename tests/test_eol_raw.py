@@ -82,7 +82,7 @@ class TestRawOrderFlow:
             poll_interval=0.01, stall_timeout=5.0, sleep=lambda s: None)
         assert failures == []
         assert meta is not None
-        assert meta["frameGaps"] == [102]
+        assert meta["rawFrameGaps"] == [102]
         # every existing frame was ordered exactly once and polled >= 3x
         for f in (100, 101, 103, 104):
             name = f"iss030e{f:06d}.NEF"
@@ -181,11 +181,11 @@ class TestRawResumeExtension:
                   sleep=lambda s: None)
         meta, failures = download_image_sequence_raw(
             str(tmp_path), "ISS030", 100, 101, **kw)
-        assert failures == [] and meta["toFrame"] == 101
+        assert failures == [] and meta["rawToFrame"] == 101
         # a wider request must NOT short-circuit on the old sidecar
         meta2, failures2 = download_image_sequence_raw(
             str(tmp_path), "ISS030", 100, 104, **kw)
         assert failures2 == []
-        assert meta2["toFrame"] == 104
+        assert meta2["rawToFrame"] == 104
         assert (tmp_path / "ISS030-E-104.nef").exists()
-        assert meta2["frameGaps"] == [102]
+        assert meta2["rawFrameGaps"] == [102]

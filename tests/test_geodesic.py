@@ -144,3 +144,26 @@ class TestAntipodal:
         assert np.all(np.abs(s_inv - s) < 1.0)
         da = (azi_inv - azi + 180.0) % 360.0 - 180.0
         assert np.all(np.abs(da) < 2e-4)
+
+
+def test_antipodal_minimality_and_consistency_sweep():
+    """Inside the antipodal wedge several genuine geodesics coexist; the
+    inverse must return the SHORTEST (never longer than any constructed
+    path) and its (azi1, s) must land exactly on the endpoint."""
+    from auromat_tpu.coordinates.geodesic import _direct, _inverse
+
+    rng = np.random.default_rng(11)
+    n = 200
+    lat1 = rng.uniform(-70, 70, n)
+    lon1 = rng.uniform(-180, 180, n)
+    azi = rng.uniform(-180, 180, n)
+    s = rng.uniform(19_950_000, 19_995_000, n)
+    lat2, lon2, _ = _direct(lat1, lon1, azi, s)
+    s_inv, _, a1, _ = _inverse(lat1, lon1, lat2, lon2)
+    assert np.isfinite(s_inv).all()
+    assert (s_inv <= s + 2.0).all()
+    lat2b, lon2b, _ = _direct(lat1, lon1, a1, s_inv)
+    dlat = np.abs(lat2b - lat2)
+    dlon = np.abs((lon2b - lon2 + 180) % 360 - 180)
+    err_m = np.hypot(dlat, dlon * np.cos(np.deg2rad(lat2))) * 111e3
+    assert err_m.max() < 5.0, err_m.max()
