@@ -49,13 +49,7 @@ def make_provider(source_type, folder, altitude, fast_center=True):
     raise ValueError(source_type)
 
 
-def _parse_date(s):
-    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-        try:
-            return datetime.strptime(s, fmt)
-        except ValueError:
-            continue
-    raise argparse.ArgumentTypeError(f"unparseable date {s!r}")
+from auromat_tpu.timeutil import parse_cli_date as _parse_date
 
 
 def build_parser():
@@ -105,6 +99,14 @@ def build_parser():
 def convert_mapping(mapping, args, out_folder):
     from auromat_tpu.resample import resample, resample_mlat_mlt
 
+    # skip-existing BEFORE the expensive mask+resample (the identifier is
+    # unchanged by resampling) — resume over a large sequence must not pay
+    # the device work for already-written frames
+    ext = ".cdf" if args.format == "cdf" else ".nc"
+    out_path = os.path.join(out_folder, f"{mapping.identifier}{ext}")
+    if os.path.exists(out_path) and not args.overwrite:
+        print(f"skipping {out_path} (exists)")
+        return out_path
     if args.min_elevation is not None:
         mapping = mapping.maskedByElevation(args.min_elevation)
     if args.grid == "geo":
@@ -112,11 +114,6 @@ def convert_mapping(mapping, args, out_folder):
     elif args.grid == "mag":
         mapping = resample_mlat_mlt(mapping, arcsec_per_px=args.arcsecperpx,
                                     method="mean")
-    ext = ".cdf" if args.format == "cdf" else ".nc"
-    out_path = os.path.join(out_folder, f"{mapping.identifier}{ext}")
-    if os.path.exists(out_path) and not args.overwrite:
-        print(f"skipping {out_path} (exists)")
-        return out_path
     if args.format == "cdf":
         from auromat_tpu.export import cdf as writer
     else:
@@ -140,6 +137,10 @@ def main(argv=None):
     source_type = detect_source_type(args.folder)
     print(f"detected source type: {source_type}")
     provider = make_provider(source_type, args.folder, args.altitude)
+    if args.precision == "float32" and hasattr(provider, "dtype"):
+        import jax.numpy as jnp
+
+        provider.dtype = jnp.float32
     out_folder = args.out or args.folder
     os.makedirs(out_folder, exist_ok=True)
 

@@ -9,13 +9,7 @@ import sys
 from datetime import datetime
 
 
-def _parse_date(s):
-    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-        try:
-            return datetime.strptime(s, fmt)
-        except ValueError:
-            continue
-    raise argparse.ArgumentTypeError(f"unparseable date {s!r}")
+from auromat_tpu.timeutil import parse_cli_date as _parse_date
 
 
 def build_parser():

@@ -159,8 +159,10 @@ def draw_mlat_mlt_polar(mapping_or_collection, min_mlat=40, figsize=(10, 10)):
     verts, colors = polygons_from_mapping_or_collection(
         mapping_or_collection, mlatmlt=True
     )
-    # verts: (mlt hours, mlat deg) -> polar (theta, r)
-    theta = verts[..., 0] * (2 * np.pi / 24.0) - np.pi / 2  # midnight at bottom
+    # verts: (mlt hours, mlat deg) -> polar (theta, r); midnight-at-bottom
+    # comes from set_theta_zero_location("S") below — adding an extra
+    # -pi/2 here would rotate the DATA 6 hours against the tick labels
+    theta = verts[..., 0] * (2 * np.pi / 24.0)
     r = 90.0 - verts[..., 1]
     pverts = np.stack([theta, r], axis=-1)
 
@@ -202,6 +204,9 @@ def draw_kml_image(kml_path, mapping, resample_arcsec=100):
     Image.fromarray(rgba).save(png_path)
     bb = m.boundingBox
     name = m.identifier or "mapping"
+    # KML LatLonBox requires east > west: shift east +360 for boxes
+    # crossing the antimeridian (else the overlay wraps the long way)
+    kml_east = bb.lonEast + 360.0 if bb.lonWest > bb.lonEast else bb.lonEast
     kml = f"""<?xml version="1.0" encoding="UTF-8"?>
 <kml xmlns="http://www.opengis.net/kml/2.2">
   <GroundOverlay>
@@ -210,7 +215,7 @@ def draw_kml_image(kml_path, mapping, resample_arcsec=100):
     <LatLonBox>
       <north>{bb.latNorth}</north>
       <south>{bb.latSouth}</south>
-      <east>{bb.lonEast}</east>
+      <east>{kml_east}</east>
       <west>{bb.lonWest}</west>
     </LatLonBox>
   </GroundOverlay>
@@ -625,11 +630,12 @@ def draw_astrometry_rotation_angles(wcs_headers, x=None, xlabel="Time",
         x = [_fits.get_photo_time(h) for h in headers]
     assert len(x) == len(headers)
     angles = np.asarray([_fits.get_rotation_angle(h) for h in headers])
-    wrapped = angles.max() - angles.min() > 100
+    # shift by 180 ONLY when it actually tightens the spread (a sequence
+    # hugging +-180); a wide but continuous sequence must not be wrapped
+    shifted = np.mod(angles, 360.0) - 180.0
+    wrapped = (angles.max() - angles.min()) > (shifted.max() - shifted.min())
     if wrapped:
-        # shift by 180 so sequences hugging the +-180 discontinuity plot
-        # continuously; the axis formatter shifts the labels back
-        angles = np.mod(angles, 360.0) - 180.0
+        angles = shifted
     fig, ax = draw_line_plot(
         x, angles, xlabel=xlabel, ylabel=ylabel,
         title=r"Rotation Angle ($\operatorname{atan}(CD_{21},CD_{11})$)", **kw)
@@ -1008,9 +1014,10 @@ def draw_scanlines_map_co(out, arcsec_per_px=100, line_width_factor=1.0,
             for verts, colors in zip(verts_arr, colors_arr):
                 if len(verts) == 0:
                     continue
+                # polygon verts are (lon, lat) — see create_polygons_and_colors
                 pv = np.stack([
                     np.stack(stereographic_project(
-                        v[:, 0], v[:, 1], lat0, lon0), axis=-1)
+                        v[:, 1], v[:, 0], lat0, lon0), axis=-1)
                     for v in verts])
                 _poly_collection(ax, pv, colors)
             xs, ys = stereographic_project(

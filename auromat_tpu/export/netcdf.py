@@ -94,13 +94,14 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
         root.geospatial_lat_units = "degrees_north"
         root.geospatial_lon_units = "degrees_east"
 
-        # dimensions ('s'-suffixed names where a variable shares the name)
+        # plate-carree dims share the coordinate variables' names so CF
+        # tooling auto-associates img(lat, lon) with the 1-D coordinates
         if lat_lon_pc:
-            root.createDimension("lats", h)
-            root.createDimension("lons", w)
+            root.createDimension("lat", h)
+            root.createDimension("lon", w)
         if mlat_mlt_pc:
-            root.createDimension("mlats", h)
-            root.createDimension("mlts", w)
+            root.createDimension("mlat", h)
+            root.createDimension("mlt", w)
         if not lat_lon_pc or mlat_mlt_pc is False:
             root.createDimension("y", h)
             root.createDimension("x", w)
@@ -127,10 +128,10 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
         if lat_lon_pc:
             lats_c = mapping.latsCenter.data[:, 0]
             lons_c = mapping.lonsCenter.data[0, :]
-            lat = root.createVariable("lat", np.float64, ("lats",))
+            lat = root.createVariable("lat", np.float64, ("lat",))
             lat[:] = lats_c
             lat.actual_range = np.float64([lats_c[-1], lats_c[0]])
-            lon = root.createVariable("lon", np.float64, ("lons",))
+            lon = root.createVariable("lon", np.float64, ("lon",))
             lon[:] = lons_c
             lon.actual_range = np.float64([lons_c[0], lons_c[-1]])
         else:
@@ -165,9 +166,9 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
             lat.bounds = b"lat_bounds"
             lon.bounds = b"lon_bounds"
             if lat_lon_pc:
-                lat_b = root.createVariable("lat_bounds", np.float64, ("lats", "vertex2"))
+                lat_b = root.createVariable("lat_bounds", np.float64, ("lat", "vertex2"))
                 lat_b[:] = _bounds1d(mapping.lats.data[:, 0])
-                lon_b = root.createVariable("lon_bounds", np.float64, ("lons", "vertex2"))
+                lon_b = root.createVariable("lon_bounds", np.float64, ("lon", "vertex2"))
                 lon_b[:] = _bounds1d(mapping.lons.data[0, :])
             else:
                 lat_b = root.createVariable("lat_bounds", np.float64, ("y", "x", "vertex4"))
@@ -177,9 +178,9 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
 
         if includeMagCoords:
             if mlat_mlt_pc:
-                mlat = root.createVariable("mlat", np.float64, ("mlats",))
+                mlat = root.createVariable("mlat", np.float64, ("mlat",))
                 mlat[:] = mlats_c.data[:, 0]
-                mlt = root.createVariable("mlt", np.float64, ("mlts",))
+                mlt = root.createVariable("mlt", np.float64, ("mlt",))
                 mlt[:] = mlts_c.data[0, :]
             else:
                 mlat = root.createVariable("mlat", np.float64, ("y", "x"))
@@ -200,9 +201,9 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
                 mlt.bounds = b"mlt_bounds"
                 mlats, mlts = mapping.mLatMlt
                 if mlat_mlt_pc:
-                    mb = root.createVariable("mlat_bounds", np.float64, ("mlats", "vertex2"))
+                    mb = root.createVariable("mlat_bounds", np.float64, ("mlat", "vertex2"))
                     mb[:] = _bounds1d(mlats.data[:, 0])
-                    tb = root.createVariable("mlt_bounds", np.float64, ("mlts", "vertex2"))
+                    tb = root.createVariable("mlt_bounds", np.float64, ("mlt", "vertex2"))
                     tb[:] = _bounds1d(mlts.data[0, :])
                 else:
                     mb = root.createVariable("mlat_bounds", np.float64, ("y", "x", "vertex4"))
@@ -218,8 +219,8 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
             mcrs.comment = b"Geocentric MLat/MLT system based on the given geomagnetic pole position"
 
         # data variables
-        y = "lats" if lat_lon_pc else "y"
-        x = "lons" if lat_lon_pc else "x"
+        y = "lat" if lat_lon_pc else "y"
+        x = "lon" if lat_lon_pc else "x"
         img_src = mapping.img
         if img_src.dtype not in IMG_DTYPE_MAP:
             raise NotImplementedError(f"image dtype {img_src.dtype}")

@@ -96,8 +96,21 @@ class Nc4Writer:
                 shuffle=True,
                 chunks=tuple(chunksizes) if chunksizes else True,
             )
+        is_coord = dims == (name,) and name in self._nc4_dims
+        if is_coord:
+            # COORDINATE variable (shares its dimension's name, the CF
+            # association convention): replace the placeholder scale with
+            # the real dataset, which becomes the dimension scale itself
+            dimid = self._nc4_dims[name].attrs.get("_Netcdf4Dimid",
+                                                   np.int32(0))
+            del self._nc4_h5[name]
         ds = self._nc4_h5.create_dataset(name, shape=shape, dtype=dtype,
                                          **kwargs)
+        if is_coord:
+            ds.make_scale(name)
+            ds.attrs["_Netcdf4Dimid"] = dimid
+            self._nc4_dims[name] = ds
+            return Nc4Variable(ds)
         for i, d in enumerate(dims):
             ds.dims[i].attach_scale(self._nc4_dims[d])
         return Nc4Variable(ds)

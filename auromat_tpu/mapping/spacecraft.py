@@ -81,13 +81,14 @@ class SpacecraftMappingProvider(BaseMappingProvider):
     """
 
     def __init__(self, image_dir, wcs_dir=None, tle_path=None, altitude=110.0,
-                 fast_center=False, maxTimeOffset=3):
+                 fast_center=False, maxTimeOffset=3, dtype=None):
         super().__init__(maxTimeOffset)
         self.image_dir = image_dir
         self.wcs_dir = wcs_dir or image_dir
         self.tle_path = tle_path
         self.altitude = altitude
         self.fast_center = fast_center
+        self.dtype = dtype  # None = float64 (CPU parity); e.g. jnp.float32
         self._index = None
 
     def _build_index(self):
@@ -142,7 +143,7 @@ class SpacecraftMappingProvider(BaseMappingProvider):
         return get_mapping(
             entry["image"], entry["wcs"], altitude=self.altitude,
             identifier=entry["id"], fast_center=self.fast_center,
-            tle_path=self.tle_path,
+            tle_path=self.tle_path, dtype=self.dtype,
         )
 
     def get(self, date):

@@ -40,7 +40,15 @@ def plate_carree_resolution(bounding_box: BoundingBox, arcsec_per_px):
         lons = lon_east + 360 - bounding_box.lonWest
     else:
         lons = lon_east - bounding_box.lonWest
-    return lat_px_per_deg, px / lons
+    lon_ppd = px / lons
+    if not lon_ppd > 0:
+        # pole-containing boxes span -180..180: the two mid-edge points
+        # coincide and the measured lon width degenerates to zero. Fall
+        # back to the latitude resolution — the pole path resamples in a
+        # ROTATED frame anyway (rotate_pole), where the original lon
+        # resolution has no special meaning.
+        lon_ppd = lat_px_per_deg
+    return lat_px_per_deg, lon_ppd
 
 
 def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
@@ -87,13 +95,18 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     img = mapping.img
     img_dtype = img.dtype
     img_is_int = np.issubdtype(img_dtype, np.integer)
-    if bin_method == "auto":
+    if bin_method == "auto" and method == "mean":
+        # only the 'mean' path bins on device; probing the backend here
+        # for interpolation methods would needlessly initialize jax (a
+        # remote-TPU connection in this environment)
         import jax
 
         uint8_imagery = img_dtype == np.uint8
         bin_method = ("pallas_taint"
                       if jax.default_backend() == "tpu" and uint8_imagery
                       else "sorted")
+    elif bin_method == "auto":
+        bin_method = "sorted"
     merged = np.concatenate(
         [
             np.asarray(img.astype(np.float64).filled(np.nan)),

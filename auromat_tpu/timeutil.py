@@ -71,3 +71,17 @@ def fractional_year_index(et: float) -> tuple:
     frac_year_index = (et + 3155803200.0) / 157788000.0
     frac_year = frac_year_index % 1.0
     return frac_year_index, frac_year
+
+
+def parse_cli_date(s):
+    """Parse the CLI date formats shared by auromat-download/convert
+    (raises argparse.ArgumentTypeError so both parsers report it nicely)."""
+    import argparse
+    from datetime import datetime
+
+    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise argparse.ArgumentTypeError(f"unparseable date {s!r}")

@@ -137,3 +137,17 @@ class TestRoundTrip:
         m2 = prov.get(m.photoTime)
         assert m2.identifier == "a"
         assert len(list(prov.getSequence())) == 1
+
+    def test_plate_carree_cf_coordinate_variables(self, plate_carree):
+        """Plate-carree output uses CF coordinate variables: the dims share
+        the 1-D coordinate variables' names so tooling auto-associates
+        img(lat, lon) with the coordinates."""
+        import h5py
+
+        _, path = plate_carree
+        with h5py.File(path, "r") as f:
+            assert f["img_red"].dims[0][0].name == "/lat"
+            assert f["img_red"].dims[1][0].name == "/lon"
+            # the coordinate variable IS the dimension scale (no phony name)
+            assert f["lat"].attrs["NAME"] == b"lat" or \
+                f["lat"].attrs["NAME"] == "lat"
