@@ -26,7 +26,13 @@ def create_polygons_and_colors(lats, lons, rgb, elevation=None):
     if np.issubdtype(colors.dtype, np.integer):
         colors = colors / 255.0
     has_nan = np.isnan(verts).any(axis=(1, 2))
-    keep = ~has_nan
+    # ALSO drop quads whose pixel (centre) is masked: the sanitize fixpoint
+    # keeps boundary corners valid while the centre is masked, and filling
+    # the masked colour with 0 would paint a spurious black ring along
+    # every mask boundary (reference filterNanPolygons filters by the
+    # colour mask)
+    center_masked = ma.getmaskarray(rgb).reshape(-1, rgb.shape[-1]).any(axis=1)
+    keep = ~has_nan & ~center_masked
     out_elev = None
     if elevation is not None:
         ev = np.asarray(ma.filled(elevation, np.nan)).ravel()
@@ -68,6 +74,11 @@ def polygons_from_mapping_or_collection(mapping_or_collection, mlatmlt=False):
     colors = np.concatenate(all_colors)
     if sort and all_elev:
         elev = np.concatenate(all_elev)
+        if len(elev) != len(verts):
+            raise ValueError(
+                "mayOverlap collections need elevation on every mapping "
+                "for overlap ordering (a mapping without elevation would "
+                "silently drop polygons)")
         order = np.argsort(np.nan_to_num(elev, nan=-1))
         verts, colors = verts[order], colors[order]
     return verts, colors
@@ -82,9 +93,10 @@ def overlap_polygons(verts, factor=0.2):
 
 def mlt_formatter(value, pos=None):
     """Tick formatter for magnetic local time axes (reference
-    draw_helpers.py:207)."""
-    hours = int(value) % 24
-    minutes = int(round((value - int(value)) * 60))
+    draw_helpers.py:207). Minutes carry into hours (16.995 -> "17:00",
+    not "16:60") and negatives wrap."""
+    total_minutes = int(round(value * 60)) % (24 * 60)
+    hours, minutes = divmod(total_minutes, 60)
     return f"{hours:02d}:{minutes:02d}"
 
 

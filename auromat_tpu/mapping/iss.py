@@ -108,7 +108,9 @@ class ISSMappingProvider(BaseMappingProvider):
 
     def _idx_with_offset(self, date):
         dates = self._dates()
-        idx = find_nearest([d.timestamp() for d in dates], date.timestamp())
+        from auromat_tpu.timeutil import naive_epoch
+
+        idx = find_nearest([naive_epoch(d) for d in dates], naive_epoch(date))
         return idx, abs((dates[idx] - date).total_seconds())
 
     def contains(self, date):
@@ -190,6 +192,12 @@ class ISSMappingProvider(BaseMappingProvider):
         if self.badPixels is not None:
             rawpy.enhance.repair_bad_pixels(raw, self.badPixels)
         if self.raw_white_balance:
+            # a 3-tuple WB maps onto the sensor pattern only for RGBG
+            # 3-color RAWs (the reference's guard, iss.py:216-222)
+            if raw.color_desc != b"RGBG" or raw.num_colors != 3:
+                raise NotImplementedError(
+                    f"user white balance for color pattern "
+                    f"{raw.color_desc!r}/{raw.num_colors} colors")
             wb = [self.raw_white_balance[0], self.raw_white_balance[1],
                   self.raw_white_balance[2], self.raw_white_balance[1]]
         else:
@@ -200,7 +208,10 @@ class ISSMappingProvider(BaseMappingProvider):
             user_flip=False,
         )
         rgb = self._postprocess_common(rgb)
-        if self.noRawPostprocessCaching:
+        if self.noRawPostprocessCaching or rgb.dtype != np.uint8:
+            # the tiff cache writer is 8-bit; caching a 16-bps postprocess
+            # would silently quantize it (the reference forces caching off
+            # for 16 bps the same way, iss.py:73-78)
             return rgb
         path = os.path.join(self.cacheFolder, key + ".tiff")
         save_image(path, rgb)

@@ -597,6 +597,21 @@ class Mapping:
                         self._lons_center, self._elevation, self._img)
         m._corner_mask_arr = corner_mask
         m._center_mask_arr = center_mask
+        # carry precomputed MLat/MLT (e.g. the J2000-derived values of
+        # astrometry mappings) under the widened masks — recomputing them
+        # lazily would silently switch to the less-accurate geodetic path
+        if self._mlatmlt is not None:
+            a, b = self._mlatmlt
+            m._mlatmlt = (
+                ma.masked_array(np.asarray(ma.filled(a, np.nan)), corner_mask),
+                ma.masked_array(np.asarray(ma.filled(b, np.nan)), corner_mask),
+            )
+        if self._mlatmlt_center is not None:
+            a, b = self._mlatmlt_center
+            m._mlatmlt_center = (
+                ma.masked_array(np.asarray(ma.filled(a, np.nan)), center_mask),
+                ma.masked_array(np.asarray(ma.filled(b, np.nan)), center_mask),
+            )
         return m
 
     def _clone(self, lats, lons, lats_c, lons_c, elev, img):

@@ -217,19 +217,23 @@ class MIRACLEMappingProvider(BaseMappingProvider):
         return dates[0], dates[-1]
 
     def contains(self, date):
+        from auromat_tpu.timeutil import naive_epoch
+
         for images in self.images.values():
-            dates = [d.timestamp() for _, d in images]
-            idx = find_nearest(dates, date.timestamp())
-            if abs(dates[idx] - date.timestamp()) <= self.maxTimeOffset:
+            dates = [naive_epoch(d) for _, d in images]
+            idx = find_nearest(dates, naive_epoch(date))
+            if abs(dates[idx] - naive_epoch(date)) <= self.maxTimeOffset:
                 return True
         return False
 
     def get(self, date):
+        from auromat_tpu.timeutil import naive_epoch
+
         mappings = []
         for images in self.images.values():
-            dates = [d.timestamp() for _, d in images]
-            idx = find_nearest(dates, date.timestamp())
-            if abs(dates[idx] - date.timestamp()) <= self.maxTimeOffset:
+            dates = [naive_epoch(d) for _, d in images]
+            idx = find_nearest(dates, naive_epoch(date))
+            if abs(dates[idx] - naive_epoch(date)) <= self.maxTimeOffset:
                 path = os.path.join(self.imageFolder, images[idx][0])
                 mappings.append(get_mapping(path, self.altitude, self.simple))
         ident = "MIRACLE." + date.strftime("%Y.%m.%d.%H.%M.%S")

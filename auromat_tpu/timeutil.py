@@ -85,3 +85,15 @@ def parse_cli_date(s):
         except ValueError:
             continue
     raise argparse.ArgumentTypeError(f"unparseable date {s!r}")
+
+
+def naive_epoch(dt):
+    """Timezone-independent seconds-since-1970 for NAIVE datetimes.
+
+    datetime.timestamp() interprets naive values in the HOST timezone and
+    is non-monotonic across DST transitions — fatal for searchsorted-based
+    nearest-frame lookups over sorted date lists.
+    """
+    from datetime import datetime
+
+    return (dt - datetime(1970, 1, 1)).total_seconds()

@@ -14,7 +14,8 @@ def vector_lengths(vectors, axis=-1):
 
 def unit_vectors(vectors, axis=-1):
     vectors = np.asarray(vectors)
-    return vectors / vector_lengths(vectors, axis)[..., None]
+    lengths = np.expand_dims(vector_lengths(vectors, axis), axis)
+    return vectors / lengths
 
 
 def angle_between(v1, v2, axis=-1):
