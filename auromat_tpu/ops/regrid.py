@@ -280,13 +280,8 @@ def _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch):
     Avoids XLA's serialized scatter-add on TPU entirely (measured: scatter
     ~757 ms for 12M samples on v5e vs ~10 ms of dense work here + the sort).
     """
-    operands = [flat_idx] + [data[:, c] for c in range(n_ch)]
-    sorted_ops = jax.lax.sort(operands, num_keys=1)
-    sidx = sorted_ops[0]
-    # channels-first so the cumsum/gather lane dimension is the 4096-wide
-    # chunk axis, not the 4-channel axis (measured ~20x layout difference)
-    sdata = jnp.stack(sorted_ops[1:], axis=0)  # (n_ch, n)
-    return _accumulate_sorted(sidx, sdata, n_bins, data.dtype)
+    sidx, state = sorted_prefix_state(flat_idx, data)
+    return _accumulate_sorted_range(sidx, state, 0, n_bins, data.dtype)
 
 
 def _bin_sum_sorted_gather(flat_idx, weights, data, n_bins, n_ch):
@@ -304,29 +299,57 @@ def _bin_sum_sorted_gather(flat_idx, weights, data, n_bins, n_ch):
 
 def _bin_sum_sorted_packed(flat_idx, weights, data, n_bins, n_ch):
     """_bin_sum_sorted for uint8-valued imagery + one float channel: packs
-    the first three channels (integers 0..255, e.g. RGB) into ONE int32 sort
-    operand (lossless), cutting the sort payload from 1+4 to 1+2 arrays.
-    Requires n_ch == 4 with channels 0..2 integer-valued in [0, 255] (the
-    reference's img+elevation regrid layout); falls back to the general
-    sorted path otherwise.
+    the integer channels into ONE int32 sort operand (lossless), cutting
+    the sort payload arrays.
+
+    Two layouts are recognised:
+      n_ch == 4 — [R, G, B, elev] from bin_partial (RGB integers 0..255)
+      n_ch == 8 — [R, G, B, elev, t0..t3] from bin_mean, where t* are the
+                  0/1 taint indicator channels: RGB packs into bits 0..23
+                  and the four taint bits into bits 24..27
+    Anything else falls back to the general sorted path (an earlier
+    version mis-packed bin_mean's doubled-channel layout through the
+    n_ch == 4 case).
     """
-    if n_ch != 4:
-        return _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch)
-    i32 = jnp.int32
-    rgb = (data[:, 0].astype(i32)
-           | (data[:, 1].astype(i32) << 8)
-           | (data[:, 2].astype(i32) << 16))
-    sidx, srgb, selev = jax.lax.sort(
-        [flat_idx, rgb, data[:, 3]], num_keys=1
-    )
     f32 = data.dtype
-    sdata = jnp.stack([
-        (srgb & 255).astype(f32),
-        ((srgb >> 8) & 255).astype(f32),
-        ((srgb >> 16) & 255).astype(f32),
-        selev,
-    ], axis=0)
-    return _accumulate_sorted(sidx, sdata, n_bins, f32)
+    i32 = jnp.int32
+    if n_ch == 4:
+        rgb = (data[:, 0].astype(i32)
+               | (data[:, 1].astype(i32) << 8)
+               | (data[:, 2].astype(i32) << 16))
+        sidx, srgb, selev = jax.lax.sort(
+            [flat_idx, rgb, data[:, 3]], num_keys=1
+        )
+        sdata = jnp.stack([
+            (srgb & 255).astype(f32),
+            ((srgb >> 8) & 255).astype(f32),
+            ((srgb >> 16) & 255).astype(f32),
+            selev,
+        ], axis=0)
+        return _accumulate_sorted(sidx, sdata, n_bins, f32)
+    if n_ch == 8:
+        packed = (data[:, 0].astype(i32)
+                  | (data[:, 1].astype(i32) << 8)
+                  | (data[:, 2].astype(i32) << 16)
+                  | (data[:, 4].astype(i32) << 24)
+                  | (data[:, 5].astype(i32) << 25)
+                  | (data[:, 6].astype(i32) << 26)
+                  | (data[:, 7].astype(i32) << 27))
+        sidx, spk, selev = jax.lax.sort(
+            [flat_idx, packed, data[:, 3]], num_keys=1
+        )
+        sdata = jnp.stack([
+            (spk & 255).astype(f32),
+            ((spk >> 8) & 255).astype(f32),
+            ((spk >> 16) & 255).astype(f32),
+            selev,
+            ((spk >> 24) & 1).astype(f32),
+            ((spk >> 25) & 1).astype(f32),
+            ((spk >> 26) & 1).astype(f32),
+            ((spk >> 27) & 1).astype(f32),
+        ], axis=0)
+        return _accumulate_sorted(sidx, sdata, n_bins, f32)
+    return _bin_sum_sorted(flat_idx, weights, data, n_bins, n_ch)
 
 
 # ---------------------------------------------------------------------------
@@ -482,8 +505,10 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
     channel into int+frac; 'full' mode base-256-splits every channel).
 
     Out-of-window pixels (near the horizon the pixel footprint outgrows the
-    row band) spill to the exact sorted path; the mostly-sentinel spill keys
-    sort cheaply (TPU sort is adaptive).
+    row band) spill to the exact sorted path. NOTE: the spill sort is NOT
+    cheap — "adaptive sort" does not apply to payload sorts (an
+    all-sentinel 12M-key sort with 2 payloads measured 147 ms on v5e; see
+    CLAUDE.md), which is why this variant lost to the window kernels.
     """
     h, w = lats.shape
     n_ch_in = data.shape[-1]
@@ -698,6 +723,11 @@ def bin_partial(grid: GridSpec, lats, lons, data, method="segment"):
     method='pallas' dispatches to the Mosaic window kernel
     (ops.regrid_pallas, TPU only, requires (h, w) inputs and finite data;
     'uint8' channel contract) — the fast path for imagery+elevation.
+
+    NaN DATA at valid coordinates is treated as 0 here (partial sums must
+    stay finite for the cross-shard reduction; a raw NaN riding the
+    sorted path's prefix sums would corrupt every later bin). Use
+    :func:`bin_mean` for the reference's NaN-taint semantics.
     """
     if method == "pallas":
         from auromat_tpu.ops.regrid_pallas import bin_partial_pallas2
@@ -710,6 +740,7 @@ def bin_partial(grid: GridSpec, lats, lons, data, method="segment"):
     flat_idx, valid = bin_indices(grid, flat_lats, flat_lons)
     weights = valid.astype(flat_data.dtype)
     flat_data = jnp.where(valid[:, None], flat_data, 0.0)
+    flat_data = jnp.where(jnp.isnan(flat_data), 0.0, flat_data)
     n_bins = grid.n_lat * grid.n_lon
     fn = _BIN_METHODS[method]
     acc = fn(flat_idx, weights, flat_data, n_bins, n_ch)

@@ -98,9 +98,21 @@ def run_with_timeout(cmd, timeout):
                 proc.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 os.killpg(proc.pid, signal.SIGKILL)
-                proc.wait(timeout=10)
+                try:
+                    proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    pass  # unkillable (e.g. D-state on a dead mount)
         except ProcessLookupError:
             pass
+        finally:
+            # drain/close the pipes of the killed child so fds don't
+            # accumulate over a long solve run
+            for stream in (proc.stdout, proc.stderr):
+                if stream is not None:
+                    try:
+                        stream.close()
+                    except OSError:
+                        pass
         return None, b"", b"timeout"
 
 
@@ -122,36 +134,49 @@ def solve_image(image_path, wcs_path=None, mask=True, channel=None,
     img = load_image(image_path)
     sigma = None
     solver_input = image_path
+    own_tmp = work_dir is None
     tmp_dir = work_dir or tempfile.mkdtemp(prefix="auromat_solve_")
     if mask:
         m, sigma = mask_starfield(img, channel=channel)
         masked = img.copy()
         masked[~m] = 0
-        solver_input = os.path.join(tmp_dir, "masked.png")
+        # unique per image: a shared work_dir under the solve_images
+        # thread pool must not race on one fixed "masked.png" (a thread
+        # could solve ANOTHER image's pixels and record its WCS)
+        base = os.path.splitext(os.path.basename(image_path))[0]
+        solver_input = os.path.join(tmp_dir, f"{base}_masked.png")
         save_image(solver_input, masked)
     if scale_range is None:
         scale_range = estimate_arcsec_range(image_path, img.shape[1])
 
-    for strategy in strategies or STRATEGIES:
-        cmd = build_solve_command(
-            solver_input, tmp_dir, scale_range=scale_range, sigma=sigma,
-            extra_args=strategy["args"], solve_field=solve_field,
-        )
-        t0 = time.time()
-        code, out, err = run_with_timeout(cmd, timeout)
-        if verbose:
-            print(f"[{strategy['name']}] rc={code} dt={time.time()-t0:.1f}s")
-        produced = os.path.join(
-            tmp_dir, os.path.splitext(os.path.basename(solver_input))[0] + ".wcs"
-        )
-        if code == 0 and os.path.exists(produced):
-            shutil.copy(produced, wcs_path)
-            header = fits.read_header(wcs_path)
-            header["IMAGEW"] = img.shape[1]
-            header["IMAGEH"] = img.shape[0]
-            fits.write_header(header, wcs_path)
-            return wcs_path
-    return None
+    try:
+        for strategy in strategies or STRATEGIES:
+            cmd = build_solve_command(
+                solver_input, tmp_dir, scale_range=scale_range, sigma=sigma,
+                extra_args=strategy["args"], solve_field=solve_field,
+            )
+            t0 = time.time()
+            code, out, err = run_with_timeout(cmd, timeout)
+            if verbose:
+                print(f"[{strategy['name']}] rc={code} dt={time.time()-t0:.1f}s")
+            produced = os.path.join(
+                tmp_dir,
+                os.path.splitext(os.path.basename(solver_input))[0] + ".wcs"
+            )
+            if code == 0 and os.path.exists(produced):
+                shutil.copy(produced, wcs_path)
+                header = fits.read_header(wcs_path)
+                header["IMAGEW"] = img.shape[1]
+                header["IMAGEH"] = img.shape[0]
+                fits.write_header(header, wcs_path)
+                return wcs_path
+        return None
+    finally:
+        if own_tmp:
+            # a 2000-frame run would otherwise leak a multi-MB masked PNG
+            # + solver products per frame into /tmp (reference rmtree's,
+            # solving.py:329/513/533)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def solve_images(image_paths, max_workers=None, **kw):

@@ -90,10 +90,16 @@ def intersects_earth(header, altitude=110.0):
     return bool(np.isfinite(np.asarray(lat)).any())
 
 
-def is_consistent(header, altitude=110.0):
-    """Solve-sanity check: the Earth must intersect the frame from below
-    (the reference additionally checks quad stars aren't Earth-covered,
-    spacecraft.py:523-555)."""
+def is_consistent(header, altitude=0.0, star_px_coords=None):
+    """Solve-sanity check (reference spacecraft.py:523-555): a plausible
+    oblique aurora frame intersects the Earth PARTIALLY — all-Earth or
+    all-sky means a wrong timestamp/solution — regardless of which edge
+    the Earth sits on (the camera may be mounted in any orientation).
+    Optionally rejects solutions whose quad stars would be covered by the
+    modelled Earth.
+
+    :param star_px_coords: (n, 2) x,y pixel coords of solve stars
+    """
     from auromat_tpu.coordinates.wcs import TanWcs
     from auromat_tpu.mapping.spacecraft import resolve_camera_position
     from auromat_tpu.ops.georef import GeorefParams, georeference_points
@@ -101,11 +107,16 @@ def is_consistent(header, altitude=110.0):
     wcs = TanWcs(header)
     pos, photo_time, _ = resolve_camera_position(header)
     params = GeorefParams.from_wcs(wcs, pos, photo_time, altitude)
-    xs = np.linspace(0, wcs.width - 1, 16)
-    px, py = np.meshgrid(xs, [0.0, wcs.height - 1.0])
+    xs = np.linspace(0, wcs.width - 1, 32)
+    ys = np.linspace(0, wcs.height - 1, 32)
+    px, py = np.meshgrid(xs, ys)
     lat, _ = georeference_points(params, px, py)
-    lat = np.asarray(lat)
-    top_hits = np.isfinite(lat[0]).mean()
-    bottom_hits = np.isfinite(lat[1]).mean()
-    # a consistent oblique Earth view: bottom row mostly on Earth, top mostly sky
-    return bottom_hits > top_hits
+    hits = np.isfinite(np.asarray(lat))
+    if hits.all() or not hits.any():
+        return False
+    if star_px_coords is not None:
+        spx = np.asarray(star_px_coords, dtype=np.float64)
+        slat, _ = georeference_points(params, spx[:, 0], spx[:, 1])
+        if np.isfinite(np.asarray(slat)).any():
+            return False  # a solve star would sit on the Earth disk
+    return True

@@ -185,3 +185,39 @@ class TestNanDataSemantics:
             assert not np.isnan(vals1).any(), method
             assert set(vals0[~np.isnan(vals0)]) == {1.0, 3.0}, method
             assert set(vals1) == {10.0, 20.0, 30.0}, method
+
+
+def test_sorted_packed_taint_layout():
+    """bin_mean doubles the channel count with taint indicators; the
+    packed path must pack THAT layout (RGB bits 0..23 + taint bits
+    24..27), not misinterpret it through the 4-channel case."""
+    rng = np.random.default_rng(8)
+    n = 4000
+    lats = rng.uniform(50, 60, n)
+    lons = rng.uniform(-110, -100, n)
+    g = fixed_grid(4, 49.0, 61.0, -111.0, -99.0)
+    data = np.round(rng.random((n, 4)) * 255)
+    data[:, 3] = rng.uniform(-10, 80, n)  # elevation incl. negatives
+    data[rng.random(n) < 0.05, 3] = np.nan  # NaN at VALID coords -> taint
+    c_ref, m_ref = bin_mean(g, lats, lons, data, "sorted")
+    c_pk, m_pk = bin_mean(g, lats, lons, data, "sorted_packed")
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_pk))
+    a, b = np.asarray(m_ref), np.asarray(m_pk)
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-6)
+
+
+def test_bin_partial_nan_data_zeroed():
+    """bin_partial treats NaN data at valid coords as 0 (documented) —
+    a raw NaN riding the sorted prefix sums would corrupt every bin after
+    it in sort order."""
+    lats = np.array([50.1, 50.1, 55.0, 58.0])
+    lons = np.array([-105.0, -105.0, -104.0, -103.0])
+    g = fixed_grid(1, 49.0, 61.0, -111.0, -99.0)
+    data = np.array([[1.0], [np.nan], [2.0], [3.0]])
+    count, sums = bin_partial(g, lats, lons, data, "sorted")
+    count, sums = np.asarray(count), np.asarray(sums)
+    assert np.isfinite(sums).all()
+    assert count.sum() == 4
+    assert sums.sum() == 6.0  # the NaN sample contributes 0
