@@ -93,7 +93,7 @@ def parse_tle_file(path_or_lines):
 
 def tle_checksum_ok(line):
     """Verify the modulo-10 checksum of a TLE line."""
-    if len(line) < 69:
+    if len(line) < 69 or not line[68].isdigit():
         return False
     total = 0
     for c in line[:68]:
@@ -108,7 +108,7 @@ class SGP4:
     """Near-Earth SGP4 propagator initialised from one TLE.
 
     Call with minutes since the TLE epoch; returns the TEME position (km)
-    and velocity (km/min).
+    and velocity (km/s).
     """
 
     def __init__(self, tle: TLE):
@@ -388,19 +388,25 @@ def teme_to_gcrs_matrix(date: datetime) -> np.ndarray:
         return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
 
     tod_from_teme = rz(eqeq)
-    # nutation: TOD -> MOD
-    mod_from_tod = rx(-eps0) @ rz(dpsi) @ rx(eps)
-    # precession: MOD -> J2000 (IAU-76, inverse of the forward angles)
+    # nutation: TOD -> MOD. Vallado's [N] = ROT1(-eps0) ROT3(dpsi) ROT1(eps)
+    # with passive ROTn(a) == active r_n(-a), i.e. in the active convention
+    # used here: rx(eps0) rz(-dpsi) rx(-eps). (An earlier version had all
+    # three signs flipped -- a 1.3 km error at ISS radius.)
+    mod_from_tod = rx(eps0) @ rz(-dpsi) @ rx(-eps)
+    # precession: MOD -> J2000 (IAU-76). Forward J2000->MOD is
+    # ROT3(-z) ROT2(theta) ROT3(-zeta) == active rz(z) ry(-theta) rz(zeta);
+    # the inverse used here is its transpose. (An earlier version applied
+    # the forward matrix instead -- a 2x-precession / ~40 km error.)
     d2r = math.pi / 180.0
     zeta = (2306.2181 * t + 0.30188 * t * t) / 3600.0 * d2r
     theta = (2004.3109 * t - 0.42665 * t * t) / 3600.0 * d2r
     z = (2306.2181 * t + 1.09468 * t * t) / 3600.0 * d2r
-    # forward (J2000->MOD) is Rz(-z) Ry(theta) Rz(-zeta); invert:
+
     def ry(a):
         c, s = math.cos(a), math.sin(a)
         return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
 
-    j2000_from_mod = rz(zeta) @ ry(-theta) @ rz(z)
+    j2000_from_mod = rz(-zeta) @ ry(theta) @ rz(-z)
     return j2000_from_mod @ mod_from_tod @ tod_from_teme
 
 
@@ -424,6 +430,7 @@ class EphemerisCalculator:
         self.tles = sorted(tles, key=lambda t: t.epoch)
         self._epochs = [t.epoch for t in self.tles]
         self.maxEpochDistance = maxEpochDistance
+        self._propagators = {}  # id(tle) -> initialised SGP4
 
     @property
     def firstDate(self):
@@ -451,8 +458,11 @@ class EphemerisCalculator:
     def __call__(self, date):
         """GCRS position (km, shape (3,)) of the spacecraft at ``date``."""
         tle = self.get_tle(date)
+        prop = self._propagators.get(id(tle))
+        if prop is None:
+            prop = self._propagators[id(tle)] = SGP4(tle)
         tsince = (date - tle.epoch).total_seconds() / 60.0
-        r_teme, _ = SGP4(tle)(tsince)
+        r_teme, _ = prop(tsince)
         return teme_to_gcrs_matrix(date) @ r_teme
 
     # reference API alias (ephem.py:125)

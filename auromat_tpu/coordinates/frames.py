@@ -80,6 +80,14 @@ def mat_precession(et: float) -> np.ndarray:
     """J2000 -> GEI (mean of date) precession matrix ``P``.
 
     Reference: auromat/coordinates/transform.py:568-581.
+
+    NOTE (intentional parity quirk): the middle factor is ``rot_y(+theta)``,
+    whereas the textbook IAU-76 J2000->MOD matrix in this active convention
+    is ``rz(z) @ ry(-theta) @ rz(zeta)`` (see ephem.teme_to_gcrs_matrix).
+    The +theta sign reproduces the reference's cxform-derived chain
+    bit-exactly, and every consumer (GEO/SM conversions, and their golden
+    parity tests) uses this same chain consistently -- do not "fix" the sign
+    here in isolation.
     """
     t0 = julian_centuries_since_j2000(et)
     za = radians(0.64062 * t0 + 0.00030 * t0 * t0)
@@ -174,9 +182,20 @@ class FrameMatrices:
     def __init__(self, date):
         et = _et(date)
         self.et = et
-        self.j2000_to_geo = mat_j2000_to_geo(et)
-        self.j2000_to_sm = mat_j2000_to_sm(et)
-        self.geo_to_sm = mat_geo_to_sm(et)
+        # compute each sub-chain matrix once and compose (the standalone
+        # mat_j2000_to_* functions would redo P/T1/T2/Qe 4-10x)
+        p = mat_precession(et)
+        t1 = mat_gei_to_geo(et)
+        t2 = mat_gei_to_gse(et)
+        lat, lon = magnetic_pole_lat(et), magnetic_pole_lon(et)
+        qg = np.array([cos(lat) * cos(lon), cos(lat) * sin(lon), sin(lat)])
+        qe = t2 @ t1.T @ qg
+        t3 = rot_x(atan2(qe[1], qe[2]))
+        t4 = rot_y(-atan2(qe[0], sqrt(qe[1] * qe[1] + qe[2] * qe[2])))
+        t4321 = t4 @ t3 @ t2
+        self.j2000_to_geo = t1 @ p
+        self.j2000_to_sm = t4321 @ p
+        self.geo_to_sm = t4321 @ t1.T
 
     @property
     def geo_to_j2000(self) -> np.ndarray:

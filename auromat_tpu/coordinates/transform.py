@@ -76,6 +76,10 @@ def ecef_to_geodetic(x, y, z, a=WGS84_A, b=WGS84_B):
 
     Accuracy >= 11 decimal digits in degrees for float64 inputs
     (reference: auromat/coordinates/transform.py:199-230).
+
+    Exactly on the rotation axis (x == y == 0) the method divides 0/0 and
+    returns NaN lat (same as the reference); callers with possibly-polar
+    points should special-case them. Points merely *near* the pole are fine.
     """
     e2 = (a * a - b * b) / (a * a)
     d = (a * a - b * b) / b

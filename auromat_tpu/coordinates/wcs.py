@@ -166,5 +166,10 @@ def pixel_directions(wcs: TanWcs, corner=True, dtype=jnp.float64):
 
     :returns: (h+1, w+1, 3) if corner else (h, w, 3)
     """
+    if wcs.width is None or wcs.height is None:
+        raise ValueError(
+            "WCS header has no image dimensions (IMAGEW/IMAGEH); "
+            "pixel_directions needs them to build the pixel grid"
+        )
     px, py = pixel_grid(wcs.width, wcs.height, corner=corner, dtype=dtype)
     return tan_pix2world_cartesian(wcs, px, py, origin=0)

@@ -125,6 +125,8 @@ class TestTLEParsing:
         assert tle_checksum_ok(l1)
         assert tle_checksum_ok(l2)
         assert not tle_checksum_ok(l1[:-1] + str((int(l1[-1]) + 1) % 10))
+        assert tle_checksum_ok(l1[:-1] + "X") is False  # non-digit: no raise
+        assert tle_checksum_ok("") is False
 
     def test_parse_file(self, tmp_path):
         l1, l2 = make_tle(datetime(2012, 1, 25, 12), 51.6, 280.0, 0.0016,
@@ -174,6 +176,34 @@ class TestTemeToGcrs:
         m = teme_to_gcrs_matrix(datetime(2000, 1, 1, 12))
         angle = np.rad2deg(np.arccos(np.clip((np.trace(m) - 1) / 2, -1, 1)))
         assert angle < 0.01  # only nutation remains at the epoch
+
+    def test_mean_equinox_drift_direction(self):
+        """Non-circular gate on the precession/nutation signs.
+
+        TEME's x-axis is the *mean equinox of date*, which regresses
+        westward at ~50.3 arcsec/yr: in J2000 coordinates it must sit at
+        RA ~= -(zeta_A + z_A) and dec ~= -theta_A. A sign inversion of the
+        precession factor (the round-1 bug: applying J2000->MOD instead of
+        its inverse) flips RA positive; wrong nutation signs shift RA by
+        ~2*dpsi (~10 arcsec). The TLE round-trip tests below cannot catch
+        either, because the fit inverts the same matrix.
+        """
+        from auromat_tpu.coordinates.ephem import julian_date
+
+        for date in (datetime(2012, 1, 25, 9, 27), datetime(2020, 6, 1),
+                     datetime(2004, 4, 6, 7, 51, 28)):
+            m = teme_to_gcrs_matrix(date)
+            v = m @ np.array([1.0, 0.0, 0.0])
+            ra = np.rad2deg(np.arctan2(v[1], v[0]))
+            dec = np.rad2deg(np.arcsin(v[2]))
+            t = (julian_date(date) - 2451545.0) / 36525.0
+            zeta = (2306.2181 * t + 0.30188 * t * t) / 3600.0
+            z = (2306.2181 * t + 1.09468 * t * t) / 3600.0
+            theta = (2004.3109 * t - 0.42665 * t * t) / 3600.0
+            # 5e-4 deg = 1.8 arcsec: passes only with the correct inverse
+            # precession AND correct nutation signs (wrong nutation ~10")
+            assert abs(ra + (zeta + z)) < 5e-4, (date, ra, -(zeta + z))
+            assert abs(dec + theta) < 3e-3, (date, dec, -theta)
 
 
 class TestEphemerisCalculator:

@@ -121,6 +121,14 @@ class TestTanPix2World:
         mean4 /= np.linalg.norm(mean4, axis=-1, keepdims=True)
         assert_allclose(np.asarray(centers), mean4, atol=1e-7)
 
+    def test_pixel_directions_missing_dims(self):
+        import pytest
+
+        wcs = load_wcs()
+        wcs.width = None  # header without IMAGEW/IMAGEH
+        with pytest.raises(ValueError, match="IMAGEW"):
+            pixel_directions(wcs)
+
 
 class TestHeaderIO:
     def test_read_wcs_header(self):
