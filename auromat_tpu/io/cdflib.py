@@ -92,22 +92,14 @@ def epoch_to_datetime(ms: float) -> datetime:
     return datetime(2000, 1, 1) + timedelta(milliseconds=ms - 63113904000000.0)
 
 
-# (UTC date, TAI-UTC seconds) from 1972; enough for the mission data range
-_LEAP_SECONDS = [
-    (datetime(1972, 1, 1), 10), (datetime(1972, 7, 1), 11),
-    (datetime(1973, 1, 1), 12), (datetime(1974, 1, 1), 13),
-    (datetime(1975, 1, 1), 14), (datetime(1976, 1, 1), 15),
-    (datetime(1977, 1, 1), 16), (datetime(1978, 1, 1), 17),
-    (datetime(1979, 1, 1), 18), (datetime(1980, 1, 1), 19),
-    (datetime(1981, 7, 1), 20), (datetime(1982, 7, 1), 21),
-    (datetime(1983, 7, 1), 22), (datetime(1985, 7, 1), 23),
-    (datetime(1988, 1, 1), 24), (datetime(1990, 1, 1), 25),
-    (datetime(1991, 1, 1), 26), (datetime(1992, 7, 1), 27),
-    (datetime(1993, 7, 1), 28), (datetime(1994, 7, 1), 29),
-    (datetime(1996, 1, 1), 30), (datetime(1997, 7, 1), 31),
-    (datetime(1999, 1, 1), 32), (datetime(2006, 1, 1), 33),
-    (datetime(2009, 1, 1), 34), (datetime(2012, 7, 1), 35),
-    (datetime(2015, 7, 1), 36), (datetime(2017, 1, 1), 37),
+# (UTC date, TAI-UTC seconds) from 1972, derived from the single canonical
+# leap-second table in timeutil: TAI-UTC starts at 10 s on 1972-01-01 and
+# grows by 1 at each insertion instant (the day after each listed day).
+from auromat_tpu.timeutil import _LEAP_SECOND_DAYS as _LS_DAYS
+
+_LEAP_SECONDS = [(datetime(1972, 1, 1), 10)] + [
+    (datetime(y, m, d) + timedelta(days=1), 11 + i)
+    for i, (y, m, d) in enumerate(_LS_DAYS)
 ]
 
 

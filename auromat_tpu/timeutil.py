@@ -97,3 +97,46 @@ def naive_epoch(dt):
     from datetime import datetime
 
     return (dt - datetime(1970, 1, 1)).total_seconds()
+
+
+# UTC leap-second insertion instants (end of listed day, IERS Bulletin C).
+# The list is complete through 2016-12-31; no further leap seconds have been
+# scheduled, and CGPM voted (2022) to abandon them by 2035.
+# CANONICAL table: io.cdflib derives its TAI-UTC offsets from this list.
+_LEAP_SECOND_DAYS = (
+    (1972, 6, 30), (1972, 12, 31), (1973, 12, 31), (1974, 12, 31),
+    (1975, 12, 31), (1976, 12, 31), (1977, 12, 31), (1978, 12, 31),
+    (1979, 12, 31), (1981, 6, 30), (1982, 6, 30), (1983, 6, 30),
+    (1985, 6, 30), (1987, 12, 31), (1989, 12, 31), (1990, 12, 31),
+    (1992, 6, 30), (1993, 6, 30), (1994, 6, 30), (1995, 12, 31),
+    (1997, 6, 30), (1998, 12, 31), (2005, 12, 31), (2008, 12, 31),
+    (2012, 6, 30), (2015, 6, 30), (2016, 12, 31),
+)
+
+
+def contains_leap_second(d1, d2):
+    """True if the UTC range [d1, d2] contains a leap-second insertion.
+
+    Offline equivalent of the reference's astropy-based check
+    (auromat/util/time.py:7-20), using the static IERS table above instead
+    of astropy's ERFA tables. The insertion instant is taken as the end of
+    the listed UTC day (the 23:59:60 second). Naive datetimes are
+    interpreted as UTC; tz-aware datetimes are converted.
+    """
+    if d2 < d1:
+        d1, d2 = d2, d1
+    if d1.tzinfo is not None:
+        d1 = d1.astimezone(timezone.utc).replace(tzinfo=None)
+    if d2.tzinfo is not None:
+        d2 = d2.astimezone(timezone.utc).replace(tzinfo=None)
+    for y, m, d in _LEAP_SECOND_DAYS:
+        # the inserted second is 23:59:60, i.e. the second ENDING at this
+        # instant: a range starting exactly at the instant excludes it
+        instant = datetime(y, m, d) + timedelta(days=1)
+        if d1 < instant <= d2:
+            return True
+    return False
+
+
+# reference API alias (auromat/util/time.py:7)
+containsLeapSecond = contains_leap_second

@@ -98,3 +98,48 @@ class TestFitsChecksum:
         from auromat_tpu.io.fits import _encode_checksum
 
         assert _encode_checksum(0xFFFFFFFF) == "0" * 16
+
+
+class TestTimeutil:
+    def test_contains_leap_second(self):
+        from datetime import datetime, timezone
+
+        from auromat_tpu.timeutil import contains_leap_second
+
+        assert contains_leap_second(datetime(2012, 6, 30, 12),
+                                    datetime(2012, 7, 1, 12))
+        # range starting exactly at the insertion instant excludes the
+        # 23:59:60 second
+        assert not contains_leap_second(datetime(2012, 7, 1),
+                                        datetime(2012, 12, 1))
+        # argument order is normalized
+        assert contains_leap_second(datetime(2017, 1, 1),
+                                    datetime(2016, 12, 31))
+        assert not contains_leap_second(datetime(1999, 1, 1),
+                                        datetime(2005, 12, 1))
+        # tz-aware datetimes work
+        assert contains_leap_second(
+            datetime(2015, 6, 30, 23, 59, tzinfo=timezone.utc),
+            datetime(2015, 7, 1, 0, 1, tzinfo=timezone.utc))
+        # non-UTC zones are converted, not taken as UTC calendar dates:
+        # 08:00-10:00 +09:00 on July 1 is 23:00-01:00 UTC across the
+        # 2015-06-30 leap second
+        from datetime import timedelta, timezone as tz
+
+        tz9 = tz(timedelta(hours=9))
+        assert contains_leap_second(datetime(2015, 7, 1, 8, tzinfo=tz9),
+                                    datetime(2015, 7, 1, 10, tzinfo=tz9))
+        assert not contains_leap_second(datetime(2015, 6, 30, 8, tzinfo=tz9),
+                                        datetime(2015, 6, 30, 10, tzinfo=tz9))
+
+    def test_cdflib_leap_table_derived(self):
+        """cdflib's (date, TAI-UTC) pairs come from the canonical timeutil
+        table: spot-check offsets around insertions."""
+        from datetime import datetime
+
+        from auromat_tpu.io.cdflib import _LEAP_SECONDS, _tai_minus_utc
+
+        assert _LEAP_SECONDS[0] == (datetime(1972, 1, 1), 10)
+        assert _LEAP_SECONDS[-1] == (datetime(2017, 1, 1), 37)
+        assert _tai_minus_utc(datetime(2012, 1, 25)) == 34
+        assert _tai_minus_utc(datetime(2012, 7, 1)) == 35
