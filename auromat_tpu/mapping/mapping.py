@@ -17,7 +17,6 @@ Mask invariants (identical to the reference):
 
 import copy as _copy
 from collections import namedtuple
-from datetime import datetime
 
 import numpy as np
 import numpy.ma as ma
@@ -158,13 +157,25 @@ class BoundingBox:
         lons = np.asarray(lons, dtype=np.float64)
         xs = np.sort(lons.ravel())
         xs = np.concatenate((xs, [xs[0] + 360]))
-        unwrapped = np.rad2deg(np.unwrap(np.deg2rad(lons)))
+        # each [west, east] pair is DIRECTIONAL (the interval runs eastward
+        # from west), so its width is (east - west) mod 360; np.unwrap
+        # (used earlier) reversed any interval wider than 180 degrees,
+        # making the covered arc look like the gap and returning the
+        # complement box
+        west = lons[:, 0]
+        span = np.mod(lons[:, 1] - west, 360.0)
+        span = np.where((span == 0) & (lons[:, 1] != west), 360.0, span)
+        unwrapped = np.stack([west, west + span], axis=1)
         covers = np.zeros(len(xs) - 1, dtype=bool)
         for i in range(1, len(xs)):
             for bb in unwrapped:
-                if bb[0] <= xs[i - 1] and bb[1] >= xs[i]:
+                # intervals live on a circle: test the +-360 copies too
+                if any(bb[0] + s <= xs[i - 1] and bb[1] + s >= xs[i]
+                       for s in (-360.0, 0.0, 360.0)):
                     covers[i - 1] = True
                     break
+        if covers.all():
+            return -180.0, 180.0
         gap_lengths = ma.masked_array(xs[1:] - xs[:-1], covers)
         biggest = int(np.argmax(gap_lengths))
         lon_west = float(_wrap180(xs[biggest + 1]))
@@ -234,7 +245,8 @@ def check_guarantees(mapping):
     assert not np.any(np.isnan(lats)), "masked arrays must not contain NaN"
     assert not np.any(np.isnan(lats_c))
     assert not np.any(np.isnan(mlat))
-    assert not np.any(np.isnan(elevation))
+    if elevation is not None:  # CDF/netCDF files without zenith_angle
+        assert not np.any(np.isnan(elevation))
 
     cm = ma.getmaskarray(lats)
     assert np.array_equal(cm, ma.getmaskarray(lons))
@@ -248,10 +260,11 @@ def check_guarantees(mapping):
     ok = ~cm
     assert np.all(ccm | (ok[:-1, :-1] & ok[1:, :-1] & ok[1:, 1:] & ok[:-1, 1:]))
 
-    img_mask = ma.getmaskarray(img)
-    for d in range(img.shape[2]):
+    img_mask = np.atleast_3d(ma.getmaskarray(img))  # grayscale img may be 2D
+    for d in range(img_mask.shape[2]):
         assert np.array_equal(img_mask[:, :, d], ccm)
-    assert np.array_equal(ma.getmaskarray(elevation), ccm)
+    if elevation is not None:
+        assert np.array_equal(ma.getmaskarray(elevation), ccm)
     assert np.array_equal(ma.getmaskarray(mlat_c), ccm)
     assert np.array_equal(ma.getmaskarray(mlt_c), ccm)
     assert np.array_equal(ma.getmaskarray(mlat), cm)
@@ -644,11 +657,12 @@ class Mapping:
         grid = np.stack([self._lats, self._lons], axis=-1).reshape(-1, 2)
         poly_bb = BoundingBox.minimumBoundingBox(polygon)
         poly_pole = contains_or_crosses_pole(polygon)
-        if self.containsDiscontinuity or poly_bb.containsDiscontinuity:
-            polygon = polygon.copy()
-            grid[:, 1] = _wrap180(grid[:, 1] + 180.0)
-            polygon[:, 1] = _wrap180(polygon[:, 1] + 180.0)
-        elif self.containsPole or poly_pole:
+        # pole FIRST: a pole-containing bbox spans -180..180 and therefore
+        # also reports containsDiscontinuity, but the 180-degree shift
+        # neither removes the pole singularity nor moves the polygon off
+        # the discontinuity -- only the pole rotation does (same order as
+        # _resample in resample.py)
+        if self.containsPole or poly_pole:
             polygon = polygon.copy()
             for arr in (grid, polygon):
                 la, lo = rotate_pole(
@@ -657,6 +671,10 @@ class Mapping:
                 )
                 arr[:, 0] = np.rad2deg(np.asarray(la))
                 arr[:, 1] = np.rad2deg(np.asarray(lo))
+        elif self.containsDiscontinuity or poly_bb.containsDiscontinuity:
+            polygon = polygon.copy()
+            grid[:, 1] = _wrap180(grid[:, 1] + 180.0)
+            polygon[:, 1] = _wrap180(polygon[:, 1] + 180.0)
         with np.errstate(invalid="ignore"):
             inside = utils.points_inside_polygon(grid, polygon).reshape(self._lats.shape)
         mask = ~inside | self.corner_mask
@@ -767,6 +785,14 @@ def MaskByElevationProvider(provider, *args, **kw):
     provider.getSequence = lambda *a, **k: (
         m.maskedByElevation(*args, **kw) for m in orig_seq(*a, **k)
     )
+    # batched-pipeline dispatch probes hasattr(provider, "getSequenceBatched")
+    # (cli/convert.py): wrap it too, or batched consumers would silently get
+    # UNMASKED mappings from the copied provider
+    if hasattr(provider, "getSequenceBatched"):
+        orig_batched = provider.getSequenceBatched
+        provider.getSequenceBatched = lambda *a, **k: (
+            m.maskedByElevation(*args, **kw) for m in orig_batched(*a, **k)
+        )
     return provider
 
 
@@ -797,7 +823,7 @@ def convert_mapping_to_sm(mapping: Mapping) -> Mapping:
         np.asarray(mapping.elevation.filled(np.nan)) if mapping.elevation is not None else None,
         mapping.altitude, mapping.img_unmasked, mapping.cameraPosGCRS,
         mapping.photoTime, mapping.identifier, metadata=mapping.metadata,
-        sanitized=True,
+        sanitized=True, frame_matrices=mapping.frame_matrices,
     )
 
 
@@ -805,7 +831,7 @@ def convert_sm_mapping_to_geo(mapping: Mapping) -> Mapping:
     """Inverse of :func:`convert_mapping_to_sm` (at the mapping altitude —
     see sm_to_latlon for the deviation from the reference's unit-radius
     version)."""
-    fm = FrameMatrices(mapping.photoTime)
+    fm = mapping.frame_matrices
     # convert the UNDERLYING regular grids (resampled SM mappings keep
     # regular coordinate data with the mask stored separately — the module
     # convention), then carry the source masks over explicitly: deriving
@@ -823,7 +849,7 @@ def convert_sm_mapping_to_geo(mapping: Mapping) -> Mapping:
         np.asarray(mapping.elevation.filled(np.nan)) if mapping.elevation is not None else None,
         mapping.altitude, mapping.img_unmasked, mapping.cameraPosGCRS,
         mapping.photoTime, mapping.identifier, metadata=mapping.metadata,
-        sanitized=True,
+        sanitized=True, frame_matrices=fm,
     )
     out._corner_mask_arr = out._corner_mask_arr | mapping.corner_mask
     out._center_mask_arr = out._center_mask_arr | mapping.center_mask

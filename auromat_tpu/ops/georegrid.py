@@ -53,7 +53,7 @@ from auromat_tpu.ops.georef import DynGeorefParams, georef_latlon_dyn
 from auromat_tpu.ops.regrid import (GridSpec, bin_indices, finalize_mean,
                                     round_up)
 from auromat_tpu.ops.regrid_pallas import ELEV_OFFSET
-N_STACK = 8  # count + R + G + B + elev_hi + elev_frac + 2 pad (vreg-exact)
+N_STACK = 8  # count + R + G + B + elev_hi + 2 elev_frac limbs + pad (vreg-exact)
 
 # default tile/window sizes (fastest of the measured sweep on v5e:
 # (16,256,8) 8.2 ms; (16,128,8) 8.3; (16,512,8) 8.9; (32,512,8) 9.4)
@@ -76,12 +76,18 @@ def _kernel(bounds_ref, iy_ref, ix_ref, img_ref, elev_ref, acc_ref, *,
     valid = iy >= np.int32(0)
     imgv = img_ref[:]  # (3, tile_h, tile_w) f32, 0..255-integral values
     elev = jnp.where(valid, elev_ref[:] + ELEV_OFFSET, 0.0)
-    el_hi = jnp.floor(elev)  # bf16-exact int part; frac exact to 2^-8*f32
+    el_hi = jnp.floor(elev)  # bf16-exact int part
+    # the fraction is carried as TWO bf16 sub-limbs using a pad channel
+    # (free: the pad lane was already multiplied as zeros): f1 is an exact
+    # multiple of 2^-8, the f2 remainder only rounds below 2^-16 --
+    # elevation sums land in the f32 class instead of bf16's 2^-8
+    frac = elev - el_hi
+    f1 = jnp.floor(frac * 256.0) * (1.0 / 256.0)
     ones = valid.astype(jnp.float32)
     imgz = jnp.where(valid[None], imgv, 0.0)
     zero = jnp.zeros_like(elev)
     d_stack = jnp.stack([ones, imgz[0], imgz[1], imgz[2],
-                         el_hi, elev - el_hi, zero, zero], axis=0)
+                         el_hi, f1, frac - f1, zero], axis=0)
     # pixels onto lanes: these are the ONLY relayouts in the kernel and
     # they are tiny (the big one-hot/product tensors below are all built
     # directly in their native layouts)
@@ -212,8 +218,11 @@ def _georegrid(grid: GridSpec, dyn: DynGeorefParams, img_chw, mask,
     acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
              .transpose(0, 2, 3, 1, 4).reshape(n_lat_pad, N_STACK, n_lon_pad)
     count = acc[: grid.n_lat, 0, : grid.n_lon]
-    sums_k = jnp.transpose(acc[: grid.n_lat, 1:6, : grid.n_lon], (0, 2, 1))
-    el_sum = sums_k[..., 3] + sums_k[..., 4] - ELEV_OFFSET * count
+    sums_k = jnp.transpose(acc[: grid.n_lat, 1:7, : grid.n_lon], (0, 2, 1))
+    # subtract the offset from the exact-integer limb sum FIRST so the
+    # fraction limbs are added at their own small magnitude
+    el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
+              + sums_k[..., 4] + sums_k[..., 5])
     sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]], axis=-1)
     return count, sums
 

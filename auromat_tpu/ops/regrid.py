@@ -297,23 +297,26 @@ def _bin_sum_sorted_gather(flat_idx, weights, data, n_bins, n_ch):
     return _accumulate_sorted(sidx, sdata, n_bins, data.dtype)
 
 
-def _bin_sum_sorted_packed(flat_idx, weights, data, n_bins, n_ch):
+def _bin_sum_sorted_packed(flat_idx, weights, data, n_bins, n_ch,
+                           layout="plain"):
     """_bin_sum_sorted for uint8-valued imagery + one float channel: packs
-    the integer channels into ONE int32 sort operand (lossless), cutting
-    the sort payload arrays.
+    the integer channels into ONE int32 sort operand (lossless ONLY for
+    integer-valued channels in 0..255 — the caller opts in by selecting
+    this method for uint8 imagery), cutting the sort payload arrays.
 
-    Two layouts are recognised:
-      n_ch == 4 — [R, G, B, elev] from bin_partial (RGB integers 0..255)
-      n_ch == 8 — [R, G, B, elev, t0..t3] from bin_mean, where t* are the
-                  0/1 taint indicator channels: RGB packs into bits 0..23
-                  and the four taint bits into bits 24..27
-    Anything else falls back to the general sorted path (an earlier
-    version mis-packed bin_mean's doubled-channel layout through the
-    n_ch == 4 case).
+    Two layouts are recognised, keyed on the EXPLICIT ``layout`` the
+    caller passes (an earlier version guessed from the channel count,
+    which mis-packed bin_mean's taint-doubled grayscale layout
+    [gray, elev, t0, t1] as [R, G, B, elev], truncating elevation):
+      layout == "plain" and n_ch == 4 — [R, G, B, elev] from bin_partial
+      layout == "taint" and n_ch == 8 — [R, G, B, elev, t0..t3] from
+                  bin_mean, where t* are the 0/1 taint indicator channels:
+                  RGB packs into bits 0..23, taint bits into bits 24..27
+    Anything else falls back to the general sorted path.
     """
     f32 = data.dtype
     i32 = jnp.int32
-    if n_ch == 4:
+    if layout == "plain" and n_ch == 4:
         rgb = (data[:, 0].astype(i32)
                | (data[:, 1].astype(i32) << 8)
                | (data[:, 2].astype(i32) << 16))
@@ -327,7 +330,7 @@ def _bin_sum_sorted_packed(flat_idx, weights, data, n_bins, n_ch):
             selev,
         ], axis=0)
         return _accumulate_sorted(sidx, sdata, n_bins, f32)
-    if n_ch == 8:
+    if layout == "taint" and n_ch == 8:
         packed = (data[:, 0].astype(i32)
                   | (data[:, 1].astype(i32) << 8)
                   | (data[:, 2].astype(i32) << 16)
@@ -369,6 +372,18 @@ def _split_elev_channel(data):
     hi = jnp.floor(el)
     return jnp.concatenate([data[..., :-1], hi[..., None], (el - hi)[..., None]],
                            axis=-1)
+
+
+def _n_frac_channels(mode, n_ch_in, n_ch):
+    """Channels of the split layout that are NOT bf16-exact (the fractional
+    limbs; every mode keeps them LAST): 'uint8' has one trailing elevation
+    fraction, 'full' has a trailing base-256 fraction per input channel,
+    any other mode passes raw floats through unsplit."""
+    if mode == "uint8":
+        return 1
+    if mode == "full":
+        return n_ch_in
+    return n_ch
 
 
 def _split_digits(data):
@@ -417,8 +432,8 @@ def bin_partial_window(grid: GridSpec, lats, lons, data, mode="uint8"):
     n_stack = n_ch + 1
 
     t = _WTILE
-    hp = -(-h // t) * t
-    wp = -(-w // t) * t
+    hp = round_up(h, t)
+    wp = round_up(w, t)
     iy_p = jnp.pad(iy_full.reshape(h, w), ((0, hp - h), (0, wp - w)),
                    constant_values=-1)
     ix_p = jnp.pad(ix_full.reshape(h, w), ((0, hp - h), (0, wp - w)),
@@ -451,11 +466,24 @@ def bin_partial_window(grid: GridSpec, lats, lons, data, mode="uint8"):
     ).astype(jnp.bfloat16)
     ones = jnp.ones((n_tiles, 1, p), f32)
     d_all = jnp.concatenate([ones, d_t.transpose(0, 2, 1)], axis=1)  # (B, n_stack, P)
-    s = jax.lax.dot_general(
-        d_all.astype(jnp.bfloat16), onehot,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32,
-    )  # (B, n_stack, WR*WC)
+    # bf16-exact channels (count + integer imagery/limbs) ride the fast
+    # bf16 MXU dot; the trailing FRACTIONAL limbs would be truncated by a
+    # bf16 cast (measured: up to 0.01 on per-bin elevation sums), so they
+    # take a separate f32 HIGHEST dot — this is the XLA fallback path,
+    # exactness beats speed here
+    n_frac = _n_frac_channels(mode, n_ch_in, n_ch)
+    n_exact = n_stack - n_frac
+    dn = (((2,), (1,)), ((0,), (0,)))
+    s_e = jax.lax.dot_general(
+        d_all[:, :n_exact].astype(jnp.bfloat16), onehot,
+        dimension_numbers=dn, preferred_element_type=f32,
+    )
+    s_f = jax.lax.dot_general(
+        d_all[:, n_exact:], onehot.astype(f32),
+        dimension_numbers=dn, preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s = jnp.concatenate([s_e, s_f], axis=1)  # (B, n_stack, WR*WC)
     updates = s.reshape(n_tiles, n_stack, _WWIN_R, _WWIN_C)
 
     acc = jnp.zeros((n_stack, grid.n_lat + _WWIN_R, grid.n_lon + _WWIN_C), f32)
@@ -480,7 +508,10 @@ def bin_partial_window(grid: GridSpec, lats, lons, data, mode="uint8"):
     sums_k = sums_k + acc2[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)
 
     if mode == "uint8":
-        el = sums_k[..., -2] + sums_k[..., -1] - _ELEV_OFFSET * count
+        # subtract the offset from the integer-limb sum FIRST: both are
+        # exact f32 integers (< 2^24), so the fraction sum is added at its
+        # own small magnitude instead of rounding at ~offset*count
+        el = (sums_k[..., -2] - _ELEV_OFFSET * count) + sums_k[..., -1]
         sums = jnp.concatenate([sums_k[..., : n_ch_in - 1], el[..., None]],
                                axis=-1)
     elif mode == "full":
@@ -503,6 +534,10 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
     scatter, no sort on the hot path. bf16 one-hots are exact for 0/1 and
     0..255 integer imagery ('uint8' mode splits the trailing elevation
     channel into int+frac; 'full' mode base-256-splits every channel).
+    Counts and integer-channel sums are bit-exact vs the sorted path; the
+    FRACTIONAL limbs ride a separate f32 HIGHEST dot (a bf16 cast of them
+    cost up to 1e-2 per bin) so elevation sums are f32-accumulation
+    accurate — tighter than the sorted path's in-chunk f32 prefixes.
 
     Out-of-window pixels (near the horizon the pixel footprint outgrows the
     row band) spill to the exact sorted path. NOTE: the spill sort is NOT
@@ -529,14 +564,14 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
     n_ch = data_k.shape[-1]
     n_stack = n_ch + 1
 
-    hp = -(-h // _TILE_H) * _TILE_H
-    wp = -(-w // _TILE_W) * _TILE_W
+    hp = round_up(h, _TILE_H)
+    wp = round_up(w, _TILE_W)
     iy_p = jnp.pad(iy_full, ((0, hp - h), (0, wp - w)), constant_values=-1)
     ix_p = jnp.pad(ix_full, ((0, hp - h), (0, wp - w)), constant_values=-1)
     valid_p = jnp.pad(valid_full.reshape(h, w), ((0, hp - h), (0, wp - w)))
     data_k = jnp.pad(data_k, ((0, hp - h), (0, wp - w), (0, 0)))
-    n_lat_pad = max(-(-grid.n_lat // 8) * 8, _WIN_R)
-    n_lon_pad = -(-grid.n_lon // 128) * 128
+    n_lat_pad = max(round_up(grid.n_lat, 8), _WIN_R)
+    n_lon_pad = round_up(grid.n_lon, 128)
 
     def tiles(a):
         if a.ndim == 2:
@@ -564,6 +599,12 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
     n_groups = (n_lat_pad - _WIN_R) // 8 + 1
     group = r0 // 8  # (B,)
 
+    # channels are blocked as rows [c*WIN_R, (c+1)*WIN_R) of `a`; the
+    # trailing FRACTIONAL limb channels are not bf16-exact, so they take a
+    # separate f32 HIGHEST dot (see bin_partial_window)
+    n_frac = _n_frac_channels(mode, n_ch_in, n_ch)
+    n_exact = n_stack - n_frac
+
     def chunk_fn(args):
         dr_c, dc_c, d_c = args  # (CB, P), (CB, P), (CB, P, n_ch)
         cb = dr_c.shape[0]
@@ -575,14 +616,22 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
         d_all = jnp.concatenate([ones, d_c], axis=-1)  # (CB, P, n_stack)
         a = (ey[:, None, :, :] * d_all.transpose(0, 2, 1)[:, :, None, :]).reshape(
             cb, n_stack * _WIN_R, p
-        ).astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            a, ex, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )  # (CB, n_stack*WIN_R, n_lon_pad)
+        )
+        dn = (((2,), (1,)), ((0,), (0,)))
+        s_e = jax.lax.dot_general(
+            a[:, : n_exact * _WIN_R].astype(jnp.bfloat16), ex,
+            dimension_numbers=dn, preferred_element_type=f32,
+        )
+        s_f = jax.lax.dot_general(
+            a[:, n_exact * _WIN_R :], ex.astype(f32),
+            dimension_numbers=dn, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.concatenate([s_e, s_f], axis=1)
+        # (CB, n_stack*WIN_R, n_lon_pad)
 
     chunk = 128
-    n_tiles_pad = -(-n_tiles // chunk) * chunk
+    n_tiles_pad = round_up(n_tiles, chunk)
     pad_b = n_tiles_pad - n_tiles
     dr_p = jnp.pad(dr_h, ((0, pad_b), (0, 0)), constant_values=-1)
     dc_p = jnp.pad(dc_h, ((0, pad_b), (0, 0)), constant_values=-1)
@@ -623,7 +672,10 @@ def bin_partial_tiled(grid: GridSpec, lats, lons, data, mode="uint8"):
     sums_k = sums_k + acc2[:, 1:].reshape(grid.n_lat, grid.n_lon, n_ch)
 
     if mode == "uint8":
-        el = sums_k[..., -2] + sums_k[..., -1] - _ELEV_OFFSET * count
+        # subtract the offset from the integer-limb sum FIRST: both are
+        # exact f32 integers (< 2^24), so the fraction sum is added at its
+        # own small magnitude instead of rounding at ~offset*count
+        el = (sums_k[..., -2] - _ELEV_OFFSET * count) + sums_k[..., -1]
         sums = jnp.concatenate([sums_k[..., : n_ch_in - 1], el[..., None]],
                                axis=-1)
     elif mode == "full":
@@ -703,7 +755,8 @@ def bin_mean(grid: GridSpec, lats, lons, data, method="sorted"):
     )
     n_bins = grid.n_lat * grid.n_lon
     fn = _BIN_METHODS[method]
-    acc = fn(flat_idx, weights, flat_data, n_bins, 2 * n_ch)
+    kw = {"layout": "taint"} if method == "sorted_packed" else {}
+    acc = fn(flat_idx, weights, flat_data, n_bins, 2 * n_ch, **kw)
     count = acc[:, 0].reshape(grid.n_lat, grid.n_lon)
     sums = acc[:, 1 : 1 + n_ch].reshape(grid.n_lat, grid.n_lon, n_ch)
     taints = acc[:, 1 + n_ch :].reshape(grid.n_lat, grid.n_lon, n_ch)

@@ -126,14 +126,19 @@ def _kernel(bounds_ref, iy_ref, ix_ref, data_ref, acc_ref, *,
 def _split_elevation(data):
     """Split the last channel (elevation) into bf16-exact parts.
 
-    bf16 has an 8-bit mantissa: integers <= 256 and fractions are exact to
-    2^-8 only; carrying elevation as (floor(el + 90), frac) keeps the binned
-    mean exact to f32 accumulation.
+    bf16 has an 8-bit mantissa: integers <= 256 are exact, arbitrary
+    fractions are not. Elevation rides as THREE limbs: floor(el + 90), the
+    fraction's exact multiple of 2^-8, and the sub-2^-8 remainder (whose
+    bf16 rounding is below 2^-16 per sample) — binned means land in the
+    f32-accumulation class instead of bf16's 2^-8.
     """
     el = data[..., -1] + ELEV_OFFSET
     hi = jnp.floor(el)
+    frac = el - hi
+    f1 = jnp.floor(frac * 256.0) * (1.0 / 256.0)
     return jnp.concatenate(
-        [data[..., :-1], hi[..., None], (el - hi)[..., None]], axis=-1
+        [data[..., :-1], hi[..., None], f1[..., None], (frac - f1)[..., None]],
+        axis=-1,
     )
 
 
@@ -256,7 +261,8 @@ def bin_partial_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
     sums_k = jnp.transpose(acc[: grid.n_lat, 1:, : grid.n_lon], (0, 2, 1))
 
     if mode == "uint8":
-        el_sum = sums_k[..., -2] + sums_k[..., -1] - ELEV_OFFSET * count
+        el_sum = ((sums_k[..., -3] - ELEV_OFFSET * count)
+                  + sums_k[..., -2] + sums_k[..., -1])
         sums = jnp.concatenate(
             [sums_k[..., : n_ch_in - 1], el_sum[..., None]], axis=-1
         )
@@ -439,7 +445,8 @@ def bin_partial_pallas_cw(grid: GridSpec, iyix, data_k, n_ch_in,
     sums_k = jnp.transpose(acc[: grid.n_lat, 1:, : grid.n_lon], (0, 2, 1))
 
     if unsplit_mode == "uint8":
-        el_sum = sums_k[..., -2] + sums_k[..., -1] - ELEV_OFFSET * count
+        el_sum = ((sums_k[..., -3] - ELEV_OFFSET * count)
+                  + sums_k[..., -2] + sums_k[..., -1])
         sums = jnp.concatenate(
             [sums_k[..., : n_ch_in - 1], el_sum[..., None]], axis=-1
         )

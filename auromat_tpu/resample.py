@@ -107,13 +107,12 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
                       else "sorted")
     elif bin_method == "auto":
         bin_method = "sorted"
-    merged = np.concatenate(
-        [
-            np.asarray(img.astype(np.float64).filled(np.nan)),
-            np.asarray(mapping.elevation.filled(np.nan))[:, :, None],
-        ],
-        axis=-1,
-    )
+    img3 = img if img.ndim == 3 else img[:, :, None]
+    parts = [np.asarray(img3.astype(np.float64).filled(np.nan))]
+    has_elevation = mapping.elevation is not None
+    if has_elevation:  # CDF/netCDF files without zenith_angle have none
+        parts.append(np.asarray(mapping.elevation.filled(np.nan))[:, :, None])
+    merged = np.concatenate(parts, axis=-1)
     lats, lons, lats_c, lons_c, data = _resample(
         np.asarray(mapping.latsCenter.filled(np.nan)),
         np.asarray(mapping.lonsCenter.filled(np.nan)),
@@ -121,14 +120,14 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
         mapping.boundingBox, px_per_deg, mapping.containsDiscontinuity,
         contains_pole, method, bin_method,
     )
-    img_r = data[..., :-1]
-    elevation_r = data[..., -1]
+    img_r = data[..., :-1] if has_elevation else data
+    elevation_r = data[..., -1] if has_elevation else None
     if img_is_int:
         with np.errstate(invalid="ignore"):
             img_r = np.round(img_r)
         img_r = np.where(np.isnan(img_r), 0, img_r).astype(img_dtype)
         # mask re-derived from coordinates; fill value irrelevant
-    if img.shape[2] == 1:
+    if img3.shape[2] == 1:
         img_r = img_r[..., 0]
     return mapping.createResampled(lats, lons, lats_c, lons_c, elevation_r, img_r)
 
@@ -235,4 +234,10 @@ def ResampleProvider(provider, **kw):
     provider.get = lambda *a, **k: fn(orig_get(*a, **k))
     provider.getById = lambda *a, **k: fn(orig_get_by_id(*a, **k))
     provider.getSequence = lambda *a, **k: map(fn, orig_seq(*a, **k))
+    # batched-pipeline dispatch probes hasattr(provider, "getSequenceBatched")
+    # (cli/convert.py): wrap it too, or batched consumers would silently get
+    # UNRESAMPLED mappings from the copied provider
+    if hasattr(provider, "getSequenceBatched"):
+        orig_batched = provider.getSequenceBatched
+        provider.getSequenceBatched = lambda *a, **k: map(fn, orig_batched(*a, **k))
     return provider

@@ -161,6 +161,24 @@ class TestBoundingBox:
         bb = BoundingBox.minimumBoundingBox([(50, -110), (60, -100), (55, -105)])
         assert bb == BoundingBox(50, -110, 60, -100)
 
+    def test_merge_wide_box_roundtrip(self):
+        """Intervals wider than 180 deg must survive a merge unchanged
+        (np.unwrap previously reversed them, returning the COMPLEMENT)."""
+        wide = BoundingBox(10, -170, 60, 170)  # 340 deg through lon 0
+        assert BoundingBox.mergedBoundingBoxes([wide]) == wide
+        crossing = BoundingBox(10, 170, 60, -170)  # 20 deg through +-180
+        assert BoundingBox.mergedBoundingBoxes([crossing]) == crossing
+
+    def test_merge_full_circle(self):
+        bb = BoundingBox.mergedBoundingBoxes([BoundingBox(10, -180, 60, 180)])
+        assert (bb.lonWest, bb.lonEast) == (-180, 180)
+
+    def test_merge_short_arc_across_discontinuity(self):
+        merged = BoundingBox.mergedBoundingBoxes(
+            [BoundingBox(10, 150, 20, 170), BoundingBox(10, -170, 20, -150)]
+        )
+        assert (merged.lonWest, merged.lonEast) == (150, -150)
+
 
 class TestRealFrame:
     def test_get_mapping_real_frame_guarantees(self):

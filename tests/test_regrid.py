@@ -221,3 +221,65 @@ def test_bin_partial_nan_data_zeroed():
     assert np.isfinite(sums).all()
     assert count.sum() == 4
     assert sums.sum() == 6.0  # the NaN sample contributes 0
+
+
+def test_sorted_packed_grayscale_falls_back():
+    """Grayscale + elevation through bin_mean doubles to 4 channels
+    [gray, elev, t0, t1] — the packed path must NOT misread that as
+    [R, G, B, elev] (which truncated elevation to int). It falls back
+    to the general sorted path and must match it exactly."""
+    rng = np.random.default_rng(9)
+    n = 4000
+    lats = rng.uniform(50, 60, n)
+    lons = rng.uniform(-110, -100, n)
+    g = fixed_grid(4, 49.0, 61.0, -111.0, -99.0)
+    data = np.stack([np.round(rng.random(n) * 255),
+                     rng.uniform(-10, 80, n)], axis=-1)
+    c_ref, m_ref = bin_mean(g, lats, lons, data, "sorted")
+    c_pk, m_pk = bin_mean(g, lats, lons, data, "sorted_packed")
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_pk))
+    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_pk))
+
+
+def test_window_tiled_elevation_f32_accurate():
+    """The XLA window/tiled fallbacks split elevation into int+frac limbs;
+    the FRACTIONAL limb must not be bf16-truncated (was up to 1e-2 per
+    bin). Gate: counts + integer imagery bit-exact vs sorted, elevation
+    within f32 accumulation noise of a float64 oracle."""
+    import jax.numpy as jnp
+
+    from auromat_tpu.ops.regrid import (
+        _split_elev_channel,
+        bin_indices,
+        bin_partial_tiled,
+        bin_partial_window,
+    )
+
+    rng = np.random.default_rng(10)
+    h = w = 64
+    lats = rng.uniform(40, 50, (h, w))
+    lons = rng.uniform(-10, 10, (h, w))
+    data = np.concatenate(
+        [rng.integers(0, 256, (h, w, 3)).astype(np.float64),
+         rng.uniform(-5, 90, (h, w, 1))], axis=-1)
+    g = fixed_grid((8, 8), 40, 50, -10, 10)
+    d32 = jnp.asarray(data, jnp.float32)
+    # float64 oracle over the same split limbs
+    dk = np.asarray(_split_elev_channel(d32), np.float64).reshape(-1, 5)
+    fi, valid = bin_indices(g, jnp.ravel(jnp.asarray(lats)),
+                            jnp.ravel(jnp.asarray(lons)))
+    fi, valid = np.asarray(fi), np.asarray(valid)
+    nb = g.n_lat * g.n_lon
+    acc = np.zeros((nb, 2))
+    cnt = np.zeros(nb)
+    np.add.at(acc, fi[valid], dk[valid][:, 3:5])
+    np.add.at(cnt, fi[valid], 1.0)
+    el_oracle = ((acc[:, 0] - 90.0 * cnt) + acc[:, 1]).reshape(g.n_lat, g.n_lon)
+    c0, s0 = bin_partial(g, lats, lons, d32, "sorted")
+    for fn in (bin_partial_window, bin_partial_tiled):
+        c1, s1 = fn(g, jnp.asarray(lats), jnp.asarray(lons), d32)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(s0[..., :3]),
+                                      np.asarray(s1[..., :3]))
+        dev = np.abs(el_oracle - np.asarray(s1[..., 3], np.float64)).max()
+        assert dev < 1e-3, (fn.__name__, dev)

@@ -143,3 +143,75 @@ def test_sm_to_geo_preserves_mask():
     assert res.center_mask.any() and not res.center_mask.all()
     assert res.corner_mask.any()
     res.checkGuarantees()
+
+
+def test_resample_without_elevation():
+    """CDF/netCDF files without a zenith_angle variable load as mappings
+    with elevation=None; resampling them must work (previously crashed on
+    None.filled) and keep elevation None on the result."""
+    from datetime import datetime
+
+    import numpy.ma as ma
+
+    from auromat_tpu.mapping.mapping import check_guarantees
+
+    h, w = 24, 32
+    lat = np.linspace(45, 50, h + 1)[:, None] + np.zeros(w + 1)
+    lon = np.linspace(-5, 5, w + 1)[None, :] + np.zeros((h + 1, 1))
+    latc = (lat[:-1, :-1] + lat[1:, 1:]) / 2
+    lonc = (lon[:-1, :-1] + lon[1:, 1:]) / 2
+    img = np.random.default_rng(0).integers(0, 256, (h, w)).astype(np.uint8)
+    m = Mapping(ma.masked_invalid(lat), ma.masked_invalid(lon),
+                ma.masked_invalid(latc), ma.masked_invalid(lonc),
+                None, 110.0, ma.masked_array(img),
+                np.array([0.0, 0.0, 7000e3]), datetime(2012, 1, 25, 9, 27), "t")
+    r = resample(m, px_per_deg=4)
+    assert r.elevation is None
+    check_guarantees(r)  # must tolerate elevation=None too
+
+
+def test_resample_provider_wraps_batched():
+    """ResampleProvider must wrap getSequenceBatched as well: batched
+    consumers dispatch on hasattr and would otherwise silently receive
+    unresampled mappings."""
+    from auromat_tpu.resample import ResampleProvider
+
+    class P:
+        def get(self):
+            return "m"
+
+        def getById(self, i):
+            return "m"
+
+        def getSequence(self):
+            return iter(["m"])
+
+        def getSequenceBatched(self):
+            return iter(["m", "m"])
+
+    p = ResampleProvider(P())
+    # the wrapped method must be a new function, not the original bound
+    # method of the copied provider
+    orig = P()
+    assert p.getSequenceBatched != orig.getSequenceBatched
+    assert callable(p.getSequenceBatched)
+    # MaskByElevationProvider gets the same treatment
+    from auromat_tpu.mapping.mapping import MaskByElevationProvider
+
+    masked = []
+
+    class M:
+        def maskedByElevation(self, *a, **k):
+            masked.append(self)
+            return self
+
+    class P2(P):
+        def getSequence(self):
+            return iter([M()])
+
+        def getSequenceBatched(self):
+            return iter([M(), M()])
+
+    p2 = MaskByElevationProvider(P2(), 10)
+    list(p2.getSequenceBatched())
+    assert len(masked) == 2  # both batched mappings were masked
