@@ -334,12 +334,29 @@ def georeference_points_df(params: GeorefParams, px, py):
     py = jnp.asarray(py, dtype=jnp.float32)
     c = lambda v: dfl.from_f64_like(float(v), px)
 
-    # TAN unprojection: dx, dy exact in f32; projection-plane coords in df
-    dx = dfl.df(px - jnp.float32(params.px_ref - 1.0))
-    dy = dfl.df(py - jnp.float32(params.py_ref - 1.0))
+    # TAN unprojection. A single-f32 cast of a fractional CRPIX
+    # (astrometry.net emits e.g. 2128.3749) loses ~1e-4 px ~= 1e-6 deg —
+    # 4 orders above the chain's 1e-10 deg accuracy. But a per-pixel df
+    # subtraction of the full CRPIX makes dx.lo a nonzero ARRAY, defeating
+    # XLA's literal-zero folding of the lo-limb products downstream
+    # (measured: df64 17.5 -> 42.7 ms). Instead: subtract only the INTEGRAL
+    # part per pixel (pixel coords are multiples of 0.5 < 2^13, so the f32
+    # subtraction is exact and dx.lo stays a literal zero), and fold the
+    # fractional CRPIX residual into the scalar df constants of the
+    # CD-matrix stage, computed in f64 at trace time:
+    #   x = cd00*(dx - fx) + cd01*(dy - fy)
+    #     = (cd00*dx + cd01*dy) + (-cd00*fx - cd01*fy)
+    rx, ry = params.px_ref - 1.0, params.py_ref - 1.0
+    rx_int, ry_int = round(rx), round(ry)
+    fx, fy = rx - rx_int, ry - ry_int
+    dx = dfl.df(px - jnp.float32(rx_int))
+    dy = dfl.df(py - jnp.float32(ry_int))
     cd = params.cd
     x = dfl.add(dfl.mul(c(cd[0][0]), dx), dfl.mul(c(cd[0][1]), dy))
     y = dfl.add(dfl.mul(c(cd[1][0]), dx), dfl.mul(c(cd[1][1]), dy))
+    if fx != 0.0 or fy != 0.0:
+        x = dfl.add(x, c(-(cd[0][0] * fx + cd[0][1] * fy)))
+        y = dfl.add(y, c(-(cd[1][0] * fx + cd[1][1] * fy)))
     u = c(180.0 / np.pi)
     s2 = dfl.add(dfl.add(dfl.mul(x, x), dfl.mul(y, y)), dfl.mul(u, u))
     inv = dfl.div(c(1.0), dfl.sqrt(s2))
@@ -426,11 +443,16 @@ def georeference_points_df(params: GeorefParams, px, py):
     )
 
 
+_georeference_points_df_jit = jax.jit(georeference_points_df, static_argnums=0)
+
+
 def georeference_points_df64(params: GeorefParams, px, py):
-    """df64 chain collapsed to host float64 (lat_deg, lon_deg) arrays."""
-    lat_hi, lat_lo, lon_hi, lon_lo = jax.jit(
-        georeference_points_df, static_argnums=0
-    )(params, px, py)
+    """df64 chain collapsed to host float64 (lat_deg, lon_deg) arrays.
+
+    Uses a module-level jit so repeated calls hit the trace cache (a fresh
+    jax.jit wrapper per call would re-trace the whole df chain every time).
+    """
+    lat_hi, lat_lo, lon_hi, lon_lo = _georeference_points_df_jit(params, px, py)
     lat = np.asarray(lat_hi, dtype=np.float64) + np.asarray(lat_lo, dtype=np.float64)
     lon = np.asarray(lon_hi, dtype=np.float64) + np.asarray(lon_lo, dtype=np.float64)
     return lat, lon

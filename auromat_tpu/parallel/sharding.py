@@ -99,7 +99,21 @@ def make_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def run(dyn_params, imgs):
+        # validate the documented contract up front — a violation otherwise
+        # surfaces as an opaque sharding shape error deep inside shard_map
+        b = imgs.shape[0]
+        if b % dp_n != 0:
+            raise ValueError(f"batch {b} must divide by mesh dp={dp_n}")
+        if imgs.shape[1:] != (height, width, channels):
+            raise ValueError(
+                f"imgs shape {imgs.shape[1:]} != ({height}, {width}, {channels})"
+            )
+        return jitted(dyn_params, imgs)
+
+    return run
 
 
 def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
@@ -166,6 +180,10 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         rib = iy - band_id * band  # row inside the destination band
         data2d = jnp.reshape(data, (-1, n_ch)).astype(dtype)
         data2d = jnp.where(valid[:, None], data2d, 0.0)
+        # NaN data at VALID coords (NaN-masked imagery) must be zeroed: a
+        # raw NaN riding the sorted path's prefix sums would corrupt every
+        # bin after it in sort order (same scrub as bin_partial)
+        data2d = jnp.where(jnp.isnan(data2d), 0.0, data2d)
 
         out_count = jnp.zeros((band, n_lon), dtype)
         out_sums = jnp.zeros((band, n_lon, n_ch), dtype)
@@ -185,14 +203,16 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                    + band_id * chunk_rows
                    + (rib - chunk_id * chunk_rows)) * n_lon + ix
             key = jnp.where(valid, key, n_chunks * chunk_bins)
-            vals = jnp.concatenate([valid.astype(dtype)[:, None], data2d],
-                                   axis=1)
-            sidx, state = sorted_prefix_state(key, vals)
+            # no explicit valid payload: invalid samples are keyed outside
+            # every chunk range, so _accumulate_sorted_range's column 0
+            # (range count) IS the valid count — sorting a redundant
+            # payload array would add a full extra sort pass
+            sidx, state = sorted_prefix_state(key, data2d)
 
         for c in range(n_chunks):
             if state is not None:
                 acc = _accumulate_sorted_range(sidx, state, c * chunk_bins,
-                                               chunk_bins, dtype)[:, 1:]
+                                               chunk_bins, dtype)
             else:
                 sel = valid & (rib // chunk_rows == c)
                 local_row = band_id * chunk_rows + (rib - c * chunk_rows)

@@ -183,6 +183,33 @@ class TestGridShardedMosaic:
         assert np.array_equal(np.isnan(a), np.isnan(b))
         m = ~np.isnan(b)
         assert_allclose(a[m], b[m], rtol=1e-9)
+
+    def test_nan_imagery_does_not_corrupt(self):
+        """NaN-masked imagery at valid coordinates must be zeroed before
+        the sorted prefix sums (a raw NaN would poison every bin after it
+        in sort order): outputs equal the same step with NaNs pre-zeroed."""
+        grid = fixed_grid(2, -89.0, 89.0, -179.0, 179.0)
+        mesh = make_mesh(dp=4, sp=2)
+        from auromat_tpu.parallel import make_grid_sharded_mosaic_step
+
+        B, h, w = 8, 64, 128
+        params = _burst(B, h, w)
+        rng = np.random.default_rng(5)
+        imgs = (rng.random((B, h, w, 3)) * 255).astype(np.float64)
+        imgs[rng.random((B, h, w)) < 0.03] = np.nan  # NaN-masked pixels
+        step = make_grid_sharded_mosaic_step(mesh, grid, h, w, channels=3,
+                                             dtype=np.float64)
+        dyn = DynGeorefParams.stack(params, dtype=np.float64)
+        count, means = step(dyn, imgs)
+        means_np = np.asarray(means)[: grid.n_lat]
+        count_np = np.asarray(count)[: grid.n_lat]
+        # finite everywhere a bin has samples (NaN data treated as 0)
+        assert np.isfinite(means_np[count_np > 0]).all()
+        count2, means2 = step(dyn, np.nan_to_num(imgs, nan=0.0))
+        assert_allclose(np.asarray(count2), np.asarray(count))
+        a, b = means_np, np.asarray(means2)[: grid.n_lat]
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert_allclose(a[~np.isnan(a)], b[~np.isnan(b)], rtol=1e-12)
         # padding rows past n_lat are empty
         assert np.asarray(count)[grid.n_lat :].sum() == 0
 
