@@ -140,14 +140,17 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
                 attrs["FILLVAL"] = int(fillval)
             root.var_attrs(band, **attrs)
 
-        zena = (90 - mapping.elevation).astype(np.float32)
-        root.new("zenith_angle", np.ma.filled(zena, np.nan)[np.newaxis, :])
-        root.var_attrs(
-            "zenith_angle", VAR_TYPE="data", DEPEND_0="Epoch",
-            DEPEND_1="y_pixel", DEPEND_2="x_pixel", UNITS="degrees",
-            VALIDMIN=0.0, VALIDMAX=90.0,
-            FIELDNAM="Absolute sensor zenith angle of pixel center",
-        )
+        if mapping.elevation is not None:
+            zena = (90 - mapping.elevation).astype(np.float32)
+            root.new("zenith_angle", np.ma.filled(zena, np.nan)[np.newaxis, :])
+            root.var_attrs(
+                "zenith_angle", VAR_TYPE="data", DEPEND_0="Epoch",
+                DEPEND_1="y_pixel", DEPEND_2="x_pixel", UNITS="degrees",
+                VALIDMIN=0.0, VALIDMAX=90.0,
+                FIELDNAM="Absolute sensor zenith angle of pixel center",
+            )
+        # mappings re-imported from files without zenith_angle carry
+        # elevation=None -> skip the variable (re-import restores None)
 
         root.new("camera_pos", np.asarray(mapping.cameraPosGCRS)[np.newaxis, :])
         root.var_attrs(

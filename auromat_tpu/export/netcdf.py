@@ -248,16 +248,19 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
             var.grid_mapping = b"crs"
             var[:] = img_filled[:, :, i]
 
-        zena = 90 - mapping.elevation
-        za = root.createVariable("zenith_angle", np.float32, (y, x))
-        za.units = b"degrees"
-        za.valid_min, za.valid_max = np.float32(0), np.float32(90)
-        za.actual_range = np.float32([np.min(zena), np.max(zena)])
-        za.standard_name = b"zenith_angle"
-        za.long_name = b"Absolute sensor zenith angle"
-        za.coordinates = b"altitude time" if lat_lon_pc else b"lat lon altitude time"
-        za.grid_mapping = b"crs"
-        za[:] = zena.filled(np.nan).astype(np.float32)
+        if mapping.elevation is not None:
+            zena = 90 - mapping.elevation
+            za = root.createVariable("zenith_angle", np.float32, (y, x))
+            za.units = b"degrees"
+            za.valid_min, za.valid_max = np.float32(0), np.float32(90)
+            za.actual_range = np.float32([np.min(zena), np.max(zena)])
+            za.standard_name = b"zenith_angle"
+            za.long_name = b"Absolute sensor zenith angle"
+            za.coordinates = (b"altitude time" if lat_lon_pc
+                              else b"lat lon altitude time")
+            za.grid_mapping = b"crs"
+            za[:] = zena.filled(np.nan).astype(np.float32)
+        # elevation=None (source file had no zenith_angle): skip the var
 
         cam = root.createVariable("camera_pos", np.float64, ("xyz",))
         cam.units = b"kilometers"

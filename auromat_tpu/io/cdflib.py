@@ -199,6 +199,15 @@ class CDFWriter:
                 cdf_type = CDF_EPOCH
                 data = np.array([datetime_to_epoch(d) for d in data], dtype=np.float64)
         if np.ma.isMaskedArray(data):
+            if data.dtype.kind != "f" and np.ma.getmaskarray(data).any():
+                # filling masked integers with any in-range value silently
+                # destroys the mask; callers must fill explicitly with a
+                # recorded FILLVAL (export/cdf.py promotes the dtype for
+                # exactly this)
+                raise ValueError(
+                    f"variable {name!r}: masked integer data has no NaN; "
+                    "fill explicitly with a FILLVAL before new()"
+                )
             data = data.filled(np.nan if data.dtype.kind == "f" else 0)
         data = np.asarray(data)
         num_elems = 1
@@ -261,9 +270,11 @@ class CDFWriter:
             return data.astype(f"S{v.num_elems}").tobytes()
         return data.astype(">" + base).tobytes()
 
-    def _vdr(self, v, num, vdr_next, vxr_head):
+    def _vdr(self, v, num, vdr_next, vxr_head, cpr_off=-1):
         n_recs = v.data.shape[0] if v.rec_vary else 1
         flags = (1 if v.rec_vary else 0) | (2 if v.pad is not None else 0)
+        if self.compress:
+            flags |= 4  # bit 2: variable compression (CPR present)
         n_dims = len(v.dim_sizes)
         pad_bytes = b""
         if v.pad is not None:
@@ -281,7 +292,7 @@ class CDFWriter:
                 v.num_elems,       # NumElems
                 num,               # Num
             )
-            + struct.pack(">q", -1)  # CPRorSPRoffset (none)
+            + struct.pack(">q", cpr_off)  # CPRorSPRoffset (-1 = none)
             + struct.pack(">i", 0)   # BlockingFactor
             + _pack_str(v.name, 256)
             + struct.pack(">i", n_dims)
@@ -300,9 +311,16 @@ class CDFWriter:
         )
         return self._record(VXR_, payload)
 
+    def _cpr(self):
+        # cType 5 = GZIP, pCount 1, cParms[0] = level
+        return self._record(CPR_, struct.pack(">iiii", 5, 0, 1, 6))
+
     def _vvr(self, data_bytes):
         if self.compress:
-            comp = zlib.compress(data_bytes)
+            # the CDF GZIP convention stores an RFC1952 gzip stream (the
+            # NASA library and pypi cdflib call gzip on it); an earlier
+            # version wrote raw zlib, unreadable outside this module
+            comp = gzip.compress(data_bytes, 6)
             return self._record(CVVR_, struct.pack(">iq", 0, len(comp)) + comp)
         return self._record(VVR_, data_bytes)
 
@@ -345,9 +363,13 @@ class CDFWriter:
             entries = [(i, v.attrs[a]) for i, v in enumerate(self._vars) if a in v.attrs]
             attr_list.append((a, VARIABLE_SCOPE, entries, True))
 
+        # VVR/CVVR records don't depend on offsets: build them once, not in
+        # both passes (with compress=True that halves the gzip CPU time)
+        vvr_recs = [self._vvr(self._var_bytes(v)) for v in self._vars]
+
         # two passes: first with zero offsets to learn sizes, then for real
         def build(offsets):
-            (vdr_offs, vxr_offs, vvr_offs, adr_offs, aedr_offs) = offsets
+            (vdr_offs, cpr_offs, vxr_offs, vvr_offs, adr_offs, aedr_offs) = offsets
             recs = []
             flags = 0b0011 if self.majority == "row" else 0b0010
             # bit 0 = row major, bit 1 = single-file
@@ -370,10 +392,13 @@ class CDFWriter:
             recs.append(self._record(GDR_, gdr_payload))
             for i, v in enumerate(self._vars):
                 nxt = vdr_offs[i + 1] if i + 1 < len(vdr_offs) else 0
-                recs.append(self._vdr(v, i, nxt, vxr_offs[i]))
+                cpr = cpr_offs[i] if self.compress else -1
+                recs.append(self._vdr(v, i, nxt, vxr_offs[i], cpr))
+                if self.compress:
+                    recs.append(self._cpr())
                 n_recs = v.data.shape[0] if v.rec_vary else 1
                 recs.append(self._vxr(n_recs, vvr_offs[i]))
-                recs.append(self._vvr(self._var_bytes(v)))
+                recs.append(vvr_recs[i])
             k = 0
             for ai, (name, scope, entries, is_z) in enumerate(attr_list):
                 nxt = adr_offs[ai + 1] if ai + 1 < len(adr_offs) else 0
@@ -388,7 +413,7 @@ class CDFWriter:
 
         n_vars = len(self._vars)
         n_aedrs = sum(len(e) for _, _, e, _ in attr_list)
-        zeros = ([0] * n_vars, [0] * n_vars, [0] * n_vars,
+        zeros = ([0] * n_vars, [0] * n_vars, [0] * n_vars, [0] * n_vars,
                  [0] * len(attr_list), [0] * n_aedrs)
         offsets_gdr = [0]
         offsets_eof = [0]
@@ -402,10 +427,14 @@ class CDFWriter:
             pos += sz
         offsets_eof[0] = pos
         offsets_gdr[0] = rec_offsets[1]
-        vdr_offs, vxr_offs, vvr_offs = [], [], []
+        vdr_offs, cpr_offs, vxr_offs, vvr_offs = [], [], [], []
         idx = 2
         for _ in self._vars:
             vdr_offs.append(rec_offsets[idx]); idx += 1
+            if self.compress:
+                cpr_offs.append(rec_offsets[idx]); idx += 1
+            else:
+                cpr_offs.append(-1)
             vxr_offs.append(rec_offsets[idx]); idx += 1
             vvr_offs.append(rec_offsets[idx]); idx += 1
         adr_offs, aedr_offs = [], []
@@ -413,7 +442,8 @@ class CDFWriter:
             adr_offs.append(rec_offsets[idx]); idx += 1
             for _ in entries:
                 aedr_offs.append(rec_offsets[idx]); idx += 1
-        recs = build((vdr_offs, vxr_offs, vvr_offs, adr_offs, aedr_offs))
+        recs = build((vdr_offs, cpr_offs, vxr_offs, vvr_offs, adr_offs,
+                      aedr_offs))
         with open(self.path, "wb") as f:
             f.write(struct.pack(">II", 0xCDF30001, 0x0000FFFF))
             for r in recs:
@@ -528,11 +558,13 @@ class CDFReader:
         off = adr_head
         while off:
             off = self._parse_adr(off)
-        # attach variable attrs
-        by_num = {v._num: v for v in self.variables.values()}
-        for attr_name, num, value in self._var_attr_entries:
-            if num in by_num:
-                by_num[num].attrs[attr_name] = value
+        # attach variable attrs: rVariable (grEntry) and zVariable (zEntry)
+        # numbering are INDEPENDENT namespaces both starting at 0, so the
+        # key must include which chain the entry came from
+        by_num = {(v._is_z, v._num): v for v in self.variables.values()}
+        for attr_name, entry_is_z, num, value in self._var_attr_entries:
+            if (entry_is_z, num) in by_num:
+                by_num[(entry_is_z, num)].attrs[attr_name] = value
 
     def _np_dtype(self, cdf_type, num_elems):
         base = _DTYPE_MAP[cdf_type]
@@ -551,12 +583,21 @@ class CDFReader:
         vxr_head = self._i(p); p += osz
         p += osz  # VXRtail
         flags = struct.unpack(">i", raw[p : p + 4])[0]; p += 4
-        p += 4 * 4  # SRecords, rfuB, rfuC, rfuF
+        s_records = struct.unpack(">i", raw[p : p + 4])[0]; p += 4
+        p += 4 * 3  # rfuB, rfuC, rfuF
         num_elems = struct.unpack(">i", raw[p : p + 4])[0]; p += 4
         num = struct.unpack(">i", raw[p : p + 4])[0]; p += 4
         p += osz  # CPRorSPRoffset
         p += 4  # blocking factor
-        name = raw[p : p + 256].split(b"\x00")[0].decode("ascii"); p += 256
+        # the Name field is 256 bytes since CDF 3.0, 64 bytes in 2.x
+        nsz = 256 if self._v3 else 64
+        name = raw[p : p + nsz].split(b"\x00")[0].decode("ascii"); p += nsz
+        if s_records:
+            # sparse records leave gaps in the record index space; the
+            # contiguous concatenation below would silently misplace data
+            raise NotImplementedError(
+                f"variable {name!r} uses sparse records (SRecords="
+                f"{s_records})")
         if is_z:
             n_dims = struct.unpack(">i", raw[p : p + 4])[0]; p += 4
             dim_sizes = list(struct.unpack(f">{n_dims}i", raw[p : p + 4 * n_dims]))
@@ -663,14 +704,15 @@ class CDFReader:
         p += 4  # NzEntries
         p += 4  # MAXzEntry
         p += 4  # rfuE
-        name = raw[p : p + 256].split(b"\x00")[0].decode("ascii")
-        for head in (agr_head, az_head):
+        nsz = 256 if self._v3 else 64  # 64-byte Name field in CDF 2.x
+        name = raw[p : p + nsz].split(b"\x00")[0].decode("ascii")
+        for head, entry_is_z in ((agr_head, False), (az_head, True)):
             e_off = head
             while e_off:
-                e_off = self._parse_aedr(e_off, name, scope)
+                e_off = self._parse_aedr(e_off, name, scope, entry_is_z)
         return adr_next
 
-    def _parse_aedr(self, off, attr_name, scope):
+    def _parse_aedr(self, off, attr_name, scope, entry_is_z):
         raw = self.raw
         hdr = 12 if self._v3 else 8
         osz = self._osz
@@ -698,7 +740,7 @@ class CDFReader:
             else:
                 self.attrs[attr_name] = value
         else:
-            self._var_attr_entries.append((attr_name, num, value))
+            self._var_attr_entries.append((attr_name, entry_is_z, num, value))
         return nxt
 
     def __getitem__(self, name):

@@ -151,13 +151,18 @@ def format_card(key: str, value, comment=None) -> str:
         card = key.ljust(8)
     else:
         card = key.ljust(8) + "= " + _format_value(value)
+        if len(card) > CARD:
+            # truncating the VALUE would cut a closing quote / digits and
+            # silently corrupt the card; only comments may be trimmed
+            raise ValueError(
+                f"FITS card value for {key!r} exceeds 80 chars: {card!r}")
         if comment:
             card += " / " + comment
     return card[:CARD].ljust(CARD)
 
 
-def write_header(header: FitsHeader, path):
-    """Write a header-only FITS file (NAXIS=0) with the given cards."""
+def header_bytes(header: FitsHeader) -> bytes:
+    """Serialize a header-only HDU (NAXIS=0) to padded FITS bytes."""
     cards = []
     base = {"SIMPLE": (True, "conforms to FITS standard"),
             "BITPIX": (8, "array data type"),
@@ -175,9 +180,13 @@ def write_header(header: FitsHeader, path):
     cards.append(format_card("END", None))
     blob = "".join(cards).encode("ascii")
     pad = (-len(blob)) % BLOCK
-    blob += b" " * pad
+    return blob + b" " * pad
+
+
+def write_header(header: FitsHeader, path):
+    """Write a header-only FITS file (NAXIS=0) with the given cards."""
     with open(path, "wb") as f:
-        f.write(blob)
+        f.write(header_bytes(header))
 
 
 # ---------------------------------------------------------------------------
@@ -356,17 +365,8 @@ def set_checksums(header: FitsHeader, data: bytes = b""):
     datasum = compute_datasum(data)
     header["DATASUM"] = str(datasum)
     header["CHECKSUM"] = "0000000000000000"
-    # serialize header with zero checksum, then encode
-    import tempfile
-
-    with tempfile.NamedTemporaryFile(delete=False) as f:
-        tmp = f.name
-    write_header(header, tmp)
-    with open(tmp, "rb") as f:
-        blob = f.read()
-    import os as _os
-
-    _os.remove(tmp)
+    # serialize the header with zero checksum in memory, then encode
+    blob = header_bytes(header)
     total = _fold32(_ones_complement_sum32(blob) + datasum)
     header["CHECKSUM"] = _encode_checksum(total)
     return header
@@ -386,7 +386,10 @@ def verify_checksum(blob: bytes, data: bytes = b"") -> bool:
 # ---------------------------------------------------------------------------
 
 _TFORM_DTYPES = {
-    "L": "?", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8",
+    # FITS logicals are ASCII 'T'/'F' bytes (both nonzero!), decoded to
+    # bool after the frombuffer pass — mapping "L" to numpy '?' would read
+    # every value (including 'F' = 0x46) as True
+    "L": "S1", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8",
     "E": ">f4", "D": ">f8",
 }
 
@@ -453,11 +456,16 @@ def read_bintable(path, hdu=1):
         raise ValueError(f"HDU {hdu} is not a BINTABLE: {header.get('XTENSION')!r}")
     n_rows = int(header["NAXIS2"])
     n_fields = int(header["TFIELDS"])
-    names, formats = [], []
+    names, formats, logical = [], [], set()
     for i in range(1, n_fields + 1):
-        names.append(str(header.get(f"TTYPE{i}", f"col{i}")).strip())
-        repeat, base, _ = _parse_tform(header[f"TFORM{i}"])
-        if base.startswith("S"):
+        name = str(header.get(f"TTYPE{i}", f"col{i}")).strip()
+        names.append(name)
+        tform = str(header[f"TFORM{i}"]).strip()
+        repeat, base, _ = _parse_tform(tform)
+        if tform.lstrip("0123456789").startswith("L"):
+            logical.add(name)
+            base = "S1"
+        if base.startswith("S") and "A" in tform:
             formats.append(base)
         elif repeat == 1:
             formats.append(base)
@@ -471,7 +479,9 @@ def read_bintable(path, hdu=1):
     out = {}
     for name in names:
         col = table[name]
-        if col.dtype.kind in "if":
+        if name in logical:
+            col = col == b"T"
+        elif col.dtype.kind in "if":
             col = col.astype(col.dtype.newbyteorder("="))
         out[name] = col
     return out
@@ -491,7 +501,13 @@ def write_bintable(path, columns, primary_header=None):
     formats = []
     tforms = []
     inv = {v: k for k, v in _TFORM_DTYPES.items()}
-    for a in arrays:
+    for j, a in enumerate(arrays):
+        if a.dtype.kind == "b":
+            # FITS logical column: 'T'/'F' ASCII bytes
+            arrays[j] = a = _np.where(a, b"T", b"F").astype("S1")
+            tforms.append("L")
+            formats.append("S1")
+            continue
         be = a.dtype.newbyteorder(">")
         code = inv.get(be.str.lstrip("=<>|"), None) or inv.get(be.str, None)
         if code is None:
@@ -524,16 +540,8 @@ def write_bintable(path, columns, primary_header=None):
     data_blob = table.tobytes()
     data_blob += b"\x00" * ((-len(data_blob)) % BLOCK)
 
-    import tempfile, os as _os
-
-    with tempfile.NamedTemporaryFile(delete=False) as f:
-        tmp = f.name
-    write_header(prim, tmp)
-    with open(tmp, "rb") as f:
-        prim_blob = f.read()
-    _os.remove(tmp)
     with open(path, "wb") as f:
-        f.write(prim_blob + ext_blob + data_blob)
+        f.write(header_bytes(prim) + ext_blob + data_blob)
 
 
 def write_xyls(path, x, y, flux=None):

@@ -94,3 +94,74 @@ class TestCompression:
         np.testing.assert_allclose(
             np.asarray(m2.latsCenter.filled(np.nan))[~m.center_mask],
             np.asarray(m.latsCenter.filled(np.nan))[~m.center_mask])
+
+
+class TestNasaCompatibleCompression:
+    def test_cpr_flags_and_gzip_stream(self, tmp_path):
+        """Compressed variables must follow the NASA CDF convention so
+        external readers work: VDR compression flag (bit 2) set,
+        CPRorSPRoffset pointing at a GZIP CPR, and an RFC1952 gzip CVVR
+        payload (an earlier version wrote raw zlib with no CPR — readable
+        only by this module)."""
+        import gzip
+        import struct
+
+        from auromat_tpu.io.cdflib import CDFWriter
+
+        path = tmp_path / "c.cdf"
+        data = (np.arange(4800).reshape(1, 60, 80) % 251).astype(np.uint8)
+        with CDFWriter(str(path), compress=True) as w:
+            w.new("img", data)
+        raw = path.read_bytes()
+        off, recs = 8, []
+        while off < len(raw):
+            size, rtype = struct.unpack(">qi", raw[off:off + 12])
+            recs.append((off, size, rtype))
+            off += size
+        vdr = next(r for r in recs if r[2] == 8)  # zVDR
+        p = vdr[0] + 12
+        flags = struct.unpack(">i", raw[p + 32:p + 36])[0]
+        assert flags & 4, "VDR compression bit not set"
+        cpr_off = struct.unpack(">q", raw[p + 60:p + 68])[0]
+        cpr = next(r for r in recs if r[0] == cpr_off)
+        assert cpr[2] == 11  # CPR
+        ctype, _, pcount, _ = struct.unpack(">iiii", raw[cpr[0] + 12:cpr[0] + 28])
+        assert (ctype, pcount) == (5, 1)  # GZIP, one parameter
+        cvvr = next(r for r in recs if r[2] == 13)
+        _, csize = struct.unpack(">iq", raw[cvvr[0] + 12:cvvr[0] + 24])
+        stream = raw[cvvr[0] + 24:cvvr[0] + 24 + csize]
+        assert stream[:2] == b"\x1f\x8b"  # RFC1952 magic
+        assert gzip.decompress(stream) == data.tobytes()
+
+    def test_masked_integer_data_raises(self, tmp_path):
+        from auromat_tpu.io.cdflib import CDFWriter
+
+        arr = np.ma.masked_array(np.arange(6, dtype=np.uint8).reshape(1, 2, 3),
+                                 mask=[[[0, 1, 0], [0, 0, 0]]])
+        with CDFWriter(str(tmp_path / "m.cdf")) as w:
+            with pytest.raises(ValueError, match="FILLVAL"):
+                w.new("img", arr)
+            w.new("ok", arr.filled(255))  # explicit fill is fine
+
+
+def test_export_without_elevation(tmp_path):
+    """Mappings with elevation=None (re-imported from files without
+    zenith_angle) must export to CDF and NetCDF without crashing; the
+    zenith_angle variable is simply skipped."""
+    from auromat_tpu.export import netcdf as export_netcdf
+    from auromat_tpu.io.cdflib import CDFReader
+
+    m = synthetic_mapping(n=20)
+    m._elevation = None  # as produced by mapping/cdf.py:62
+    pc = tmp_path / "noelev.cdf"
+    export_cdf.write(str(pc), m)
+    r = CDFReader(str(pc))
+    assert "zenith_angle" not in r
+    assert "lat" in r
+    pn = tmp_path / "noelev.nc"
+    export_netcdf.write(str(pn), m)
+    from auromat_tpu.io.nc4 import Nc4Reader
+
+    with Nc4Reader(str(pn)) as nc:
+        assert "zenith_angle" not in nc.variables
+        assert "lat" in nc.variables
