@@ -328,11 +328,17 @@ def draw_scanlines_co(out, column=None, mlatmlt=False, figsize=(14, 6)):
             fig, ax = _new_axes(figsize)
             ax.imshow(img, aspect="auto")
             ax.set_xlabel("Frame")
-            lat_axis = np.nanmean(np.stack(lats), axis=0)
+            stacked = np.stack(lats)
+            cnt = np.sum(np.isfinite(stacked), axis=0)
+            lat_axis = np.where(
+                cnt > 0, np.nansum(stacked, axis=0) / np.maximum(cnt, 1),
+                np.nan,
+            )  # nanmean without the all-NaN-column RuntimeWarning
             step = max(1, len(lat_axis) // 8)
             ax.set_yticks(np.arange(0, len(lat_axis), step))
             ax.set_yticklabels(
-                [f"{v:.1f}" for v in lat_axis[::step]]
+                ["" if not np.isfinite(v) else f"{v:.1f}"
+                 for v in lat_axis[::step]]
             )
             ax.set_ylabel("MLat [deg]" if mlatmlt else "Latitude [deg]")
             out["figure"] = fig
@@ -768,7 +774,10 @@ def draw_heatmaps(mapping, path_prefix="heat_", xlabel="Image Width (px)",
 
     _save("lats", mapping.lats, "Latitude (deg)")
     _save("lons", mapping.lons, "Longitude (deg)")
-    _save("elevation", mapping.elevation, "Elevation angle (deg)")
+    # CDF/netCDF re-imports without zenith_angle carry elevation=None
+    # (a supported state: resample/export/check_guarantees all allow it).
+    if mapping.elevation is not None:
+        _save("elevation", mapping.elevation, "Elevation angle (deg)")
     az = getattr(mapping, "azimuthCenter", None)
     if az is not None:
         _save("azimuth", az, "Azimuth (deg)")

@@ -177,7 +177,11 @@ def bin_partial_pallas(grid: GridSpec, lats, lons, data, mode="uint8",
     n_ch_in = data.shape[-1]
     data = data.astype(jnp.float32)
     valid_in = jnp.isfinite(lats) & jnp.isfinite(lons)
-    data = jnp.where(valid_in[..., None], data, 0.0)
+    # NaN data at VALID coordinates must contribute 0 (bin_partial contract):
+    # a raw NaN would ride the one-hot matmul and poison every bin in its
+    # window (NaN * 0 == NaN). bin_mean_pallas_taint layers taint semantics
+    # on top via explicit indicator channels.
+    data = jnp.where(valid_in[..., None] & ~jnp.isnan(data), data, 0.0)
     if mode == "uint8":
         data_k = _split_elevation(data)
     elif mode == "full":
@@ -464,7 +468,11 @@ def bin_partial_pallas2(grid: GridSpec, lats, lons, data, mode="uint8",
     n_ch_in = data.shape[-1]
     data = data.astype(jnp.float32)
     valid_in = jnp.isfinite(lats) & jnp.isfinite(lons)
-    data = jnp.where(valid_in[..., None], data, 0.0)
+    # NaN data at VALID coordinates must contribute 0 (bin_partial contract):
+    # a raw NaN would ride the one-hot matmul and poison every bin in its
+    # window (NaN * 0 == NaN). bin_mean_pallas_taint layers taint semantics
+    # on top via explicit indicator channels.
+    data = jnp.where(valid_in[..., None] & ~jnp.isnan(data), data, 0.0)
     if mode == "uint8":
         data_k = _split_elevation(data)
     elif mode == "full":

@@ -92,10 +92,14 @@ def naive_epoch(dt):
 
     datetime.timestamp() interprets naive values in the HOST timezone and
     is non-monotonic across DST transitions — fatal for searchsorted-based
-    nearest-frame lookups over sorted date lists.
+    nearest-frame lookups over sorted date lists. Timezone-aware inputs are
+    converted to UTC first (callers of the providers this replaced
+    .timestamp() in may pass aware dates).
     """
-    from datetime import datetime
+    from datetime import datetime, timezone
 
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
     return (dt - datetime(1970, 1, 1)).total_seconds()
 
 
