@@ -1,13 +1,17 @@
-"""FITS WCS TAN (gnomonic) projection as pure jax.numpy device code.
+"""FITS WCS zenithal projections as pure jax.numpy device code.
 
 The reference implements a fast custom TAN unprojection
-(auromat/coordinates/wcs.py:66-157, ~2x faster than astropy on CPU); on TPU
-the same math is a fully fused elementwise chain. Only the TAN projection is
-supported — astrometry.net always produces RA---TAN/DEC--TAN solutions.
+(auromat/coordinates/wcs.py:66-157, ~2x faster than astropy on CPU) and
+falls back to astropy for anything else (reference wcs.py:18-64). Here the
+common zenithal family (TAN, SIN, ZEA, ARC, STG) is first-party math —
+:class:`ZenithalWcs` + :func:`pix2world` cover the astropy-fallback role;
+the flagship fused georef path stays TAN-only (astrometry.net always emits
+RA---TAN/DEC--TAN solutions).
 
 Math (FITS Paper II, Calabretta & Greisen 2002):
   pixel offsets -> CD matrix -> projection-plane (x, y) in degrees
-  native spherical: phi = arg(-y, x), theta = atan(180 / (pi * R)), R = |xy|
+  native spherical: phi = arg(-y, x); theta from the projection's radial
+  function R_theta (TAN: (180/pi)/tan -> theta = atan(180/(pi R)))
   celestial: rotate by the Euler z-x-z matrix
   Rz(ra_ref + 90) @ Rx(90 - dec_ref) @ Rz(-(lonpole - 90))   [degrees]
 """
@@ -15,6 +19,8 @@ Math (FITS Paper II, Calabretta & Greisen 2002):
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_RAD_PER_R = np.pi / 180.0  # projection-plane degrees -> radians
 
 
 def celestial_rotation_matrix(ra_ref_deg, dec_ref_deg, lonpole_deg):
@@ -39,23 +45,34 @@ def celestial_rotation_matrix(ra_ref_deg, dec_ref_deg, lonpole_deg):
     return rz(a) @ rx(b) @ rz(c)
 
 
-class TanWcs:
-    """Host-side container for a TAN WCS solution's scalar parameters.
+class ZenithalWcs:
+    """Host-side container for a zenithal-projection WCS solution.
 
-    Built from a FITS/astrometry.net header dict (see auromat_tpu.io.fits).
-    The heavy per-pixel math runs in :func:`tan_pix2world_cartesian`.
+    Supports the common zenithal family — TAN (gnomonic), SIN
+    (orthographic), ZEA (equal-area), ARC (equidistant), STG
+    (stereographic) — the projections the reference reaches through its
+    astropy fallback (reference wcs.py:18-64). Built from a
+    FITS/astrometry.net header dict (see auromat_tpu.io.fits); the heavy
+    per-pixel math runs in :func:`pix2world_cartesian`.
     """
 
+    SUPPORTED = ("TAN", "SIN", "ZEA", "ARC", "STG")
+
     def __init__(self, header):
-        if not (
-            header.get("CTYPE1") == "RA---TAN"
-            and header.get("CTYPE2") == "DEC--TAN"
-            and float(header.get("LATPOLE", 0.0)) == 0.0
-        ):
+        c1 = header.get("CTYPE1") or ""
+        c2 = header.get("CTYPE2") or ""
+        code = c1[5:] if (
+            isinstance(c1, str) and isinstance(c2, str)
+            and c1.startswith("RA---") and c2.startswith("DEC--")
+            and c1[5:] == c2[5:]
+        ) else None
+        if code not in self.SUPPORTED or float(header.get("LATPOLE", 0.0)) != 0.0:
             raise ValueError(
-                "only RA---TAN/DEC--TAN with LATPOLE=0 is supported; got "
-                f"{header.get('CTYPE1')}/{header.get('CTYPE2')}"
+                f"only RA---/DEC-- zenithal projections {self.SUPPORTED} "
+                f"with LATPOLE=0 are supported; got {c1!r}/{c2!r} "
+                f"LATPOLE={header.get('LATPOLE', 0.0)}"
             )
+        self.projection = code
         self.ra_ref = float(header["CRVAL1"])
         self.dec_ref = float(header["CRVAL2"])
         self.px_ref = float(header["CRPIX1"])
@@ -70,6 +87,127 @@ class TanWcs:
         self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
         self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
         self.rotmat = celestial_rotation_matrix(self.ra_ref, self.dec_ref, self.lonpole)
+
+
+class TanWcs(ZenithalWcs):
+    """TAN-only WCS container — the contract of the fused georef fast path
+    (astrometry.net always emits RA---TAN/DEC--TAN solutions)."""
+
+    def __init__(self, header):
+        if not (
+            header.get("CTYPE1") == "RA---TAN"
+            and header.get("CTYPE2") == "DEC--TAN"
+        ):
+            raise ValueError(
+                "only RA---TAN/DEC--TAN with LATPOLE=0 is supported; got "
+                f"{header.get('CTYPE1')}/{header.get('CTYPE2')} "
+                "(generic zenithal projections: use ZenithalWcs + pix2world)"
+            )
+        super().__init__(header)
+
+
+def _theta_from_r(projection, r):
+    """Native latitude theta (rad) from projection-plane radius R (deg).
+
+    Radial inverses of the zenithal R_theta functions (FITS Paper II
+    section 5.1); out-of-domain radii yield NaN.
+    """
+    if projection == "TAN":
+        # R = (180/pi)/tan(theta); r=0 -> +inf -> pi/2
+        return jnp.arctan((180.0 / jnp.pi) / r)
+    if projection == "SIN":
+        # R = (180/pi) cos(theta); R > 180/pi -> NaN (outside the disc)
+        return jnp.arccos(r * _RAD_PER_R)
+    if projection == "ZEA":
+        # R = (360/pi) sin((90-theta)/2)
+        return jnp.pi / 2 - 2.0 * jnp.arcsin(r * (_RAD_PER_R / 2.0))
+    if projection == "ARC":
+        # R = 90 - theta [deg]; full sphere is R <= 180
+        th = jnp.deg2rad(90.0 - r)
+        return jnp.where(r <= 180.0, th, jnp.nan)
+    if projection == "STG":
+        # R = (360/pi) tan((90-theta)/2)
+        return jnp.pi / 2 - 2.0 * jnp.arctan(r * (_RAD_PER_R / 2.0))
+    raise NotImplementedError(projection)
+
+
+def _r_from_theta(projection, theta):
+    """Projection-plane radius R (deg) from native latitude theta (rad);
+    unprojectable directions (e.g. behind the TAN/SIN plane) yield NaN."""
+    if projection == "TAN":
+        return jnp.where(theta > 0,
+                         (180.0 / jnp.pi) / jnp.tan(theta), jnp.nan)
+    if projection == "SIN":
+        # the far hemisphere mirrors onto the same disc — mask it, same
+        # rationale as tan_world2pix
+        return jnp.where(theta >= 0,
+                         (180.0 / jnp.pi) * jnp.cos(theta), jnp.nan)
+    if projection == "ZEA":
+        return (360.0 / jnp.pi) * jnp.sin((jnp.pi / 2 - theta) / 2.0)
+    if projection == "ARC":
+        return 90.0 - jnp.rad2deg(theta)
+    if projection == "STG":
+        return (360.0 / jnp.pi) * jnp.tan((jnp.pi / 2 - theta) / 2.0)
+    raise NotImplementedError(projection)
+
+
+def pix2world_cartesian(wcs: ZenithalWcs, px, py, origin=0):
+    """Pixel coordinates -> unit ICRS direction vectors for any supported
+    zenithal projection (generic counterpart of
+    :func:`tan_pix2world_cartesian`; the reference reaches these
+    projections via its astropy fallback, reference wcs.py:18-64)."""
+    dx = px - (wcs.px_ref - (1 - origin))
+    dy = py - (wcs.py_ref - (1 - origin))
+    cd = wcs.cd
+    x = cd[0, 0] * dx + cd[0, 1] * dy
+    y = cd[1, 0] * dx + cd[1, 1] * dy
+
+    r = jnp.sqrt(x * x + y * y)
+    phi = jnp.arctan2(x, -y)
+    theta = _theta_from_r(wcs.projection, r)
+
+    cos_t = jnp.cos(theta)
+    l_ = cos_t * jnp.cos(phi)
+    m_ = cos_t * jnp.sin(phi)
+    n_ = jnp.sin(theta)
+    rot = wcs.rotmat
+    vx = rot[0, 0] * l_ + rot[0, 1] * m_ + rot[0, 2] * n_
+    vy = rot[1, 0] * l_ + rot[1, 1] * m_ + rot[1, 2] * n_
+    vz = rot[2, 0] * l_ + rot[2, 1] * m_ + rot[2, 2] * n_
+    return jnp.stack([vx, vy, vz], axis=-1)
+
+
+def pix2world(wcs: ZenithalWcs, px, py, origin=0):
+    """Pixel coordinates -> (ra, dec) degrees for any supported zenithal
+    projection, ra wrapped into [0, 360)."""
+    v = pix2world_cartesian(wcs, px, py, origin)
+    s = jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2)
+    dec = jnp.rad2deg(jnp.arctan2(v[..., 2], s))
+    ra = jnp.rad2deg(jnp.arctan2(v[..., 1], v[..., 0]))
+    ra = (ra - 360.0) % 360.0
+    return ra, dec
+
+
+def world2pix(wcs: ZenithalWcs, ra_deg, dec_deg, origin=0):
+    """Celestial (ra, dec) degrees -> pixel coordinates for any supported
+    zenithal projection; unprojectable directions return NaN."""
+    ra = jnp.deg2rad(jnp.asarray(ra_deg))
+    dec = jnp.deg2rad(jnp.asarray(dec_deg))
+    cos_d = jnp.cos(dec)
+    v = jnp.stack([cos_d * jnp.cos(ra), cos_d * jnp.sin(ra), jnp.sin(dec)],
+                  axis=-1)
+    n = jnp.matmul(v, jnp.asarray(wcs.rotmat),  # == rotmat.T @ v
+                   precision=jax.lax.Precision.HIGHEST)
+    phi = jnp.arctan2(n[..., 1], n[..., 0])
+    theta = jnp.arctan2(n[..., 2], jnp.hypot(n[..., 0], n[..., 1]))
+    r = _r_from_theta(wcs.projection, theta)
+    x = r * jnp.sin(phi)
+    y = -r * jnp.cos(phi)
+    inv = np.linalg.inv(wcs.cd)
+    dx = inv[0, 0] * x + inv[0, 1] * y
+    dy = inv[1, 0] * x + inv[1, 1] * y
+    off = 1 - origin
+    return dx + wcs.px_ref - off, dy + wcs.py_ref - off
 
 
 def tan_pix2world_cartesian(wcs: TanWcs, px, py, origin=0):

@@ -312,21 +312,14 @@ def georeference_points(params: GeorefParams, px, py, dtype=jnp.float64):
 # ---------------------------------------------------------------------------
 
 
-def georeference_points_df(params: GeorefParams, px, py):
-    """Georeference pixel coordinates in double-float precision.
+def _georef_df_body(params: GeorefParams, px, py, with_elevation=False,
+                    with_mlatmlt=False):
+    """df64 georeference chain; returns dict of NaN-masked (hi, lo) pairs.
 
-    The f32 chain bottoms out around ~1e-2..1e-3 deg (f32 cannot place a
-    point on Earth better than ~0.4 m, and one f32 arctan already rounds at
-    ~6e-6 deg). This variant runs the whole pixel->lat/lon chain in (hi, lo)
-    f32 pairs (auromat_tpu.ops.dfloat), reaching float64-grade accuracy on
-    TPUs, which have no native f64 (SURVEY.md section 7 "hard parts").
-
-    ~10x the flops of the f32 chain; use for parity-critical production
-    output, keep the f32 chain for preview/throughput work.
-
-    :returns: (lat_hi, lat_lo, lon_hi, lon_lo) degree pairs — keep the pair;
-        collapsing to a single f32 would throw away the precision (f32 ulp at
-        60 deg is ~4e-6 deg). See :func:`georeference_points_df64`.
+    Keys: lat, lon (+ elevation, mlat, mlt when requested) — every exported
+    per-pixel variable of the CDF/netCDF schema (reference
+    export/cdf.py:86-110, astrometry.py:170-212) at <1e-6 deg parity on
+    TPU hardware.
     """
     from auromat_tpu.ops import dfloat as dfl
 
@@ -435,13 +428,83 @@ def georeference_points_df(params: GeorefParams, px, py):
     )
     lat = dfl.mul(dfl.atan(tp), c(180.0 / np.pi))
     lon = dfl.mul(dfl.atan2(gy, gx), c(180.0 / np.pi))
+    out = {"lat": lat, "lon": lon}
+
+    if with_elevation:
+        # elevation = 90 - acos(t) = asin(t) = atan2(t, sqrt((1-t)(1+t)))
+        # with t = -(ray . intersection) / |intersection| (reference
+        # astrometry.py:200-212). |i| is rotation-invariant, so the
+        # Bowring r (= |GEO vector|) is reused instead of a second
+        # dot3+sqrt over the J2000 components.
+        mdot = dfl.neg(dfl.dot3(vx, vy, vz, ix_, iy_, iz_))
+        t = dfl.div(mdot, r)
+        # (1-t)(1+t): the literal constant must ride as the SECOND add/sub
+        # operand (XLA folds the two_sum residual of constant-first adds
+        # under jit — see dfloat.atan / test_dfloat)
+        one_m = dfl.neg(dfl.sub(t, c(1.0)))
+        one_p = dfl.add(t, c(1.0))
+        s2 = dfl.mul(one_m, one_p)
+        # clamp |t| <= 1 rounding spill: s2 may go epsilon-negative
+        s2 = dfl.DF(jnp.maximum(s2.hi, 0.0),
+                    jnp.where(s2.hi > 0.0, s2.lo, 0.0))
+        out["elevation"] = dfl.mul(dfl.atan2(t, dfl.sqrt(s2)),
+                                   c(180.0 / np.pi))
+
+    if with_mlatmlt:
+        # J2000 -> SM rotation on the intersections, then magnetic
+        # latitude / local time (reference astrometry.py:170-198 computes
+        # MLat/MLT straight from the J2000 intersections, same here)
+        ms = params.mat_j2000_to_sm
+
+        def rot3m(row):
+            return dfl.add(
+                dfl.add(dfl.mul(c(row[0]), ix_), dfl.mul(c(row[1]), iy_)),
+                dfl.mul(c(row[2]), iz_),
+            )
+
+        sx, sy, sz = rot3m(ms[0]), rot3m(ms[1]), rot3m(ms[2])
+        hyp = dfl.sqrt(dfl.add(dfl.mul(sx, sx), dfl.mul(sy, sy)))
+        out["mlat"] = dfl.mul(dfl.atan2(sz, hyp), c(180.0 / np.pi))
+        # mlt = rad2deg(atan2)*(24/360) + 12 = atan2 * (12/pi) + 12
+        out["mlt"] = dfl.add(dfl.mul(dfl.atan2(sy, sx), c(12.0 / np.pi)),
+                             c(12.0))
 
     nan = jnp.float32(jnp.nan)
-    return (
-        jnp.where(miss, nan, lat.hi), jnp.where(miss, nan, lat.lo),
-        jnp.where(miss, nan, lon.hi), jnp.where(miss, nan, lon.lo),
-    )
+    return {
+        k: (jnp.where(miss, nan, v.hi), jnp.where(miss, nan, v.lo))
+        for k, v in out.items()
+    }
 
+
+def georeference_points_df(params: GeorefParams, px, py):
+    """Georeference pixel coordinates in double-float precision.
+
+    The f32 chain bottoms out around ~1e-2..1e-3 deg (f32 cannot place a
+    point on Earth better than ~0.4 m, and one f32 arctan already rounds at
+    ~6e-6 deg). This variant runs the whole pixel->lat/lon chain in (hi, lo)
+    f32 pairs (auromat_tpu.ops.dfloat), reaching float64-grade accuracy on
+    TPUs, which have no native f64 (SURVEY.md section 7 "hard parts").
+
+    ~10x the flops of the f32 chain; use for parity-critical production
+    output, keep the f32 chain for preview/throughput work.
+
+    :returns: (lat_hi, lat_lo, lon_hi, lon_lo) degree pairs — keep the pair;
+        collapsing to a single f32 would throw away the precision (f32 ulp at
+        60 deg is ~4e-6 deg). See :func:`georeference_points_df64`.
+    """
+    out = _georef_df_body(params, px, py)
+    return out["lat"][0], out["lat"][1], out["lon"][0], out["lon"][1]
+
+
+georeference_points_df_full = jax.jit(
+    partial(_georef_df_body, with_elevation=True, with_mlatmlt=True),
+    static_argnums=0,
+)
+georeference_points_df_full.__doc__ = (
+    "df64 chain over EVERY exported per-pixel variable (lat, lon, "
+    "elevation, mlat, mlt) as NaN-masked (hi, lo) f32 pairs — the "
+    "TPU-resident full-precision production export (VERDICT r2 item 3)."
+)
 
 _georeference_points_df_jit = jax.jit(georeference_points_df, static_argnums=0)
 
@@ -456,3 +519,12 @@ def georeference_points_df64(params: GeorefParams, px, py):
     lat = np.asarray(lat_hi, dtype=np.float64) + np.asarray(lat_lo, dtype=np.float64)
     lon = np.asarray(lon_hi, dtype=np.float64) + np.asarray(lon_lo, dtype=np.float64)
     return lat, lon
+
+
+def georeference_points_df64_full(params: GeorefParams, px, py):
+    """Full df64 chain collapsed to host float64 arrays (dict of deg)."""
+    out = georeference_points_df_full(params, px, py)
+    return {
+        k: np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
+        for k, (hi, lo) in out.items()
+    }

@@ -75,7 +75,14 @@ def _kernel(bounds_ref, iy_ref, ix_ref, img_ref, elev_ref, acc_ref, *,
     ix = ix_ref[:]
     valid = iy >= np.int32(0)
     imgv = img_ref[:]  # (3, tile_h, tile_w) f32, 0..255-integral values
-    elev = jnp.where(valid, elev_ref[:] + ELEV_OFFSET, 0.0)
+    # NaN data at VALID coordinates contributes 0 (bin_partial contract; a
+    # raw NaN would poison every bin in the window via NaN*0). The scrub
+    # lives IN-kernel: x == x is a free VPU compare on data already being
+    # streamed, where an XLA-side scrub costs a full extra HBM pass.
+    imgv = jnp.where(imgv == imgv, imgv, 0.0)
+    eraw = elev_ref[:]
+    eraw = jnp.where(eraw == eraw, eraw, 0.0)
+    elev = jnp.where(valid, eraw + ELEV_OFFSET, 0.0)
     el_hi = jnp.floor(elev)  # bf16-exact int part
     # the fraction is carried as TWO bf16 sub-limbs using a pad channel
     # (free: the pad lane was already multiplied as zeros): f1 is an exact
@@ -159,10 +166,110 @@ def _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r, n_win_r, n_win_c):
     return jnp.stack([kmin, kmax, cmin, cmax], axis=-1).reshape(-1)
 
 
+def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
+                             tiles=TILES, interpret=False,
+                             slab_budget_bytes=None):
+    """Bin (count, R, G, B, elevation) from precomputed bin indices with the
+    flagship v5 kernel — the reusable binning half of the fused step.
+
+    This is the fast-kernel entry the sharded mosaic path uses per shard
+    (each device bins its local samples into the full natural grid; the
+    band routing/reduction happens outside): same kernel, same accumulator
+    layout, same elevation limb-split exactness as the fused single-frame
+    path, so per-shard partials stay bit-identical (counts + integer
+    channels) to the sorted XLA path.
+
+    Grids whose padded accumulator exceeds the VMEM budget run as a loop of
+    lat-slab pallas_calls (each slab re-reads the sample stream; out-of-slab
+    pixels carry iy_rel == -1 and fall into no window) — the same bounded-
+    VMEM strategy as regrid_pallas.bin_partial_pallas, with this kernel.
+
+    :param iy, ix: (h, w) int32 grid row/col per sample; -1 = invalid
+    :param img_chw: (3, h, w) float, integer-valued 0..255 ('uint8' contract)
+    :param elev: (h, w) float elevation; NaN (at valid coords) contributes 0
+    :returns: count (n_lat, n_lon), sums (n_lat, n_lon, 4) [R, G, B, elev]
+    """
+    tile_h, tile_w, win_r = tiles
+    h, w = iy.shape
+    f32 = jnp.float32
+
+    # NaN data at valid coordinates contributes 0 (bin_partial contract);
+    # the scrub happens IN-kernel (free VPU compare) — no XLA-side pass
+    img_chw = img_chw.astype(f32)
+
+    hp, wp = round_up(h, tile_h), round_up(w, tile_w)
+    pad = ((0, hp - h), (0, wp - w))
+    iyp = jnp.pad(iy, pad, constant_values=-1)
+    ixp = jnp.pad(ix, pad, constant_values=-1)
+    elevp = jnp.pad(elev, pad)
+    imgp = jnp.pad(img_chw, ((0, 0),) + pad)
+    nty, ntx = hp // tile_h, wp // tile_w
+
+    n_lat_pad = max(round_up(grid.n_lat, win_r), win_r)
+    n_lon_pad = round_up(grid.n_lon, 128)
+    n_win_c = n_lon_pad // 128
+    # lat-slab rows per pallas_call so the VMEM accumulator stays bounded
+    if slab_budget_bytes is None:
+        slab_budget_bytes = _VMEM_LIMIT - 16 * 1024 * 1024
+    budget_rows = slab_budget_bytes // (N_STACK * n_lon_pad * 4)
+    slab_rows = max(win_r, min(n_lat_pad, budget_rows // win_r * win_r))
+
+    kern = functools.partial(_kernel, n_win_c=n_win_c, tile_h=tile_h,
+                             tile_w=tile_w, win_r=win_r)
+    slabs = []
+    for s0 in range(0, n_lat_pad, slab_rows):
+        rows = min(slab_rows, n_lat_pad - s0)
+        n_win_r = rows // win_r
+        if s0 == 0 and rows == n_lat_pad:
+            iy_rel = iyp  # single-call fast path: no extra select pass
+        else:
+            iy_rel = jnp.where((iyp >= s0) & (iyp < s0 + rows), iyp - s0,
+                               jnp.int32(-1))
+        bounds = _tile_bounds(iy_rel, ixp, nty, ntx, tile_h, tile_w, win_r,
+                              n_win_r, n_win_c)
+        acc_rows = n_win_r * n_win_c * win_r
+        with jax.enable_x64(False):
+            acc = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(nty, ntx),
+                    in_specs=[
+                        pl.BlockSpec((tile_h, tile_w),
+                                     lambda i, j, bd: (i, j)),
+                        pl.BlockSpec((tile_h, tile_w),
+                                     lambda i, j, bd: (i, j)),
+                        pl.BlockSpec((3, tile_h, tile_w),
+                                     lambda i, j, bd: (0, i, j)),
+                        pl.BlockSpec((tile_h, tile_w),
+                                     lambda i, j, bd: (i, j)),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (acc_rows, N_STACK, 128), lambda i, j, bd: (0, 0, 0)),
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (acc_rows, N_STACK, 128), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT),
+                interpret=interpret,
+            )(bounds, iy_rel, ixp, imgp, elevp)
+        acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
+                 .transpose(0, 2, 3, 1, 4).reshape(rows, N_STACK, n_lon_pad)
+        slabs.append(acc)
+    acc = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
+    count = acc[: grid.n_lat, 0, : grid.n_lon]
+    sums_k = jnp.transpose(acc[: grid.n_lat, 1:7, : grid.n_lon], (0, 2, 1))
+    # subtract the offset from the exact-integer limb sum FIRST so the
+    # fraction limbs are added at their own small magnitude
+    el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
+              + sums_k[..., 4] + sums_k[..., 5])
+    sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]], axis=-1)
+    return count, sums
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _georegrid(grid: GridSpec, dyn: DynGeorefParams, img_chw, mask,
                tiles, interpret):
-    tile_h, tile_w, win_r = tiles
     _, h, w = img_chw.shape
     f32 = jnp.float32
 
@@ -174,57 +281,8 @@ def _georegrid(grid: GridSpec, dyn: DynGeorefParams, img_chw, mask,
         valid &= ~mask
     iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
     ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
-
-    hp, wp = round_up(h, tile_h), round_up(w, tile_w)
-    pad = ((0, hp - h), (0, wp - w))
-    iyp = jnp.pad(iy, pad, constant_values=-1)
-    ixp = jnp.pad(ix, pad, constant_values=-1)
-    elevp = jnp.pad(out["elevation"], pad)
-    imgp = jnp.pad(img_chw.astype(f32), ((0, 0),) + pad)
-    nty, ntx = hp // tile_h, wp // tile_w
-
-    n_lat_pad = max(round_up(grid.n_lat, win_r), win_r)
-    n_lon_pad = round_up(grid.n_lon, 128)
-    n_win_c = n_lon_pad // 128
-    n_win_r = n_lat_pad // win_r
-    bounds = _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r,
-                          n_win_r, n_win_c)
-
-    kern = functools.partial(_kernel, n_win_c=n_win_c, tile_h=tile_h,
-                             tile_w=tile_w, win_r=win_r)
-    acc_rows = n_win_r * n_win_c * win_r
-    with jax.enable_x64(False):
-        acc = pl.pallas_call(
-            kern,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(nty, ntx),
-                in_specs=[
-                    pl.BlockSpec((tile_h, tile_w), lambda i, j, bd: (i, j)),
-                    pl.BlockSpec((tile_h, tile_w), lambda i, j, bd: (i, j)),
-                    pl.BlockSpec((3, tile_h, tile_w),
-                                 lambda i, j, bd: (0, i, j)),
-                    pl.BlockSpec((tile_h, tile_w), lambda i, j, bd: (i, j)),
-                ],
-                out_specs=pl.BlockSpec(
-                    (acc_rows, N_STACK, 128), lambda i, j, bd: (0, 0, 0)),
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (acc_rows, N_STACK, 128), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT),
-            interpret=interpret,
-        )(bounds, iyp, ixp, imgp, elevp)
-    acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
-             .transpose(0, 2, 3, 1, 4).reshape(n_lat_pad, N_STACK, n_lon_pad)
-    count = acc[: grid.n_lat, 0, : grid.n_lon]
-    sums_k = jnp.transpose(acc[: grid.n_lat, 1:7, : grid.n_lon], (0, 2, 1))
-    # subtract the offset from the exact-integer limb sum FIRST so the
-    # fraction limbs are added at their own small magnitude
-    el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
-              + sums_k[..., 4] + sums_k[..., 5])
-    sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]], axis=-1)
-    return count, sums
+    return bin_rgbelev_from_indices(grid, iy, ix, img_chw, out["elevation"],
+                                    tiles, interpret)
 
 
 def georegrid_partial(grid: GridSpec, dyn: DynGeorefParams, img_chw,
@@ -239,21 +297,13 @@ def georegrid_partial(grid: GridSpec, dyn: DynGeorefParams, img_chw,
     :returns: count (n_lat, n_lon) and sums (n_lat, n_lon, 4) over
         channels (R, G, B, elevation)
 
-    The accumulator must fit VMEM: n_lat_pad * n_lon_pad * 8 * 4 bytes
-    (the 540x525 bench grid uses ~11 MB). Larger grids belong to the
-    sharded mosaic path (auromat_tpu.parallel).
+    Grids whose padded accumulator fits the VMEM budget (n_lat_pad *
+    n_lon_pad * 8 * 4 bytes; the 540x525 bench grid uses ~11 MB) run as ONE
+    pallas_call; larger grids fall back to a lat-slab loop (each slab
+    re-reads the sample stream). Mission-scale grids are better served by
+    the sharded mosaic (auromat_tpu.parallel), which spreads the grid over
+    devices before slabbing is ever needed.
     """
-    tile_h, tile_w, win_r = tiles
-    n_lat_pad = max(round_up(grid.n_lat, win_r), win_r)
-    n_lon_pad = round_up(grid.n_lon, 128)
-    acc_bytes = n_lat_pad * n_lon_pad * N_STACK * 4
-    if acc_bytes > _VMEM_LIMIT - 16 * 1024 * 1024:
-        raise ValueError(
-            f"grid {grid.n_lat}x{grid.n_lon} needs a {acc_bytes / 2**20:.0f}"
-            " MiB VMEM accumulator — too large for the fused single-kernel"
-            " path. Use ops.regrid_pallas.bin_partial_pallas2 (lat-slab"
-            " loop) or the sharded mosaic (auromat_tpu.parallel)."
-        )
     return _georegrid(grid, dyn, img_chw, mask, tuple(tiles), interpret)
 
 

@@ -119,7 +119,7 @@ def make_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
 def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                                   channels=3, dtype=jnp.float32,
                                   with_elevation=True, bin_method="sorted",
-                                  chunk_rows=None):
+                                  chunk_rows=None, interpret=False):
     """Mission-scale mosaic step: the GRID is sharded, not just the samples.
 
     ``make_sharded_mosaic_step`` psums dense full-grid partials onto every
@@ -134,13 +134,27 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     n_dev * chunk_rows * n_lon * (C+1) floats (default: ~1/n_dev of the
     full grid) instead of the full grid.
 
+    ``bin_method='pallas'`` bins each shard's samples with the flagship
+    fused-path kernel (ops.georegrid.bin_rgbelev_from_indices — the same
+    column-windowed Mosaic kernel as the 8.5 ms single-chip step) instead
+    of the ~17x slower sorted XLA path; the psum_scatter chunk routing is
+    unchanged (partials are binned into the natural grid once, then sliced
+    chunk-by-chunk, so each grid element still crosses the interconnect
+    exactly once). Trade-off vs 'sorted': the per-device *binning
+    accumulator* is the full padded grid (band * n_dev rows — ~620 MB for
+    the 0.05 deg global mosaic at f32, fine in 16 GB HBM) rather than
+    ~1/n_dev of it; pick 'sorted' when grid memory, not speed, binds.
+    Requires channels=3 + with_elevation (the kernel's uint8 RGB+elev
+    channel contract); ``interpret=True`` for CPU-mesh tests.
+
     step(dyn_params, imgs) -> (count, means) as GLOBAL jax.Arrays of shape
     (band * n_dev, n_lon[, C]) sharded row-wise over the mesh (each device
     holds only its band; rows >= n_lat are padding). Slice [:n_lat] on the
     host, or keep sharded for downstream sharded consumers.
 
     Reference scale anchor: auromat's convert pipeline writes one sequence
-    = 172 GB (docs/userguide/index.rst:66-78); SURVEY.md P6/P7.
+    = 172 GB (docs/userguide/index.rst:66-78); the hot loop this keeps fast
+    at mosaic scale is auromat/resample.py:328-351; SURVEY.md P6/P7.
     """
     dp_n = mesh.shape["dp"]
     sp_n = mesh.shape["sp"]
@@ -158,7 +172,16 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     n_ch = channels + (1 if with_elevation else 0)
     from auromat_tpu.ops.regrid import _BIN_METHODS, bin_indices
 
-    bin_fn = _BIN_METHODS[bin_method]
+    if bin_method == "pallas":
+        if channels != 3 or not with_elevation:
+            raise ValueError(
+                "bin_method='pallas' requires channels=3 + with_elevation"
+                " (the fused kernel's uint8 RGB+elevation channel contract)"
+            )
+        bin_fn = None
+    else:
+        bin_fn = _BIN_METHODS[bin_method]
+    band_pad = n_chunks * chunk_rows
 
     def shard_fn(dyn_local, imgs_local):
         px, py = _local_pixel_grid(height, width, rows_per_shard, dtype)
@@ -176,6 +199,49 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         flat_idx, valid = bin_indices(grid, jnp.ravel(lat), jnp.ravel(lon))
         iy = (flat_idx // n_lon).astype(jnp.int32)
         ix = (flat_idx % n_lon).astype(jnp.int32)
+
+        out_count = jnp.zeros((band, n_lon), dtype)
+        out_sums = jnp.zeros((band, n_lon, n_ch), dtype)
+        n_rows_stacked = n_dev * chunk_rows
+        chunk_bins = n_rows_stacked * n_lon
+
+        if bin_method == "pallas":
+            # bin ONCE into the natural grid with the flagship kernel, then
+            # slice the accumulated GRID chunk-by-chunk for the
+            # psum_scatter routing (grid-sized slicing is cheap; the
+            # per-chunk alternative would re-stream the samples n_chunks
+            # times through the kernel)
+            from auromat_tpu.ops.georegrid import bin_rgbelev_from_indices
+
+            iy2 = jnp.where(valid, iy, -1).reshape(-1, width)
+            ix2 = jnp.where(valid, ix, -1).reshape(-1, width)
+            img2 = jnp.transpose(
+                data[..., :3].reshape(-1, width, 3), (2, 0, 1))
+            elev2 = data[..., 3].reshape(-1, width)
+            cnt_nat, sums_nat = bin_rgbelev_from_indices(
+                grid, iy2, ix2, img2, elev2, interpret=interpret)
+            full = jnp.concatenate(
+                [cnt_nat[..., None], sums_nat], axis=-1).astype(dtype)
+            # (n_lat, n_lon, 1+C) -> (n_dev, band_pad, n_lon, 1+C): rows
+            # beyond n_lat (and beyond each band up to band_pad) are zeros
+            full = jnp.pad(full, ((0, band * n_dev - grid.n_lat),
+                                  (0, 0), (0, 0)))
+            full = full.reshape(n_dev, band, n_lon, 1 + n_ch)
+            full = jnp.pad(full, ((0, 0), (0, band_pad - band),
+                                  (0, 0), (0, 0)))
+            for c in range(n_chunks):
+                blk = full[:, c * chunk_rows : (c + 1) * chunk_rows] \
+                    .reshape(n_rows_stacked, n_lon, 1 + n_ch)
+                cnt = jax.lax.psum_scatter(blk[..., 0], ("dp", "sp"),
+                                           scatter_dimension=0, tiled=True)
+                sms = jax.lax.psum_scatter(blk[..., 1:], ("dp", "sp"),
+                                           scatter_dimension=0, tiled=True)
+                r0 = c * chunk_rows
+                rows = min(chunk_rows, band - r0)
+                out_count = out_count.at[r0 : r0 + rows].set(cnt[:rows])
+                out_sums = out_sums.at[r0 : r0 + rows].set(sms[:rows])
+            return out_count, finalize_mean(out_count, out_sums)
+
         band_id = iy // band
         rib = iy - band_id * band  # row inside the destination band
         data2d = jnp.reshape(data, (-1, n_ch)).astype(dtype)
@@ -184,11 +250,6 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         # raw NaN riding the sorted path's prefix sums would corrupt every
         # bin after it in sort order (same scrub as bin_partial)
         data2d = jnp.where(jnp.isnan(data2d), 0.0, data2d)
-
-        out_count = jnp.zeros((band, n_lon), dtype)
-        out_sums = jnp.zeros((band, n_lon, n_ch), dtype)
-        n_rows_stacked = n_dev * chunk_rows
-        chunk_bins = n_rows_stacked * n_lon
 
         state = None
         if bin_method == "sorted":

@@ -161,3 +161,45 @@ def test_df64_chain_fractional_crpix():
     err = max(np.abs(lat_df[both] - lat64[both]).max(),
               np.abs(lon_df[both] - lon64[both]).max())
     assert err < 1e-8, err
+
+
+@pytest.mark.parametrize("name", ["ISS030-E-102170_dc"])
+def test_df64_full_chain_parity(name):
+    """The df64 chain extended over EVERY exported per-pixel variable
+    (elevation, MLat, MLT — VERDICT r2 item 3): MLat/MLT gate against the
+    reference-generated goldens at <1e-6, elevation (no golden; the
+    reference derives it the same way, astrometry.py:200-212) against the
+    repo's own validated f64 chain."""
+    from auromat_tpu.ops.georef import (GeorefParams,
+                                        georeference_points_df64_full,
+                                        _pixel_dirs, _intersect,
+                                        _elevation_deg)
+    import jax.numpy as jnp
+
+    golden = np.load(os.path.join(RES, f"golden_georef_{name}.npz"))
+    header = fits.read_header(os.path.join(RES, f"{name}.wcs"))
+    wcs = TanWcs(header)
+    pos = np.array(fits.get_shifted_spacecraft_position(header)[:3])
+    p = GeorefParams.from_wcs(wcs, pos, fits.get_photo_time(header),
+                              float(golden["altitude"]))
+    px, py = np.meshgrid(golden["xs"] - 0.5, golden["ys"] - 0.5)
+    out = georeference_points_df64_full(p, px.astype(np.float32),
+                                        py.astype(np.float32))
+
+    both = ~np.isnan(golden["mlat"]) & ~np.isnan(out["mlat"])
+    assert both.sum() > 1000
+    mlat_err = np.abs(out["mlat"][both] - golden["mlat"][both]).max()
+    # golden mlt is in HOURS (15 deg/h)
+    dm = np.abs(out["mlt"][both] - golden["mlt"][both])
+    mlt_err = np.minimum(dm, 24.0 - dm).max()
+    assert mlat_err < 1e-6, mlat_err
+    assert mlt_err < 1e-7, mlt_err
+
+    # elevation vs the f64 chain
+    vx, vy, vz = _pixel_dirs(p, jnp.asarray(px), jnp.asarray(py))
+    ix, iy, iz = _intersect(p, vx, vy, vz, jnp.float64)
+    elev64 = np.asarray(_elevation_deg(vx, vy, vz, ix, iy, iz))
+    b2 = ~np.isnan(elev64) & ~np.isnan(out["elevation"])
+    assert b2.sum() > 1000
+    elev_err = np.abs(out["elevation"][b2] - elev64[b2]).max()
+    assert elev_err < 1e-6, elev_err

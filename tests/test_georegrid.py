@@ -13,7 +13,7 @@ from auromat_tpu.coordinates.wcs import TanWcs
 from auromat_tpu.io import fits
 from auromat_tpu.ops.georef import (DynGeorefParams, GeorefParams,
                                     georef_latlon_dyn, georeference_points)
-from auromat_tpu.ops.georegrid import georegrid_mean
+from auromat_tpu.ops.georegrid import bin_rgbelev_from_indices, georegrid_mean
 from auromat_tpu.ops.regrid import bin_indices, bin_mean, fixed_grid
 
 RES = os.path.join(os.path.dirname(__file__), "resources")
@@ -124,8 +124,26 @@ class TestGeoregrid:
         assert (np.asarray(v64) != np.asarray(v32)).mean() < 5e-3
 
 
-def test_oversized_grid_raises_clearly(setup):
-    _, dyn, img, _ = setup
-    big = fixed_grid(20, -89.0, 89.0, -179.0, 179.0)  # ~3500x7100 cells
-    with pytest.raises(ValueError, match="VMEM accumulator"):
-        georegrid_mean(big, dyn, img, interpret=True)
+def test_oversized_grid_slabs_bit_identically(setup):
+    """Grids whose accumulator exceeds the VMEM budget run as a lat-slab
+    loop; the slabbed result must be bit-identical to the single-call path
+    (same kernel, disjoint row ranges)."""
+    _, dyn, img, grid = setup
+    h, w = img.shape[1:]
+    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    out = georef_latlon_dyn(dyn, px, py, dtype=jnp.float32,
+                            with_elevation=True)
+    flat, valid = bin_indices(grid, out["lat"], out["lon"])
+    iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
+    ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
+    one = bin_rgbelev_from_indices(grid, iy, ix, jnp.asarray(img),
+                                   out["elevation"], interpret=True)
+    # budget forcing >= 3 slabs on this grid (n_lat_pad rows of 8-row wins)
+    tiny = 3 * 8 * ((grid.n_lon + 127) // 128 * 128) * 8 * 4
+    slabbed = bin_rgbelev_from_indices(grid, iy, ix, jnp.asarray(img),
+                                       out["elevation"], interpret=True,
+                                       slab_budget_bytes=tiny)
+    for a, b in zip(one, slabbed):
+        assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True)
+    assert float(one[0].sum()) == float(np.asarray(valid).sum())

@@ -12,6 +12,7 @@ auromat/test/wcs_test.py:14-36; astropy is unavailable here):
 import os
 
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 
 from auromat_tpu.coordinates.wcs import (
@@ -244,3 +245,100 @@ def test_world2pix_masks_far_hemisphere():
     assert np.isfinite(float(np.asarray(x)))
     xa, ya = tan_world2pix(wcs, (ra0 + 180.0) % 360.0, -dec0)
     assert np.isnan(float(np.asarray(xa))) and np.isnan(float(np.asarray(ya)))
+
+
+class TestZenithalProjections:
+    """Generic zenithal (SIN/ZEA/ARC/STG + TAN) unprojection — the
+    first-party replacement for the reference's astropy fallback on
+    non-TAN headers (reference wcs.py:18-64)."""
+
+    @staticmethod
+    def _header(code, scale=0.01):
+        return {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": 30.0, "CRVAL2": 45.0,
+            "CRPIX1": 100.5, "CRPIX2": 80.25,
+            "CD1_1": scale * 0.9, "CD1_2": scale * 0.3,
+            "CD2_1": -scale * 0.2, "CD2_2": scale * 1.1,
+            "IMAGEW": 200, "IMAGEH": 160,
+        }
+
+    @pytest.mark.parametrize("code", ["TAN", "SIN", "ZEA", "ARC", "STG"])
+    def test_roundtrip(self, code):
+        from auromat_tpu.coordinates.wcs import (ZenithalWcs, pix2world,
+                                                 world2pix)
+
+        wcs = ZenithalWcs(self._header(code))
+        px, py = np.meshgrid(np.arange(0, 200, 13, dtype=np.float64),
+                             np.arange(0, 160, 11, dtype=np.float64))
+        ra, dec = pix2world(wcs, px, py)
+        bx, by = world2pix(wcs, ra, dec)
+        assert not np.isnan(np.asarray(bx)).any()
+        assert_allclose(np.asarray(bx), px, atol=1e-8)
+        assert_allclose(np.asarray(by), py, atol=1e-8)
+
+    @pytest.mark.parametrize("code", ["SIN", "ZEA", "ARC", "STG"])
+    def test_radial_inverse_analytic(self, code):
+        """Independent oracle: the angular distance between a pixel's
+        direction and the reference direction must equal 90 deg - theta(R)
+        with theta computed from the projection's R_theta formula by plain
+        numpy trig (FITS Paper II section 5.1)."""
+        from auromat_tpu.coordinates.wcs import (ZenithalWcs,
+                                                 pix2world_cartesian)
+
+        h = self._header(code)
+        wcs = ZenithalWcs(h)
+        # pixels on a range of radii incl. large angles where the
+        # projections differ strongly
+        px = np.array([100.5 - 1.0 + 40.0, 100.5 - 1.0, 100.5 - 1.0 - 70.0])
+        py = np.array([80.25 - 1.0, 80.25 - 1.0 + 55.0, 80.25 - 1.0 - 30.0])
+        dx, dy = px - (wcs.px_ref - 1), py - (wcs.py_ref - 1)
+        x = wcs.cd[0, 0] * dx + wcs.cd[0, 1] * dy
+        y = wcs.cd[1, 0] * dx + wcs.cd[1, 1] * dy
+        r = np.hypot(x, y)
+        if code == "SIN":
+            theta = np.arccos(np.deg2rad(r))
+        elif code == "ZEA":
+            theta = np.pi / 2 - 2 * np.arcsin(np.deg2rad(r) / 2)
+        elif code == "ARC":
+            theta = np.deg2rad(90.0 - r)
+        else:  # STG
+            theta = np.pi / 2 - 2 * np.arctan(np.deg2rad(r) / 2)
+        v = np.asarray(pix2world_cartesian(wcs, px, py))
+        ra0, dec0 = np.deg2rad(30.0), np.deg2rad(45.0)
+        v0 = np.array([np.cos(dec0) * np.cos(ra0),
+                       np.cos(dec0) * np.sin(ra0), np.sin(dec0)])
+        ang = np.arccos(np.clip(v @ v0, -1, 1))
+        assert_allclose(ang, np.pi / 2 - theta, atol=1e-12)
+
+    def test_tan_generic_matches_fast_path(self):
+        from auromat_tpu.coordinates.wcs import (TanWcs, ZenithalWcs,
+                                                 pix2world, tan_pix2world)
+
+        h = self._header("TAN")
+        px, py = np.meshgrid(np.arange(0, 200, 7, dtype=np.float64),
+                             np.arange(0, 160, 9, dtype=np.float64))
+        ra_g, dec_g = pix2world(ZenithalWcs(h), px, py)
+        ra_t, dec_t = tan_pix2world(TanWcs(h), px, py)
+        assert np.array_equal(np.asarray(ra_g), np.asarray(ra_t))
+        assert np.array_equal(np.asarray(dec_g), np.asarray(dec_t))
+
+    def test_sin_outside_disc_is_nan(self):
+        from auromat_tpu.coordinates.wcs import ZenithalWcs, pix2world
+
+        # R > 180/pi deg is outside the orthographic disc
+        wcs = ZenithalWcs(self._header("SIN", scale=1.0))
+        ra, dec = pix2world(wcs, np.array([199.0]), np.array([0.0]))
+        assert np.isnan(np.asarray(ra)).all()
+        assert np.isnan(np.asarray(dec)).all()
+
+    def test_tanwcs_rejects_non_tan_but_zenithal_accepts(self):
+        from auromat_tpu.coordinates.wcs import TanWcs, ZenithalWcs
+
+        h = self._header("SIN")
+        with pytest.raises(ValueError, match="RA---TAN"):
+            TanWcs(h)
+        assert ZenithalWcs(h).projection == "SIN"
+        bad = self._header("AIT")  # non-zenithal
+        with pytest.raises(ValueError, match="zenithal"):
+            ZenithalWcs(bad)
