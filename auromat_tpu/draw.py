@@ -26,6 +26,8 @@ All ``draw_*`` functions return a matplotlib Figure; use
 :func:`auromat_tpu.draw_helpers.save_fig` to write it out.
 """
 
+import os
+
 import numpy as np
 import numpy.ma as ma
 
@@ -104,12 +106,39 @@ def _graticule(ax, lat0, lon0, width_km, height_km, mlt_labels=False):
         ax.plot(x, y, color="gray", lw=0.4, alpha=0.6, zorder=1)
 
 
-def draw_stereographic(mapping_or_collection, mlatmlt=False, coastlines=None,
-                       figsize=(10, 10), bgcolor="black"):
+def _draw_cities(ax, lat0, lon0, color="red", alpha=0.6, min_natscale=0.0):
+    """Scatter bundled Natural Earth city points onto a stereographic axes
+    (reference draw.py:403-420 _drawCities; near hemisphere only)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "resources", "cities_ne50m.npz")
+    with np.load(path) as d:
+        lats, lons, natscale = d["lats"], d["lons"], d["natscale"]
+    keep = natscale >= min_natscale
+    lats, lons, natscale = lats[keep], lons[keep], natscale[keep]
+    cosc = (np.sin(np.deg2rad(lat0)) * np.sin(np.deg2rad(lats))
+            + np.cos(np.deg2rad(lat0)) * np.cos(np.deg2rad(lats))
+            * np.cos(np.deg2rad(lons - lon0)))
+    near = cosc > 0.05
+    x, y = stereographic_project(lats[near], lons[near], lat0, lon0)
+    s = ax.scatter(x, y, natscale[near] / 10.0, color, marker="o",
+                   edgecolors="none", zorder=10, alpha=alpha)
+    s.set_gid("cities")  # addressable in svg output, like the reference
+    return s
+
+
+def draw_stereographic(mapping_or_collection, mlatmlt=False,
+                       coastlines="default", cities=False, figsize=(10, 10),
+                       bgcolor="black"):
     """Stereographic plot centred on the data (reference draw.py:140-222).
 
     :param mlatmlt: plot in the MLat/MLT system (drawStereographicMLatMLT)
-    :param coastlines: optional (n, 2) lat/lon polyline array (NaN-separated)
+    :param coastlines: (n, 2) lat/lon polyline array (NaN-separated), the
+        string 'default' for the bundled coarse world coastline
+        (auromat_tpu.coastlines — the out-of-box map background the
+        reference gets from Basemap, reference draw.py:319-362), or None
+        to disable. Geographic plots only (skipped under mlatmlt).
+    :param cities: scatter the bundled Natural Earth populated places
+        (reference draw.py:403-420); geographic plots only.
     """
     verts, colors = polygons_from_mapping_or_collection(
         mapping_or_collection, mlatmlt=mlatmlt
@@ -133,9 +162,28 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False, coastlines=None,
     fig, ax = _new_axes(figsize, facecolor=bgcolor)
     ax.set_facecolor(bgcolor)
     _graticule(ax, lat0, lon0, size.width, size.height)
+    if isinstance(coastlines, str) and coastlines == "default":
+        if mlatmlt:
+            coastlines = None  # geographic polylines are meaningless in MLat/MLT
+        else:
+            from auromat_tpu.coastlines import coastline_latlon
+
+            coastlines = coastline_latlon()
     if coastlines is not None:
         cx, cy = stereographic_project(coastlines[:, 0], coastlines[:, 1], lat0, lon0)
+        # mask the far hemisphere: stereographic blows up towards the
+        # antipode and a polyline crossing it would streak across the plot
+        clat = np.deg2rad(np.asarray(coastlines[:, 0], dtype=np.float64))
+        clon = np.deg2rad(np.asarray(coastlines[:, 1], dtype=np.float64))
+        cosc = (np.sin(np.deg2rad(lat0)) * np.sin(clat)
+                + np.cos(np.deg2rad(lat0)) * np.cos(clat)
+                * np.cos(clon - np.deg2rad(lon0)))
+        near = cosc > 0.05
+        cx = np.where(near, cx, np.nan)
+        cy = np.where(near, cy, np.nan)
         ax.plot(cx, cy, color="#888888", lw=0.6, zorder=2)
+    if cities and not mlatmlt:
+        _draw_cities(ax, lat0, lon0)
     _poly_collection(ax, pverts, colors)
     half_w = max(size.width, 100) * 0.75
     half_h = max(size.height, 100) * 0.75

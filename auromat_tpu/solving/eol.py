@@ -9,9 +9,15 @@ public entry points but requires network credentials not available in tests.
 
 import json
 import os
+from collections import namedtuple
 from datetime import datetime
 
 from auromat_tpu.util.url import DownloadError, download_file
+
+Sequence = namedtuple(
+    "Sequence",
+    ["mission", "roll", "from_frame", "to_frame", "title", "url_anchor"],
+)
 
 LARGE_JPEG_URL = (
     "https://eol.jsc.nasa.gov/DatabaseImages/ESC/large/{mission}/{mission}-E-{frame}.JPG"
@@ -83,6 +89,54 @@ def download_image_sequence(folder, mission, from_frame, to_frame,
         downloaded=len(downloaded), missing=missing,
     )
     return downloaded, missing
+
+
+# NASA aurora-videos index page listing curated sequence frame ranges
+AURORA_VIDEOS_URL = (
+    "https://eol.jsc.nasa.gov/ForFun/CrewEarthObservationsVideos/Aurora.htm"
+)
+
+def extract_aurora_sequences(url=AURORA_VIDEOS_URL):
+    """Scrape the NASA aurora-videos index page for sequence frame ranges.
+
+    The page lists each curated aurora sequence as a named anchor (title)
+    followed by "<first frame> to <last frame>" photo.pl links; the
+    mission/roll/frame query parameters of that link pair define the
+    download range (reference eol.py:398-413 extractAuroraSequences).
+
+    :returns: list of Sequence(mission, roll, from_frame, to_frame, title,
+        url_anchor), ready to feed :func:`download_image_sequence` /
+        :func:`download_image_sequence_raw`.
+    """
+    import re
+
+    from auromat_tpu.util.url import fetch_text
+
+    html = fetch_text(url)
+    link_re = re.compile(
+        r"photo\.pl\?mission=([A-Z0-9]+)&roll=([A-Z0-9]+)&frame=(\d+)")
+    anchor_re = re.compile(r'<a\s+name="([A-Za-z0-9_]+)"\s*>(.*?)</a>',
+                           re.DOTALL)
+    # split the page at the named anchors; each section up to the next
+    # anchor holds that sequence's pair of frame links
+    anchors = list(anchor_re.finditer(html))
+    sequences = []
+    for i, m in enumerate(anchors):
+        section_end = anchors[i + 1].start() if i + 1 < len(anchors) else len(html)
+        section = html[m.end() : section_end]
+        links = link_re.findall(section)
+        if len(links) < 2:
+            continue
+        (mission_a, roll_a, frame_a), (mission_b, roll_b, frame_b) = links[:2]
+        if (mission_a, roll_a) != (mission_b, roll_b):
+            continue
+        title = re.sub(r"<[^>]+>", "", m.group(2)).strip()
+        sequences.append(Sequence(
+            mission=mission_a, roll=roll_a,
+            from_frame=int(frame_a), to_frame=int(frame_b),
+            title=title, url_anchor=m.group(1),
+        ))
+    return sequences
 
 
 def correct_lens_distortion(folder, out_folder, **kw):

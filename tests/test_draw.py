@@ -394,3 +394,53 @@ def test_scanlines_map_mlatmlt(resampled, tmp_path):
     assert "figure" in out
     save_fig(str(tmp_path / "scanmap_sm.png"), out["figure"])
     assert (tmp_path / "scanmap_sm.png").stat().st_size > 5000
+
+
+class TestMapBackgrounds:
+    """Bundled coastline + city datasets (out-of-box map context; the
+    reference gets these from Basemap/bundled Natural Earth shapefiles,
+    reference draw.py:319-362, 403-420)."""
+
+    def test_coastline_resource_loads(self):
+        from auromat_tpu.coastlines import coastline_latlon
+
+        c = coastline_latlon()
+        assert c.ndim == 2 and c.shape[1] == 2
+        fin = np.isfinite(c).all(axis=1)
+        assert fin.sum() > 800  # ~919 vertices
+        assert np.nanmax(np.abs(c[:, 0])) <= 90
+        assert np.nanmax(np.abs(c[:, 1])) <= 180
+        # recognisable auroral-zone content: vertices over northern Canada
+        canada = fin & (c[:, 0] > 55) & (c[:, 1] > -140) & (c[:, 1] < -60)
+        assert canada.sum() > 20
+
+    def test_stereographic_shows_coastlines_by_default(self, resampled,
+                                                       tmp_path):
+        fig = draw.draw_stereographic(resampled)
+        # the coastline polyline must actually be drawn with in-view points
+        lines = [l for l in fig.axes[0].lines
+                 if l.get_color() == "#888888"]
+        assert lines, "no coastline line drawn by default"
+        x = np.asarray(lines[-1].get_xdata(), dtype=float)
+        assert np.isfinite(x).sum() > 50  # near-hemisphere vertices kept
+        out = save_fig(str(tmp_path / "stereo_coast.png"), fig)
+        assert os.path.getsize(out) > 5000
+        # and it can be disabled
+        fig2 = draw.draw_stereographic(resampled, coastlines=None)
+        assert not [l for l in fig2.axes[0].lines
+                    if l.get_color() == "#888888"]
+
+    def test_stereographic_cities_overlay(self, resampled, tmp_path):
+        fig = draw.draw_stereographic(resampled, cities=True)
+        colls = [c for c in fig.axes[0].collections if c.get_gid() == "cities"]
+        assert len(colls) == 1
+        assert colls[0].get_offsets().shape[0] > 5  # cities in view
+        out = save_fig(str(tmp_path / "stereo_cities.png"), fig)
+        assert os.path.getsize(out) > 5000
+
+    def test_city_resource_content(self):
+        path = os.path.join(os.path.dirname(draw.__file__), "resources",
+                            "cities_ne50m.npz")
+        with np.load(path) as d:
+            assert len(d["lons"]) > 1000
+            assert "Tokyo" in list(d["names"])

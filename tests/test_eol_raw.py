@@ -41,6 +41,23 @@ class FakeEOL(http.server.BaseHTTPRequestHandler):
             fname = path.split("file=")[1]
             s["orders"][fname] = s["orders"].get(fname, 0) + 1
             self._reply(200, b"Your request may take 5 minutes or more")
+        elif path.startswith("/aurora"):
+            # aurora-videos index page: named anchors + photo.pl link pairs
+            body = b"""<html><body>
+<a name="iss030_aurora1">Aurora Australis <b>over</b> Indian Ocean</a>
+<p>some text
+<a href="/scripts/sseop/photo.pl?mission=ISS030&roll=E&frame=100" target="_blank">
+<nobr>ISS030-E-100</a> to
+<a href="/scripts/sseop/photo.pl?mission=ISS030&roll=E&frame=104" target="_blank">
+<nobr>ISS030-E-104</a></p>
+<a name="iss029_seq">Aurora Borealis sequence</a>
+<a href="/scripts/sseop/photo.pl?mission=ISS029&roll=E&frame=8000" target="_blank">
+<nobr>ISS029-E-8000</a> to
+<a href="/scripts/sseop/photo.pl?mission=ISS029&roll=E&frame=8050" target="_blank">
+<nobr>ISS029-E-8050</a>
+<a name="broken">No links in this one</a>
+</body></html>"""
+            self._reply(200, body)
         elif path.startswith("/raw/"):
             fname = path.split("/raw/")[1]
             if s["orders"].get(fname, 0) == 0:
@@ -189,3 +206,30 @@ class TestRawResumeExtension:
         assert meta2["rawToFrame"] == 104
         assert (tmp_path / "ISS030-E-104.nef").exists()
         assert meta2["rawFrameGaps"] == [102]
+
+
+class TestAuroraSequenceIndex:
+    """extract_aurora_sequences against the fake archive's index page
+    (reference eol.py:398-413)."""
+
+    def test_parse_and_feed_download(self, fake_server, tmp_path):
+        from auromat_tpu.solving.eol import (download_image_sequence,
+                                             extract_aurora_sequences)
+
+        base, state = fake_server
+        seqs = extract_aurora_sequences(url=base + "/aurora.htm")
+        assert len(seqs) == 2  # the anchor without links is skipped
+        s0 = seqs[0]
+        assert (s0.mission, s0.roll) == ("ISS030", "E")
+        assert (s0.from_frame, s0.to_frame) == (100, 104)
+        assert s0.url_anchor == "iss030_aurora1"
+        assert s0.title == "Aurora Australis over Indian Ocean"  # tags stripped
+        assert (seqs[1].mission, seqs[1].from_frame, seqs[1].to_frame) == (
+            "ISS029", 8000, 8050)
+
+        # the parsed range feeds the JPEG sequence downloader directly
+        downloaded, missing = download_image_sequence(
+            str(tmp_path), s0.mission, s0.from_frame, s0.to_frame,
+            url_template=base + "/jpg/{mission}-E-{frame}.JPG")
+        assert missing == [102]  # the fake's gap frame
+        assert len(downloaded) == 4
