@@ -805,3 +805,128 @@ def bin_partial(grid: GridSpec, lats, lons, data, method="segment"):
 def finalize_mean(count, sums):
     """Divide reduced partial sums by counts; NaN where empty."""
     return jnp.where(count[..., None] > 0, sums / count[..., None], jnp.nan)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def bin_nearest(grid: GridSpec, lats, lons, data, oversample=2):
+    """Nearest-SAMPLE resampling on device (scipy.griddata('nearest')
+    semantics: every grid cell takes the value of the closest sample point
+    in lat/lon degree space).
+
+    The reference recommends 'nearest' over 'mean' for grids finer than the
+    native pixel scale (reference resample.py:323-329) but reaches it
+    through host scipy (a KD-tree — unusable on TPU). Here it is two
+    TPU-native phases:
+
+    1. **seed**: a two-key ``lax.sort`` by (bin, distance-to-cell-centre)
+       makes each occupied cell's nearest LOCAL sample the first entry of
+       its bin range (range starts via the same vectorized binary search as
+       the sorted mean path);
+    2. **jump-flood** (JFA): log2(grid) rounds of 8-neighbour shifted
+       min-distance propagation of (seed_lat, seed_lon, payload) planes —
+       dense elementwise work that XLA fuses, no scatter/gather.
+
+    Approximation: only the best sample per SEED cell survives seeding, so
+    a discarded co-binned sample that is the true winner of a *neighbouring*
+    cell is lost; ``oversample`` runs seeding+JFA on an s-times finer grid
+    (cost x s^2) and reads the coarse centres off it, shrinking multi-
+    sample seed cells. Measured vs scipy on clustered random samples
+    (~0.33/cell Poisson): s=1 91.4%% of cells bit-equal, s=2 97.6%%,
+    s=4 99.3%% — every miss still holds a *nearby* real sample. Grids finer
+    than the sample spacing (the method's intended regime) have almost no
+    multi-sample cells and match correspondingly closer.
+
+    Outside-footprint cells still get the globally nearest sample (exact
+    scipy semantics); callers mask by outline exactly as the reference does
+    (resample.py:250-259).
+
+    :returns: (data_grid (n_lat, n_lon, C), dist2_grid (n_lat, n_lon) —
+        squared degree distance to the winning sample; +inf when there are
+        no valid samples at all)
+    """
+    s_over = int(oversample)
+    if s_over > 1:
+        # fine grid whose centre (i*s, j*s) coincides with coarse centre
+        # (i, j); seeding + JFA run fine, the coarse result is a strided
+        # slice
+        fine = GridSpec(
+            n_lat=(grid.n_lat - 1) * s_over + 1,
+            n_lon=(grid.n_lon - 1) * s_over + 1,
+            lat0=grid.lat0, lon0=grid.lon0,
+            lat_step=grid.lat_step / s_over,
+            lon_step=grid.lon_step / s_over,
+        )
+        dg, d2g = bin_nearest(fine, lats, lons, data, oversample=1)
+        return dg[::s_over, ::s_over], d2g[::s_over, ::s_over]
+    n_ch = data.shape[-1]
+    f32 = jnp.float32
+    flat_lats = jnp.ravel(lats).astype(f32)
+    flat_lons = jnp.ravel(lons).astype(f32)
+    flat_data = jnp.reshape(data, (-1, n_ch)).astype(f32)
+    flat_idx, valid = bin_indices(grid, flat_lats, flat_lons)
+    n_bins = grid.n_lat * grid.n_lon
+
+    lat_c = jnp.asarray(grid.lat_centers, f32)
+    lon_c = jnp.asarray(grid.lon_centers, f32)
+    iy = jnp.clip(flat_idx // grid.n_lon, 0, grid.n_lat - 1)
+    ix = jnp.clip(flat_idx % grid.n_lon, 0, grid.n_lon - 1)
+    d2 = (flat_lats - lat_c[iy]) ** 2 + (flat_lons - lon_c[ix]) ** 2
+    key = jnp.where(valid, flat_idx, n_bins).astype(jnp.int32)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    la = jnp.where(valid, flat_lats, 0.0)
+    lo = jnp.where(valid, flat_lons, 0.0)
+    pay = jnp.where(valid[:, None], jnp.where(jnp.isnan(flat_data), 0.0,
+                                              flat_data), 0.0)
+    ops = [key, d2.astype(f32), la, lo] + [pay[:, c] for c in range(n_ch)]
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    skey = sorted_ops[0]
+
+    bins_ext = jnp.arange(n_bins + 1, dtype=jnp.int32)
+    starts_ext = _searchsorted_binary(skey, bins_ext, side="left")
+    starts, ends = starts_ext[:-1], starts_ext[1:]
+    occupied = ends > starts
+    at = jnp.minimum(starts, skey.shape[0] - 1)
+
+    def seed(plane, fill):
+        return jnp.where(occupied, plane[at], fill).reshape(
+            grid.n_lat, grid.n_lon)
+
+    seed_lat = seed(sorted_ops[2], 0.0)
+    seed_lon = seed(sorted_ops[3], 0.0)
+    planes = jnp.stack([seed(sorted_ops[4 + c], 0.0) for c in range(n_ch)],
+                       axis=0)
+
+    cy = lat_c[:, None]
+    cx = lon_c[None, :]
+    best = jnp.where(occupied.reshape(grid.n_lat, grid.n_lon),
+                     (seed_lat - cy) ** 2 + (seed_lon - cx) ** 2, jnp.inf)
+
+    n = max(grid.n_lat, grid.n_lon)
+    steps = []
+    s = 1 << max(0, int(np.ceil(np.log2(max(n, 2)))) - 1)
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    steps.append(1)  # extra unit pass cleans up classic JFA misses
+
+    state = jnp.concatenate([seed_lat[None], seed_lon[None], planes], axis=0)
+    for s in steps:
+        for dy in (-s, 0, s):
+            for dx in (-s, 0, s):
+                if dy == 0 and dx == 0:
+                    continue
+                pad = ((0, 0), (abs(dy), abs(dy)), (abs(dx), abs(dx)))
+                stp = jnp.pad(state, pad)
+                stp = stp[:, abs(dy) - dy : abs(dy) - dy + grid.n_lat,
+                          abs(dx) - dx : abs(dx) - dx + grid.n_lon]
+                bp = jnp.pad(best, pad[1:], constant_values=jnp.inf)
+                bp = bp[abs(dy) - dy : abs(dy) - dy + grid.n_lat,
+                        abs(dx) - dx : abs(dx) - dx + grid.n_lon]
+                cand_d = jnp.where(
+                    jnp.isinf(bp), jnp.inf,
+                    (stp[0] - cy) ** 2 + (stp[1] - cx) ** 2)
+                take = cand_d < best
+                best = jnp.where(take, cand_d, best)
+                state = jnp.where(take[None], stp, state)
+
+    return jnp.moveaxis(state[2:], 0, -1), best

@@ -60,7 +60,9 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
 
     :param px_per_deg: scalar or (lat, lon) pixels per degree
     :param arcsec_per_px: spherical resolution (overrides px_per_deg)
-    :param method: 'mean' (device binning) | 'nearest' | 'linear' | 'cubic'
+    :param method: 'mean' (device binning) | 'nearest' (host scipy KD-tree)
+        | 'nearest_device' (TPU jump-flood Voronoi, ops.regrid.bin_nearest;
+        same outline masking, near-identical output) | 'linear' | 'cubic'
     :param bin_method: device binning kernel for 'mean': 'auto' picks the
         Pallas window kernel on TPU for uint8 imagery (NaN-taint semantics
         preserved) and the exact sorted path elsewhere; or any
@@ -184,16 +186,27 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
             _, data_r = bin_mean(grid, lats_center, lons_center, data,
                                  method=bin_method)
         data_r = np.asarray(data_r)
-    elif method in ("nearest", "linear", "cubic"):
-        import scipy.interpolate
+    elif method in ("nearest", "nearest_device", "linear", "cubic"):
+        if method == "nearest_device":
+            # TPU-fast nearest: per-bin seeding + jump-flood Voronoi on
+            # device (ops.regrid.bin_nearest) — the device path for the
+            # reference's *recommended* production method on fine grids
+            # (reference resample.py:323-329)
+            from auromat_tpu.ops.regrid import bin_nearest
 
-        ok = ~np.isnan(lats_center.ravel())
-        pts = (lats_center.ravel()[ok], lons_center.ravel()[ok])
-        vals = data.reshape(-1, data.shape[-1])[ok]
-        data_r = scipy.interpolate.griddata(
-            pts, vals, (grid.lat_centers[:, None], grid.lon_centers[None, :]),
-            method=method,
-        )
+            data_r, _ = bin_nearest(grid, lats_center, lons_center, data)
+            data_r = np.asarray(data_r).astype(np.float64)
+        else:
+            import scipy.interpolate
+
+            ok = ~np.isnan(lats_center.ravel())
+            pts = (lats_center.ravel()[ok], lons_center.ravel()[ok])
+            vals = data.reshape(-1, data.shape[-1])[ok]
+            data_r = scipy.interpolate.griddata(
+                pts, vals,
+                (grid.lat_centers[:, None], grid.lon_centers[None, :]),
+                method=method,
+            )
         # mask cells outside the (concave) outline — griddata only clips to
         # the convex hull (reference resample.py:248-259)
         outline = outline_fn()

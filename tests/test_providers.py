@@ -296,3 +296,20 @@ class TestReferenceGoldens:
         assert np.abs(la[above] - g["lats"][above]).max() < 1e-9
         dlo = np.abs((lo[above] - g["lons"][above] + 180.0) % 360.0 - 180.0)
         assert dlo.max() < 1e-9
+
+    def test_miracle_cal_parse_matches_reference(self):
+        """Reference auromat.mapping.miracle.getCalibrationData executed via
+        the shim on the committed cal.txt (SOD @ 2012-03-04) returned
+        exactly these values — the repo parser must reproduce them."""
+        cal = miracle.get_calibration_data(
+            os.path.join(RES, "cal.txt"), "SOD",
+            datetime.datetime(2012, 3, 4, 17, 19))
+        assert cal.station == "SOD"
+        assert (cal.lat, cal.lon) == (67.42, 26.39)
+        assert (cal.xc, cal.yc, cal.k, cal.rotation) == (
+            219.3, 244.2, 155.81, 0.14373)
+        assert cal.validFrom == datetime.datetime(2011, 7, 1)
+        assert cal.validTo == datetime.datetime(2012, 8, 1)
+        bb = cal.boundingBoxSimple
+        assert (bb.latSouth, bb.lonWest, bb.latNorth, bb.lonEast) == (
+            64.12, 10.09, 70.72, 42.69)

@@ -283,3 +283,52 @@ def test_window_tiled_elevation_f32_accurate():
                                       np.asarray(s1[..., :3]))
         dev = np.abs(el_oracle - np.asarray(s1[..., 3], np.float64)).max()
         assert dev < 1e-3, (fn.__name__, dev)
+
+
+class TestBinNearest:
+    """Device nearest-sample resampling (seeding + jump-flood Voronoi) vs
+    the scipy KD-tree oracle."""
+
+    @staticmethod
+    def _case(seed=0, n=1500):
+        rng = np.random.default_rng(seed)
+        lats = 50 + rng.random(n) * 5
+        lons = -110 + rng.random(n) * 7
+        data = rng.random((n, 3)).astype(np.float32)
+        lats[rng.random(n) < 0.05] = np.nan  # masked samples
+        grid = GridSpec(56, 72, 55.5, -109.75, 0.1, 0.1)
+        return grid, lats, lons, data
+
+    def test_matches_scipy_kdtree(self):
+        import scipy.interpolate
+
+        from auromat_tpu.ops.regrid import bin_nearest
+
+        grid, lats, lons, data = self._case()
+        ok = ~np.isnan(lats)
+        ref = scipy.interpolate.griddata(
+            (lats[ok], lons[ok]), data[ok],
+            (grid.lat_centers[:, None], grid.lon_centers[None, :]),
+            method="nearest")
+        # oversample=4 behaves the same, better (99%+); excluded here to
+        # keep the CPU-interpret suite time down
+        for oversample, floor in ((1, 0.88), (2, 0.95)):
+            dg, d2 = bin_nearest(grid, lats, lons, data,
+                                 oversample=oversample)
+            dg = np.asarray(dg)
+            assert np.isfinite(dg).all()  # global Voronoi fills everywhere
+            match = np.all(dg == ref, axis=-1)
+            assert match.mean() > floor, (oversample, match.mean())
+            # every winning value IS a real sample's value
+            flat = dg.reshape(-1, 3)
+            sample_set = {tuple(v) for v in data[ok]}
+            miss = [tuple(v) for v in flat[~match.ravel()]]
+            assert all(v in sample_set for v in miss)
+
+    def test_no_valid_samples(self):
+        from auromat_tpu.ops.regrid import bin_nearest
+
+        grid, lats, lons, data = self._case()
+        lats = np.full_like(lats, np.nan)
+        dg, d2 = bin_nearest(grid, lats, lons, data)
+        assert np.isinf(np.asarray(d2)).all()

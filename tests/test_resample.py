@@ -87,6 +87,27 @@ class TestResample:
         m.checkPlateCarree()
         m.checkGuarantees()
 
+    def test_nearest_device_matches_scipy(self):
+        """The TPU jump-flood nearest path (ops.regrid.bin_nearest) against
+        the host scipy KD-tree path: identical masks, near-identical cells
+        (JFA/seeding picks a different-but-nearby sample only for a tiny
+        fraction of cells — see bin_nearest docstring)."""
+        mapping = synthetic()
+        m_ref = resample(mapping, px_per_deg=2, method="nearest")
+        m_dev = resample(mapping, px_per_deg=2, method="nearest_device")
+        m_dev.checkPlateCarree()
+        m_dev.checkGuarantees()
+        a = np.asarray(m_dev.img_unmasked, dtype=np.float64)
+        b = np.asarray(m_ref.img_unmasked, dtype=np.float64)
+        assert a.shape == b.shape
+        # outline masking must agree exactly (same host mask path)
+        na, nb = np.isnan(a).all(axis=-1), np.isnan(b).all(axis=-1)
+        assert np.array_equal(na, nb)
+        inside = ~na
+        assert inside.sum() > 50
+        same = np.all(a[inside] == b[inside], axis=-1)
+        assert same.mean() > 0.95, same.mean()
+
     def test_mlat_mlt_roundtrip_regular(self):
         mapping = synthetic()
         res = resample_mlat_mlt(mapping, arcsec_per_px=3600 * 0.5, method="nearest")
