@@ -106,6 +106,18 @@ def _two_prod(a, b):
     p12 = a_hi * b_lo
     p21 = a_lo * b_hi
     p22 = a_lo * b_lo
+    if jax.default_backend() == "tpu":
+        # classic Dekker residual: e = ((p11 - p) + p12 + p21) + p22 with
+        # p = fl(a*b) — exact given exact partial products (Dekker 1971),
+        # and ~half the ops of the two_sum chain below. SAFE ONLY on TPU:
+        # the `p11 - p` difference is exactly the shape XLA-CPU/LLVM
+        # contracts into fma with the UNROUNDED a*b (the documented EFT
+        # breaker); Mosaic/XLA-TPU performs no such contraction —
+        # re-verified on-chip against the f64 goldens (see
+        # tools/onchip_parity.py) whenever this file changes.
+        p = a * b
+        e = ((p11 - p) + p12 + p21) + p22
+        return p, e
     s, e1 = _two_sum(p12, p21)
     p, e2 = _two_sum(p11, s)
     p, e3 = _quick_two_sum(p, p22)
@@ -146,7 +158,10 @@ def mul(x: DF, y: DF) -> DF:
 def div(x: DF, y: DF) -> DF:
     # residuals written as add(neg(m), x) so a literal-constant numerator
     # (div(df(1), y) — reciprocals!) never reaches add() as the first
-    # operand (the XLA CPU folding hazard documented on add())
+    # operand (the XLA CPU folding hazard documented on add()).
+    # (A one-reciprocal-three-multiplies variant measured EQUAL speed on
+    # v5e — the VPU divide is not the cost — so the plainly-rounded
+    # per-term divides stay.)
     q1 = x.hi / y.hi
     r = add(neg(mul(df(q1), y)), x)
     q2 = r.hi / y.hi
@@ -244,74 +259,93 @@ _ATAN_HI = _ATAN_TABLE.astype(np.float32)
 _ATAN_LO = (_ATAN_TABLE - _ATAN_HI.astype(np.float64)).astype(np.float32)
 
 
-def atan(x: DF) -> DF:
-    """arctan via 17-entry table reduction + one df division + f32 series.
+def _atan_core(num: DF, den: DF) -> DF:
+    """atan(num/den) for 0 <= num <= den via table reduction with ONE df
+    division — the shared first-octant core of atan/atan2.
 
-    |x| reduces to t in [0, 1] (reciprocal branch), then against the
-    nearest table node a = k/16: atan(t) = atan(a) + atan(r) with
-    r = (t - a)/(1 + t a), |r| <= 1/32, and atan(r) = r + f32 series
-    (the r^3.. terms are < 2^-15 so f32 evaluation keeps ~1e-12 absolute).
-    ~10x cheaper than the previous sincos-series Newton correction
-    (measured 27 ms -> 2.5 ms for 12M points on v5e).
+    The table node k is estimated from the cheap f32 hi-limb ratio, then
+    the residual is formed WITHOUT materializing t = num/den:
+        r = (num - a0 den) / (den + a0 num),   a0 = k/16
+    (substituting t = num/den into (t - a0)/(1 + t a0)); numerator and
+    denominator are df-exact linear combinations, so the only df division
+    of the whole reduction is r itself. The previous formulation paid 2-3
+    df divisions per atan2 (pre-divide + reciprocal branch + residual) —
+    measured 33.7 -> 24 ms class on the 5-atan df64 full chain.
+
+    An f32-rounded k may sit one node off near 1/32 boundaries; |r| then
+    grows to <= ~3/32 where the series' omitted r^9/9 term is < 5e-11 rad
+    (3e-9 deg) — still 2.5 orders under the 1e-6 deg parity gate.
+
+    den.hi == 0 (both args zero) yields 0.
     """
-    sign_neg = x.hi < 0
-    ax = DF(jnp.where(sign_neg, -x.hi, x.hi), jnp.where(sign_neg, -x.lo, x.lo))
-    inv = ax.hi > 1.0
-    # reciprocal branch: atan(x) = pi/2 - atan(1/x)
-    rec = div(df(jnp.ones_like(ax.hi)), DF(jnp.where(inv, ax.hi, 1.0),
-                                           jnp.where(inv, ax.lo, 0.0)))
-    t = DF(jnp.where(inv, rec.hi, ax.hi), jnp.where(inv, rec.lo, ax.lo))
-
-    k = jnp.clip(jnp.round(t.hi * 16.0), 0.0, 16.0)
-    oh = (k[..., None] == jnp.arange(17, dtype=k.dtype)).astype(jnp.float32)
-    # HIGHEST precision: the TPU MXU default truncates f32 operands to
-    # bf16, which would round the table entries (~2^-9) and silently
-    # void the whole df64 budget; with exact 0/1 one-hots HIGHEST makes
-    # the lookup bit-exact
-    hp_ = jax.lax.Precision.HIGHEST
-    ta_hi = jnp.matmul(oh, jnp.asarray(_ATAN_HI), precision=hp_)
-    ta_lo = jnp.matmul(oh, jnp.asarray(_ATAN_LO), precision=hp_)
-    a = k * jnp.float32(1.0 / 16.0)  # k/16 is exactly representable
-
-    num = sub(t, df(a))
-    # constant operand LAST: XLA's CPU algebraic simplifier folds the
-    # two_sum error term of add(df(1), y) (literal-constant first arg)
-    # and silently degrades the pair to f32 — see test_dfloat
-    # test_add_constant_operand_under_jit
-    den = add(mul(t, df(a)), df(jnp.ones_like(a)))
-    r = div(num, den)
+    safe = den.hi > 0.0
+    k = jnp.clip(jnp.round(
+        jnp.where(safe, num.hi / jnp.where(safe, den.hi, 1.0), 0.0) * 16.0),
+        0.0, 16.0)
+    a0 = k * jnp.float32(1.0 / 16.0)  # k/16 is exactly representable
+    rn = sub(num, mul(den, df(a0)))
+    # constant operand LAST in adds: XLA's CPU algebraic simplifier folds
+    # the two_sum error term of add(<literal>, y) and silently degrades
+    # the pair to f32 (atan() passes a broadcast-ones den) — see
+    # test_dfloat test_add_constant_operand_under_jit
+    rd = add(mul(num, df(a0)), den)
+    # 2-term division: |r| <= ~3/32, so the q3 refinement of the full
+    # div() buys nothing (relative 2^-46 already puts the residual's
+    # error orders below the series truncation)
+    q1 = rn.hi / rd.hi
+    rr_ = add(neg(mul(df(q1), rd)), rn)
+    q2 = rr_.hi / rd.hi
+    r = DF(*_quick_two_sum(q1, q2))
+    r = DF(jnp.where(safe, r.hi, 0.0), jnp.where(safe, r.lo, 0.0))
+    # table lookup as a fused select-chain: 17 compare+selects per limb
+    # collapse into ONE elementwise pass (bit-identical to the earlier
+    # one-hot + Precision.HIGHEST matmul, without the MXU hazard)
+    ta_hi = jnp.full_like(k, float(_ATAN_HI[0]))
+    ta_lo = jnp.full_like(k, float(_ATAN_LO[0]))
+    for i in range(1, 17):
+        m = k == np.float32(i)
+        ta_hi = jnp.where(m, np.float32(_ATAN_HI[i]), ta_hi)
+        ta_lo = jnp.where(m, np.float32(_ATAN_LO[i]), ta_lo)
     rr = r.hi
     r2 = rr * rr
     corr = rr * r2 * (jnp.float32(-1.0 / 3.0)
                       + r2 * (jnp.float32(0.2) - r2 * jnp.float32(1.0 / 7.0)))
-    res = add(DF(ta_hi, ta_lo), add(r, df(corr)))
-
-    hp = _df_const(PI_OVER_2)
-    # pi/2 - res with the constant as the SECOND add operand (see the
-    # folding hazard on add())
-    res_inv = add(neg(res), DF(jnp.full_like(res.hi, hp.hi),
-                               jnp.full_like(res.lo, hp.lo)))
-    res = DF(jnp.where(inv, res_inv.hi, res.hi),
-             jnp.where(inv, res_inv.lo, res.lo))
-    return DF(jnp.where(sign_neg, -res.hi, res.hi),
-              jnp.where(sign_neg, -res.lo, res.lo))
+    return add(DF(ta_hi, ta_lo), add(r, df(corr)))
 
 
 def atan2(y: DF, x: DF) -> DF:
-    """Quadrant-aware arctan of y/x in df precision."""
-    base = atan(div(y, x))
-    pi_df = _df_const(PI)
-    pi_b = DF(jnp.full_like(x.hi, pi_df.hi), jnp.full_like(x.hi, pi_df.lo))
-    adj_hi = jnp.where(
-        x.hi < 0, jnp.where(y.hi >= 0, pi_b.hi, -pi_b.hi), jnp.zeros_like(x.hi)
-    )
-    adj_lo = jnp.where(
-        x.hi < 0, jnp.where(y.hi >= 0, pi_b.lo, -pi_b.lo), jnp.zeros_like(x.hi)
-    )
-    out = add(base, DF(adj_hi, adj_lo))
-    # x == 0 handling: +-pi/2
+    """Quadrant-aware arctan of y/x in df precision (single-division core).
+
+    First-octant reduction: phi = atan(min/max of (|y|, |x|)) via
+    :func:`_atan_core`, mirrored by pi/2 - phi when |y| > |x|, by pi - phi
+    when x < 0, and negated for y < 0 — selects only, no extra division.
+    """
+    ay = DF(jnp.abs(y.hi), jnp.where(y.hi < 0, -y.lo, y.lo))
+    ax = DF(jnp.abs(x.hi), jnp.where(x.hi < 0, -x.lo, x.lo))
+    swap = ay.hi > ax.hi
+    num = DF(jnp.where(swap, ax.hi, ay.hi), jnp.where(swap, ax.lo, ay.lo))
+    den = DF(jnp.where(swap, ay.hi, ax.hi), jnp.where(swap, ay.lo, ax.lo))
+    th = _atan_core(num, den)
+
     hp = _df_const(PI_OVER_2)
-    sign = jnp.sign(y.hi)
-    out_hi = jnp.where(x.hi == 0, sign * hp.hi, out.hi)
-    out_lo = jnp.where(x.hi == 0, sign * hp.lo, out.lo)
-    return DF(out_hi, out_lo)
+    th_sw = add(neg(th), DF(jnp.full_like(th.hi, hp.hi),
+                            jnp.full_like(th.lo, hp.lo)))
+    th = DF(jnp.where(swap, th_sw.hi, th.hi),
+            jnp.where(swap, th_sw.lo, th.lo))
+    pi_df = _df_const(PI)
+    th_neg = add(neg(th), DF(jnp.full_like(th.hi, pi_df.hi),
+                             jnp.full_like(th.lo, pi_df.lo)))
+    xneg = x.hi < 0
+    th = DF(jnp.where(xneg, th_neg.hi, th.hi),
+            jnp.where(xneg, th_neg.lo, th.lo))
+    yneg = y.hi < 0
+    return DF(jnp.where(yneg, -th.hi, th.hi),
+              jnp.where(yneg, -th.lo, th.lo))
+
+
+def atan(x: DF) -> DF:
+    """arctan via the single-division table core (see :func:`_atan_core`);
+    |x| > 1 is handled by the min/max swap instead of a reciprocal branch.
+    """
+    one = df(jnp.ones_like(x.hi))
+    return atan2(x, one)

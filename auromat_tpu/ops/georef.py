@@ -430,24 +430,21 @@ def _georef_df_body(params: GeorefParams, px, py, with_elevation=False,
     lon = dfl.mul(dfl.atan2(gy, gx), c(180.0 / np.pi))
     out = {"lat": lat, "lon": lon}
 
+    # r^2 = |intersection|^2 (rotation-invariant) — shared by the asin
+    # forms below; r itself was consumed by Bowring above
+    r2 = dfl.add(p2, dfl.mul(gz, gz))
+
     if with_elevation:
-        # elevation = 90 - acos(t) = asin(t) = atan2(t, sqrt((1-t)(1+t)))
-        # with t = -(ray . intersection) / |intersection| (reference
-        # astrometry.py:200-212). |i| is rotation-invariant, so the
-        # Bowring r (= |GEO vector|) is reused instead of a second
-        # dot3+sqrt over the J2000 components.
+        # elevation = 90 - acos = asin(-ray.i / |i|)
+        #           = atan2(-ray.i, sqrt(|i|^2 - (ray.i)^2))
+        # (reference astrometry.py:200-212). The r^2 form skips the
+        # normalizing division AND the (1-t)(1+t) clamp entirely.
         mdot = dfl.neg(dfl.dot3(vx, vy, vz, ix_, iy_, iz_))
-        t = dfl.div(mdot, r)
-        # (1-t)(1+t): the literal constant must ride as the SECOND add/sub
-        # operand (XLA folds the two_sum residual of constant-first adds
-        # under jit — see dfloat.atan / test_dfloat)
-        one_m = dfl.neg(dfl.sub(t, c(1.0)))
-        one_p = dfl.add(t, c(1.0))
-        s2 = dfl.mul(one_m, one_p)
-        # clamp |t| <= 1 rounding spill: s2 may go epsilon-negative
+        s2 = dfl.sub(r2, dfl.mul(mdot, mdot))
+        # clamp the epsilon-negative rounding spill at |elevation| -> 90
         s2 = dfl.DF(jnp.maximum(s2.hi, 0.0),
                     jnp.where(s2.hi > 0.0, s2.lo, 0.0))
-        out["elevation"] = dfl.mul(dfl.atan2(t, dfl.sqrt(s2)),
+        out["elevation"] = dfl.mul(dfl.atan2(mdot, dfl.sqrt(s2)),
                                    c(180.0 / np.pi))
 
     if with_mlatmlt:
@@ -463,8 +460,12 @@ def _georef_df_body(params: GeorefParams, px, py, with_elevation=False,
             )
 
         sx, sy, sz = rot3m(ms[0]), rot3m(ms[1]), rot3m(ms[2])
-        hyp = dfl.sqrt(dfl.add(dfl.mul(sx, sx), dfl.mul(sy, sy)))
-        out["mlat"] = dfl.mul(dfl.atan2(sz, hyp), c(180.0 / np.pi))
+        # mlat = asin(sz/r) = atan2(sz, sqrt(r^2 - sz^2)): reuses r^2
+        # instead of a second sx^2+sy^2 reduction
+        h2 = dfl.sub(r2, dfl.mul(sz, sz))
+        h2 = dfl.DF(jnp.maximum(h2.hi, 0.0),
+                    jnp.where(h2.hi > 0.0, h2.lo, 0.0))
+        out["mlat"] = dfl.mul(dfl.atan2(sz, dfl.sqrt(h2)), c(180.0 / np.pi))
         # mlt = rad2deg(atan2)*(24/360) + 12 = atan2 * (12/pi) + 12
         out["mlt"] = dfl.add(dfl.mul(dfl.atan2(sy, sx), c(12.0 / np.pi)),
                              c(12.0))

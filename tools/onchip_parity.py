@@ -1,0 +1,84 @@
+"""Measure df64 parity ON THE REAL TPU against the committed f64 goldens.
+
+The forced-CPU test suite cannot see TPU-only hazards (MXU bf16 default
+matmuls, backend-conditional EFT paths like dfloat._two_prod's Dekker
+residual); this harness runs the FULL df64 chain — every exported per-pixel
+variable — on the actual chip and reports max errors vs
+tests/resources/golden_georef_*.npz (reference-generated) and the f64 CPU
+chain (elevation, which has no golden). Run after ANY change to
+ops/dfloat.py or the df chain in ops/georef.py.
+
+Measured 2026-08-17 (v5e via axon, Dekker-residual two_prod + single-div
+atan core): lat 4.1e-11, lon 9.9e-11, mlat 6.8e-11 deg, mlt 2.2e-12 h,
+elevation 1.0e-10 deg — four orders under the 1e-6 gate.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from auromat_tpu.coordinates.wcs import TanWcs
+    from auromat_tpu.io import fits
+    from auromat_tpu.ops.georef import (GeorefParams,
+                                        georeference_points_df64_full)
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    res = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "tests", "resources")
+    name = "ISS030-E-102170_dc"
+    golden = np.load(os.path.join(res, f"golden_georef_{name}.npz"))
+    header = fits.read_header(os.path.join(res, f"{name}.wcs"))
+    p = GeorefParams.from_wcs(
+        TanWcs(header),
+        np.array(fits.get_shifted_spacecraft_position(header)[:3]),
+        fits.get_photo_time(header), float(golden["altitude"]))
+    px, py = np.meshgrid(golden["xs"] - 0.5, golden["ys"] - 0.5)
+    out = georeference_points_df64_full(p, px.astype(np.float32),
+                                        py.astype(np.float32))
+
+    worst = 0.0
+    for key, unit in (("lat", "deg"), ("lon", "deg"), ("mlat", "deg"),
+                      ("mlt", "h")):
+        ref = golden[key]
+        both = ~np.isnan(ref) & ~np.isnan(out[key])
+        d = np.abs(out[key][both] - ref[both])
+        if key in ("lon",):
+            d = np.minimum(d, 360.0 - d)
+        if key == "mlt":
+            d = np.minimum(d, 24.0 - d)
+        print(f"{key}: max |df64(TPU) - reference_f64| = {d.max():.3e} {unit}"
+              f"  (n={both.sum()})")
+        worst = max(worst, d.max() if key != "mlt" else d.max() * 15.0)
+
+    # elevation: no golden — compare against the repo's f64 chain on CPU
+    from auromat_tpu.ops.georef import (_elevation_deg, _intersect,
+                                        _pixel_dirs)
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vx, vy, vz = _pixel_dirs(p, jnp.asarray(px), jnp.asarray(py))
+        ix, iy, iz = _intersect(p, vx, vy, vz, jnp.float64)
+        elev64 = np.asarray(_elevation_deg(vx, vy, vz, ix, iy, iz))
+    both = ~np.isnan(elev64) & ~np.isnan(out["elevation"])
+    d = np.abs(out["elevation"][both] - elev64[both])
+    print(f"elevation: max |df64(TPU) - f64(CPU)| = {d.max():.3e} deg")
+    worst = max(worst, d.max())
+
+    assert worst < 1e-6, f"on-chip parity broken: {worst}"
+    print(f"ON-CHIP PARITY OK (worst {worst:.3e} deg-equivalent < 1e-6)")
+
+
+if __name__ == "__main__":
+    main()
