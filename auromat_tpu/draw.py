@@ -109,16 +109,12 @@ def _graticule(ax, lat0, lon0, width_km, height_km, mlt_labels=False):
 def _draw_cities(ax, lat0, lon0, color="red", alpha=0.6, min_natscale=0.0):
     """Scatter bundled Natural Earth city points onto a stereographic axes
     (reference draw.py:403-420 _drawCities; near hemisphere only)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "resources", "cities_ne50m.npz")
-    with np.load(path) as d:
-        lats, lons, natscale = d["lats"], d["lons"], d["natscale"]
+    from auromat_tpu.coastlines import city_points, near_hemisphere
+
+    lats, lons, natscale = city_points()
     keep = natscale >= min_natscale
     lats, lons, natscale = lats[keep], lons[keep], natscale[keep]
-    cosc = (np.sin(np.deg2rad(lat0)) * np.sin(np.deg2rad(lats))
-            + np.cos(np.deg2rad(lat0)) * np.cos(np.deg2rad(lats))
-            * np.cos(np.deg2rad(lons - lon0)))
-    near = cosc > 0.05
+    near = near_hemisphere(lats, lons, lat0, lon0)
     x, y = stereographic_project(lats[near], lons[near], lat0, lon0)
     s = ax.scatter(x, y, natscale[near] / 10.0, color, marker="o",
                    edgecolors="none", zorder=10, alpha=alpha)
@@ -170,15 +166,12 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False,
 
             coastlines = coastline_latlon()
     if coastlines is not None:
+        from auromat_tpu.coastlines import near_hemisphere
+
         cx, cy = stereographic_project(coastlines[:, 0], coastlines[:, 1], lat0, lon0)
         # mask the far hemisphere: stereographic blows up towards the
         # antipode and a polyline crossing it would streak across the plot
-        clat = np.deg2rad(np.asarray(coastlines[:, 0], dtype=np.float64))
-        clon = np.deg2rad(np.asarray(coastlines[:, 1], dtype=np.float64))
-        cosc = (np.sin(np.deg2rad(lat0)) * np.sin(clat)
-                + np.cos(np.deg2rad(lat0)) * np.cos(clat)
-                * np.cos(clon - np.deg2rad(lon0)))
-        near = cosc > 0.05
+        near = near_hemisphere(coastlines[:, 0], coastlines[:, 1], lat0, lon0)
         cx = np.where(near, cx, np.nan)
         cy = np.where(near, cy, np.nan)
         ax.plot(cx, cy, color="#888888", lw=0.6, zorder=2)

@@ -83,6 +83,26 @@ def _split(a):
     return hi, a - hi
 
 
+def _tpu_compilation_target():
+    """True when tracing-for-TPU is the best available signal.
+
+    ``jax.default_backend()`` alone is wrong on a TPU machine when the df
+    chain is deliberately placed on CPU (``jax.default_device(cpu)`` — the
+    cross-check pattern in tools/onchip_parity.py): the trace would pick
+    the Dekker residual but compile with XLA-CPU, where LLVM's fma
+    contraction silently breaks the EFT. The default-device override is
+    therefore honoured. Residual hole: arrays explicitly committed to a
+    CPU device while the default device is a TPU still trace the Dekker
+    branch — don't do that; route CPU work through jax.default_device.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+        return False
+    return True
+
+
 def _two_prod(a, b):
     """Exact product a*b = s + e via EXACT limb products only.
 
@@ -106,7 +126,7 @@ def _two_prod(a, b):
     p12 = a_hi * b_lo
     p21 = a_lo * b_hi
     p22 = a_lo * b_lo
-    if jax.default_backend() == "tpu":
+    if _tpu_compilation_target():
         # classic Dekker residual: e = ((p11 - p) + p12 + p21) + p22 with
         # p = fl(a*b) — exact given exact partial products (Dekker 1971),
         # and ~half the ops of the two_sum chain below. SAFE ONLY on TPU:

@@ -846,18 +846,26 @@ def bin_nearest(grid: GridSpec, lats, lons, data, oversample=2):
     """
     s_over = int(oversample)
     if s_over > 1:
-        # fine grid whose centre (i*s, j*s) coincides with coarse centre
-        # (i, j); seeding + JFA run fine, the coarse result is a strided
-        # slice
+        # fine grid whose centre (pad + i*s, pad + j*s) coincides with
+        # coarse centre (i, j); seeding + JFA run fine, the coarse result
+        # is a strided slice. ``pad`` extra fine cells per border keep the
+        # fine COVERAGE a superset of the coarse cell edges — without it
+        # the fine edges sit step/(2s) beyond the outer centres vs the
+        # coarse step/2, silently dropping every sample in that boundary
+        # ring (a border cell would then take a far-away winner).
+        pad = s_over  # >= ceil((s-1)/2); covers slightly beyond coarse
         fine = GridSpec(
-            n_lat=(grid.n_lat - 1) * s_over + 1,
-            n_lon=(grid.n_lon - 1) * s_over + 1,
-            lat0=grid.lat0, lon0=grid.lon0,
+            n_lat=(grid.n_lat - 1) * s_over + 1 + 2 * pad,
+            n_lon=(grid.n_lon - 1) * s_over + 1 + 2 * pad,
+            lat0=grid.lat0 + pad * grid.lat_step / s_over,
+            lon0=grid.lon0 - pad * grid.lon_step / s_over,
             lat_step=grid.lat_step / s_over,
             lon_step=grid.lon_step / s_over,
         )
         dg, d2g = bin_nearest(fine, lats, lons, data, oversample=1)
-        return dg[::s_over, ::s_over], d2g[::s_over, ::s_over]
+        sl_lat = slice(pad, pad + (grid.n_lat - 1) * s_over + 1, s_over)
+        sl_lon = slice(pad, pad + (grid.n_lon - 1) * s_over + 1, s_over)
+        return dg[sl_lat, sl_lon], d2g[sl_lat, sl_lon]
     n_ch = data.shape[-1]
     f32 = jnp.float32
     flat_lats = jnp.ravel(lats).astype(f32)
@@ -875,8 +883,11 @@ def bin_nearest(grid: GridSpec, lats, lons, data, oversample=2):
     d2 = jnp.where(valid, d2, jnp.inf)
     la = jnp.where(valid, flat_lats, 0.0)
     lo = jnp.where(valid, flat_lons, 0.0)
-    pay = jnp.where(valid[:, None], jnp.where(jnp.isnan(flat_data), 0.0,
-                                              flat_data), 0.0)
+    # NaN payload stays NaN: a NaN-masked sample that wins a cell yields a
+    # NaN cell, exactly like the scipy path (which filters only NaN
+    # coordinates). Invalid-coordinate samples never win (key == n_bins),
+    # so their payload value is irrelevant — zeroed to keep sorts NaN-free.
+    pay = jnp.where(valid[:, None], flat_data, 0.0)
     ops = [key, d2.astype(f32), la, lo] + [pay[:, c] for c in range(n_ch)]
     sorted_ops = jax.lax.sort(ops, num_keys=2)
     skey = sorted_ops[0]

@@ -113,23 +113,36 @@ def extract_aurora_sequences(url=AURORA_VIDEOS_URL):
     from auromat_tpu.util.url import fetch_text
 
     html = fetch_text(url)
-    link_re = re.compile(
-        r"photo\.pl\?mission=([A-Z0-9]+)&roll=([A-Z0-9]+)&frame=(\d+)")
+    link = r"photo\.pl\?mission=([A-Z0-9]+)&roll=([A-Z0-9]+)&frame=(\d+)"
+    # ADJACENT '<first> to <last>' link pair: the closing </a> of the first
+    # frame link, the literal word 'to', then the second link's opening tag
+    # — anchored like the reference's pattern (ref eol.py:91-94), so stray
+    # photo.pl links elsewhere in a section can never be mis-paired into a
+    # bogus frame range
+    pair_re = re.compile(
+        link + r'"[^>]*>\s*(?:<nobr>)?[A-Z0-9-]*\s*</a>\s*to\s*<a\s[^>]*'
+        + link, re.DOTALL | re.IGNORECASE)
     anchor_re = re.compile(r'<a\s+name="([A-Za-z0-9_]+)"\s*>(.*?)</a>',
                            re.DOTALL)
     # split the page at the named anchors; each section up to the next
-    # anchor holds that sequence's pair of frame links
+    # anchor holds that sequence's frame-range pair
     anchors = list(anchor_re.finditer(html))
     sequences = []
     for i, m in enumerate(anchors):
         section_end = anchors[i + 1].start() if i + 1 < len(anchors) else len(html)
         section = html[m.end() : section_end]
-        links = link_re.findall(section)
-        if len(links) < 2:
+        pair = pair_re.search(section)
+        if pair is None:
             continue
-        (mission_a, roll_a, frame_a), (mission_b, roll_b, frame_b) = links[:2]
+        mission_a, roll_a, frame_a, mission_b, roll_b, frame_b = pair.groups()
         if (mission_a, roll_a) != (mission_b, roll_b):
-            continue
+            # the reference asserts here (ref eol.py:410) — surface the
+            # malformed section instead of silently mis-ranging
+            raise ValueError(
+                f"aurora-videos section {m.group(1)!r} pairs frames from "
+                f"different missions/rolls: {mission_a}-{roll_a} to "
+                f"{mission_b}-{roll_b}"
+            )
         title = re.sub(r"<[^>]+>", "", m.group(2)).strip()
         sequences.append(Sequence(
             mission=mission_a, roll=roll_a,

@@ -91,6 +91,20 @@ def main():
         # a host fetch of one element is the only reliable sync
         return float(np.asarray(out[0][0, 0]))
 
+    def time_amortized(fn, sync_key, iters, n_batches=3):
+        """Median per-call ms: iters async dispatches bounded by one
+        scalar host fetch per batch (the only reliable axon sync)."""
+        out = fn()
+        float(np.asarray(sync_key(out)))  # warmup + compile
+        ts = []
+        for _ in range(n_batches):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            float(np.asarray(sync_key(out)))
+            ts.append((time.perf_counter() - t0) / iters)
+        return float(np.median(ts)), ts
+
     # preferred: the fused georef+regrid Pallas step (~8.2 ms/frame); fall
     # back to the packed-sort XLA path if Mosaic cannot compile here. The
     # fallback is NOT silent: "method" is part of the emitted JSON.
@@ -146,16 +160,9 @@ def main():
                 bin_method="pallas")
             dyn1 = DynGeorefParams.stack([params], dtype=dtype)
             imgs1 = jax.device_put(img[None])  # (1, h, w, 3)
-            gout = gstep(dyn1, imgs1)
-            sync((gout[0],))
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(per_batch):
-                    gout = gstep(dyn1, imgs1)
-                sync((gout[0],))
-                ts.append((time.perf_counter() - t0) / per_batch)
-            sharded_ms = round(float(np.median(ts)) * 1e3, 2)
+            dt_sh, _ = time_amortized(lambda: gstep(dyn1, imgs1),
+                                      lambda o: o[0][0, 0], per_batch)
+            sharded_ms = round(dt_sh * 1e3, 2)
             print(f"grid-sharded step (1-device mesh, pallas): "
                   f"{sharded_ms} ms", file=sys.stderr)
         except Exception as e:
@@ -182,16 +189,9 @@ def main():
             imgs_b = jax.device_put(
                 np.broadcast_to(img.transpose(2, 0, 1)[None],
                                 (NB, 3, h, w)).copy())
-            bout = burst(imgs_b, dynb)
-            sync((bout[0],))
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(max(per_batch // 2, 2)):
-                    bout = burst(imgs_b, dynb)
-                sync((bout[0],))
-                ts.append((time.perf_counter() - t0) / max(per_batch // 2, 2))
-            burst_dt = float(np.median(ts))
+            burst_dt, _ = time_amortized(lambda: burst(imgs_b, dynb),
+                                         lambda o: o[0][0, 0],
+                                         max(per_batch // 2, 2))
             burst_mpix_s = round(NB * mpix / burst_dt, 1)
             print(f"batched burst ({NB} frames): {burst_dt*1e3:.1f} ms = "
                   f"{burst_mpix_s} MPix/s sustained", file=sys.stderr)
@@ -206,16 +206,8 @@ def main():
                                         georeference_points_df_full)
 
     def _time_df(fn, sync_key):
-        out64 = fn()
-        float(np.asarray(sync_key(out64)))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(per_batch):
-                out64 = fn()
-            float(np.asarray(sync_key(out64)))
-            ts.append((time.perf_counter() - t0) / per_batch)
-        return round(float(np.median(ts)) * 1e3, 2)
+        dt_df, _ = time_amortized(fn, sync_key, per_batch)
+        return round(dt_df * 1e3, 2)
 
     @jax.jit
     def df64_forward():

@@ -45,7 +45,9 @@ class FakeEOL(http.server.BaseHTTPRequestHandler):
             # aurora-videos index page: named anchors + photo.pl link pairs
             body = b"""<html><body>
 <a name="iss030_aurora1">Aurora Australis <b>over</b> Indian Ocean</a>
-<p>some text
+<p>some text with a stray thumbnail link
+<a href="/scripts/sseop/photo.pl?mission=ISS099&roll=X&frame=1" target="_blank">thumb</a>
+that must NOT be paired into the frame range:
 <a href="/scripts/sseop/photo.pl?mission=ISS030&roll=E&frame=100" target="_blank">
 <nobr>ISS030-E-100</a> to
 <a href="/scripts/sseop/photo.pl?mission=ISS030&roll=E&frame=104" target="_blank">
