@@ -22,6 +22,32 @@ class AstrometryMapping(Mapping):
     """Mapping whose MLat/MLT was computed from the J2000 intersections."""
 
 
+def _georeference_df64(params: GeorefParams, with_mlatmlt):
+    """Full-frame georeference through the double-float chain: corner +
+    centre grids through ops.georef.georeference_points_df64_full, shaped
+    like :func:`ops.georef.georeference`'s output dict (host float64)."""
+    from auromat_tpu.ops.georef import georeference_points_df64_full
+
+    w, h = params.width, params.height
+    out = {}
+    for corner, suffix in ((True, ""), (False, "_center")):
+        off = -0.5 if corner else 0.0
+        extra = 1 if corner else 0
+        px, py = np.meshgrid(
+            np.arange(off, off + w + extra, dtype=np.float32),
+            np.arange(off, off + h + extra, dtype=np.float32))
+        d = georeference_points_df64_full(params, px, py)
+        if corner:
+            out["lats"], out["lons"] = d["lat"], d["lon"]
+        else:
+            out["lats_center"], out["lons_center"] = d["lat"], d["lon"]
+            out["elevation"] = d["elevation"]
+        if with_mlatmlt:
+            out["mlat" + suffix] = d["mlat"]
+            out["mlt" + suffix] = d["mlt"]
+    return out
+
+
 def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
                    altitude=110.0, identifier=None, metadata=None,
                    fast_center=True, with_mlatmlt=True, dtype=jnp.float64,
@@ -33,8 +59,14 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
     :param camera_pos: (3,) GCRS km
     :param fast_center: centre coords as 4-corner means (reference
         fastCenterCalculation, astrometry.py:154-160); mask invariants then
-        hold by construction
-    :param dtype: device compute dtype (float64 for CPU parity)
+        hold by construction. Ignored by the df64 path (exact centres).
+    :param dtype: device compute dtype — float64 for CPU parity, float32
+        for TPU throughput, or the string ``"df64"`` for the double-float
+        chain: full-precision (<1e-6 deg, measured ~1e-10) production
+        mappings computed ON TPU HARDWARE, covering every exported
+        per-pixel variable (lat/lon/elevation/MLat/MLT; tools/
+        onchip_parity.py holds the measured on-chip numbers). On TPUs
+        plain float64 silently computes in f32 — use "df64" there.
     """
     wcs = TanWcs(wcs_header)
     img = np.asarray(img)
@@ -42,8 +74,12 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
     assert (w, h) == (wcs.width, wcs.height), ((w, h), (wcs.width, wcs.height))
     fm = frame_matrices or FrameMatrices(photo_time)
     params = GeorefParams.from_wcs(wcs, camera_pos, photo_time, altitude, fm)
-    out = georeference(params, fast_center=fast_center, with_mlatmlt=with_mlatmlt,
-                       dtype=dtype)
+    if isinstance(dtype, str) and dtype == "df64":
+        out = _georeference_df64(params, with_mlatmlt)
+        fast_center = False  # exact centres; sanitize below
+    else:
+        out = georeference(params, fast_center=fast_center,
+                           with_mlatmlt=with_mlatmlt, dtype=dtype)
     get = lambda k: np.array(out[k], dtype=np.float64)  # writable host copy
     mapping = AstrometryMapping(
         get("lats"), get("lons"), get("lats_center"), get("lons_center"),

