@@ -196,6 +196,7 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     # NaN data at valid coordinates contributes 0 (bin_partial contract);
     # the scrub happens IN-kernel (free VPU compare) — no XLA-side pass
     img_chw = img_chw.astype(f32)
+    elev = jnp.asarray(elev, f32)  # f64 would leak into the x64-off kernel trace
 
     hp, wp = round_up(h, tile_h), round_up(w, tile_w)
     pad = ((0, hp - h), (0, wp - w))
@@ -265,6 +266,35 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
               + sums_k[..., 4] + sums_k[..., 5])
     sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]], axis=-1)
     return count, sums
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def bin_mean_rgbelev(grid: GridSpec, lats, lons, data, tiles=TILES,
+                     interpret=False):
+    """Mean-bin (R, G, B, elevation) samples with the flagship kernel.
+
+    The drop-in fast path for ``resample(method='mean')``'s standard
+    payload — uint8 RGB imagery + elevation — at ~2x the column-windowed
+    v2 kernel (regrid_pallas.bin_mean_pallas_taint). Semantics: NaN
+    coordinates are invalid samples; NaN DATA at a valid coordinate
+    contributes 0 (the bin_partial contract) rather than tainting the bin
+    — for any Mapping maintaining the mask-consistency invariants the two
+    are indistinguishable, because data NaN occurs exactly where the
+    coordinates are NaN (sanitize_masks fixpoint). Use
+    ``bin_mean_pallas_taint`` for unsanitized data.
+
+    :param data: (h, w, 4) — integer-valued 0..255 RGB + elevation (deg)
+    :returns: (count (n_lat, n_lon), means (n_lat, n_lon, 4))
+    """
+    lats = jnp.asarray(lats, jnp.float32)
+    lons = jnp.asarray(lons, jnp.float32)
+    flat, valid = bin_indices(grid, lats, lons)
+    iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
+    ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
+    img_chw = jnp.transpose(data[..., :3], (2, 0, 1))
+    count, sums = bin_rgbelev_from_indices(grid, iy, ix, img_chw,
+                                           data[..., 3], tiles, interpret)
+    return count, finalize_mean(count, sums)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))

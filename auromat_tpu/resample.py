@@ -63,11 +63,14 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     :param method: 'mean' (device binning) | 'nearest' (host scipy KD-tree)
         | 'nearest_device' (TPU jump-flood Voronoi, ops.regrid.bin_nearest;
         same outline masking, near-identical output) | 'linear' | 'cubic'
-    :param bin_method: device binning kernel for 'mean': 'auto' picks the
-        Pallas window kernel on TPU for uint8 imagery (NaN-taint semantics
-        preserved) and the exact sorted path elsewhere; or any
-        ops.regrid._BIN_METHODS key / 'pallas_taint' explicitly. The TPU
-        kernel divides means in f32: a uint8 mean sitting exactly on a .5
+    :param bin_method: device binning kernel for 'mean': 'auto' picks, on
+        TPU for uint8 imagery, the flagship v5 kernel ('pallas_rgbelev',
+        RGB+elevation payloads — 2x the v2 kernel; taint semantics are a
+        provable no-op under the mapping mask invariants) or the v2 taint
+        kernel ('pallas_taint', other channel shapes), and the exact
+        sorted path elsewhere; or any ops.regrid._BIN_METHODS key /
+        'pallas_taint' / 'pallas_rgbelev' explicitly. The TPU kernels
+        divide means in f32: a uint8 mean sitting exactly on a .5
         boundary may round one step differently than the f64 path
         (measured: 3 of 69750 pixels, off by 1)
     :rtype: Mapping or MappingCollection
@@ -104,9 +107,19 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
         import jax
 
         uint8_imagery = img_dtype == np.uint8
-        bin_method = ("pallas_taint"
-                      if jax.default_backend() == "tpu" and uint8_imagery
-                      else "sorted")
+        on_tpu = jax.default_backend() == "tpu"
+        n_ch = (img.shape[2] if img.ndim == 3 else 1)
+        if on_tpu and uint8_imagery and n_ch == 3 and \
+                mapping.elevation is not None:
+            # the flagship v5 kernel (2x the v2 taint kernel). Safe for
+            # any Mapping: mask-consistency invariants mean data NaN
+            # occurs only at NaN coordinates, so the taint machinery is
+            # provably a no-op on this payload (see bin_mean_rgbelev)
+            bin_method = "pallas_rgbelev"
+        elif on_tpu and uint8_imagery:
+            bin_method = "pallas_taint"
+        else:
+            bin_method = "sorted"
     elif bin_method == "auto":
         bin_method = "sorted"
     img3 = img if img.ndim == 3 else img[:, :, None]
@@ -177,7 +190,12 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
     lat_grid_c, lon_grid_c = grid.center_grids()
 
     if method == "mean":
-        if bin_method == "pallas_taint":
+        if bin_method == "pallas_rgbelev":
+            from auromat_tpu.ops.georegrid import bin_mean_rgbelev
+
+            _, data_r = bin_mean_rgbelev(grid, lats_center, lons_center,
+                                         data)
+        elif bin_method == "pallas_taint":
             from auromat_tpu.ops.regrid_pallas import bin_mean_pallas_taint
 
             _, data_r = bin_mean_pallas_taint(

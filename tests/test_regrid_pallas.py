@@ -178,3 +178,30 @@ def test_taint_semantics_match_sorted():
     m = ~np.isnan(means_ref)
     assert m.any() and (~m).any()
     assert_allclose(means[m], means_ref[m], rtol=1e-3, atol=0.05)
+
+
+def test_bin_mean_rgbelev_matches_sorted_on_sanitized_data():
+    """The flagship-kernel mean binning (ops.georegrid.bin_mean_rgbelev —
+    resample's TPU fast path for RGB+elevation payloads) vs the sorted
+    oracle on a sanitized-mapping-shaped payload (data NaN exactly where
+    coordinates are NaN, per the mask invariants): identical counts and
+    bit-equal integer channels, elevation to f32 tolerance."""
+    from auromat_tpu.ops.georegrid import bin_mean_rgbelev
+
+    lats, lons, data = synthetic()
+    # sanitized pattern: NaN data exactly at the invalid (hole) pixels
+    invalid = np.isnan(lats)
+    data = np.where(invalid[..., None], np.nan, data)
+    g = fixed_grid(25, np.nanmin(lats), np.nanmax(lats) + 0.1,
+                   np.nanmin(lons), np.nanmax(lons) + 0.1)
+    lats, lons = nudge_off_edges(lats, lons, g)
+    count_ref, means_ref = map(np.asarray, bin_mean(g, lats, lons, data))
+    count, means = map(np.asarray,
+                       bin_mean_rgbelev(g, lats, lons, data, interpret=True))
+    assert_allclose(count, count_ref)
+    assert np.array_equal(np.isnan(means), np.isnan(means_ref))
+    m = ~np.isnan(means_ref[..., :3])
+    assert np.array_equal(means[..., :3][m], means_ref[..., :3][m])
+    me = ~np.isnan(means_ref[..., 3])
+    assert_allclose(means[..., 3][me], means_ref[..., 3][me],
+                    rtol=1e-3, atol=0.05)
