@@ -415,7 +415,10 @@ class Mapping:
 
     @property
     def rgb(self):
-        return ma.masked_array(self.rgb_unmasked, mask=self.img.mask)
+        # rgb_unmasked is always (h, w, 3); the img mask is (h, w, C) with
+        # C possibly 1 (grayscale) — rebuild at 3 channels
+        mask = np.repeat(self.center_mask[:, :, None], 3, 2)
+        return ma.masked_array(self.rgb_unmasked, mask)
 
     @property
     def rgb_unmasked(self):

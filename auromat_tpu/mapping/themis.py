@@ -105,8 +105,11 @@ def reproject(lat_lon_asi, lats_ref, lons_ref, height_ref, height_new):
     lat_asi, lon_asi = lat_lon_asi
     ox, oy, oz = geodetic_to_ecef_zero(np.deg2rad(lat_asi), np.deg2rad(lon_asi))
     origin = np.array([float(ox), float(oy), float(oz)])
+    # L2 calibration grids arrive float32 — upcast so the ray chain runs
+    # in f64 like the reference's numpy math (and like reproject_batch)
     x, y, z = geodetic_to_ecef(
-        np.deg2rad(lats_ref), np.deg2rad(lons_ref), height_ref
+        np.deg2rad(np.asarray(lats_ref, dtype=np.float64)),
+        np.deg2rad(np.asarray(lons_ref, dtype=np.float64)), height_ref
     )
     dirs = np.stack(
         [np.asarray(x) - origin[0], np.asarray(y) - origin[1], np.asarray(z) - origin[2]],
@@ -118,6 +121,59 @@ def reproject(lat_lon_asi, lats_ref, lons_ref, height_ref, height_new):
         )
     )
     lat, lon = ecef_to_geodetic(inter[..., 0], inter[..., 1], inter[..., 2])
+    return np.rad2deg(np.asarray(lat)), np.rad2deg(np.asarray(lon))
+
+
+def _reproject_batch_jit():
+    # jitted once; stations ride a vmapped batch axis (SURVEY.md P4: the
+    # reference loops its 24 ASIs serially — here every station's ray
+    # reconstruction + re-intersection is ONE device call)
+    import jax
+    import jax.numpy as jnp
+
+    def one(origin, la, lo, h_ref, h_new):
+        x, y, z = geodetic_to_ecef(la, lo, h_ref)
+        dirs = jnp.stack(
+            [x - origin[0], y - origin[1], z - origin[2]], axis=-1)
+        inter = ellipsoid_line_intersection(
+            WGS84_A + h_new, WGS84_B + h_new, origin, dirs)
+        return ecef_to_geodetic(inter[..., 0], inter[..., 1], inter[..., 2])
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+
+
+_reproject_batch_fn = None
+
+
+def reproject_batch(lat_lon_asi, lats_ref, lons_ref, height_ref, height_new):
+    """All-station altitude reprojection in one vmapped device call.
+
+    Station-batched :func:`reproject` (identical math, identical output):
+    the reference loops its 24 ASIs serially through per-station numpy
+    (reference themis.py:465-473 + 224-253); here stations are a vmapped
+    batch axis of a single jitted ray-reconstruct + re-intersect kernel
+    (SURVEY.md section 2c P4).
+
+    :param lat_lon_asi: (S, 2) station geodetic lat/lon degrees
+    :param lats_ref, lons_ref: (S, h, w) calibration grids, degrees
+    :param height_ref: scalar or (S,) reference altitude km
+    :param height_new: target altitude km
+    :returns: (lats (S, h, w), lons (S, h, w)) degrees
+    """
+    global _reproject_batch_fn
+    if _reproject_batch_fn is None:
+        _reproject_batch_fn = _reproject_batch_jit()
+    ll = np.asarray(lat_lon_asi, dtype=np.float64)
+    ox, oy, oz = geodetic_to_ecef_zero(
+        np.deg2rad(ll[:, 0]), np.deg2rad(ll[:, 1]))
+    origins = np.stack(
+        [np.asarray(ox), np.asarray(oy), np.asarray(oz)], axis=-1)
+    h_ref = np.broadcast_to(
+        np.asarray(height_ref, dtype=np.float64), (ll.shape[0],))
+    lat, lon = _reproject_batch_fn(
+        origins, np.deg2rad(np.asarray(lats_ref, dtype=np.float64)),
+        np.deg2rad(np.asarray(lons_ref, dtype=np.float64)), h_ref,
+        float(height_new))
     return np.rad2deg(np.asarray(lat)), np.rad2deg(np.asarray(lon))
 
 
@@ -242,9 +298,9 @@ def get_l1_data(l1_folder, station, date, maxTimeOffset=2):
     return np.asarray(cdf[f"thg_asf_{station}"][idx]), times[idx]
 
 
-def mapping_single_asi(station, date, l1_folder, l2_folder, maxTimeOffset=2,
-                       altitude=110, minBrightness=None, maxBrightness=None,
-                       offline=False):
+def _station_inputs(station, date, l1_folder, l2_folder, maxTimeOffset=2,
+                    offline=False):
+    """IO phase: nearest cached L1 frame + L2 calibration, or None."""
     if offline and has_l1_data(l1_folder, station, date) is False:
         raise RuntimeError("offline=True but L1 data not cached yet")
     if not offline and not download_l1_data(l1_folder, station, date):
@@ -258,16 +314,20 @@ def mapping_single_asi(station, date, l1_folder, l2_folder, maxTimeOffset=2,
         return None
     if not offline:
         download_l2_data(l2_folder, station)
-    lat_lon_asi, _, el, lats_ref, lons_ref, heights_ref = get_l2_data(l2_folder, station)
+    return img, img_date, get_l2_data(l2_folder, station)
 
+
+def _ref_altitude_index(heights_ref, altitude):
+    """Index of ``altitude`` among the calibration's reference altitudes,
+    or None (-> ray reprojection needed)."""
     if altitude * 1000 in heights_ref * 1000:
-        ref_idx = int(np.where(np.isclose(heights_ref, altitude))[0][0])
-        lats, lons = lats_ref[ref_idx], lons_ref[ref_idx]
-    else:
-        lats, lons = reproject(
-            lat_lon_asi, lats_ref[0], lons_ref[0], heights_ref[0], altitude
-        )
+        return int(np.where(np.isclose(heights_ref, altitude))[0][0])
+    return None
 
+
+def _build_mapping(station, img, img_date, lat_lon_asi, el, lats, lons,
+                   altitude, minBrightness=None, maxBrightness=None):
+    """Construct the premasked ThemisMapping from resolved corner grids."""
     # THEMIS grids don't span the discontinuity -> centres as 4-corner means
     lats_c = (lats[:-1, :-1] + lats[1:, :-1] + lats[:-1, 1:] + lats[1:, 1:]) / 4
     lons_c = (lons[:-1, :-1] + lons[1:, :-1] + lons[:-1, 1:] + lons[1:, 1:]) / 4
@@ -292,23 +352,73 @@ def mapping_single_asi(station, date, l1_folder, l2_folder, maxTimeOffset=2,
     return mapping.maskedByElevation(1)
 
 
+def mapping_single_asi(station, date, l1_folder, l2_folder, maxTimeOffset=2,
+                       altitude=110, minBrightness=None, maxBrightness=None,
+                       offline=False):
+    inputs = _station_inputs(station, date, l1_folder, l2_folder,
+                             maxTimeOffset, offline)
+    if inputs is None:
+        return None
+    img, img_date, l2 = inputs
+    lat_lon_asi, _, el, lats_ref, lons_ref, heights_ref = l2
+
+    ref_idx = _ref_altitude_index(heights_ref, altitude)
+    if ref_idx is not None:
+        lats, lons = lats_ref[ref_idx], lons_ref[ref_idx]
+    else:
+        lats, lons = reproject(
+            lat_lon_asi, lats_ref[0], lons_ref[0], heights_ref[0], altitude
+        )
+    return _build_mapping(station, img, img_date, lat_lon_asi, el, lats, lons,
+                          altitude, minBrightness, maxBrightness)
+
+
 def get_mappings(photo_time, l1_folder, l2_folder, altitude=110, maxTimeOffset=2,
                  minBrightness=None, maxBrightness=None, offline=False,
                  stations=None):
-    """MappingCollection over all stations with data near ``photo_time``."""
-    mappings = []
+    """MappingCollection over all stations with data near ``photo_time``.
+
+    IO runs per station (cache/tombstone handling); the altitude
+    reprojection — the only per-pixel math — is batched over ALL stations
+    needing it in one vmapped device call (:func:`reproject_batch`; the
+    reference's serial per-station loop is themis.py:465-473).
+    """
+    rows = []  # (station, img, img_date, l2, lats-or-None, lons-or-None)
+    pending = []  # indices into rows that need the batched reprojection
     for station in stations or STATIONS:
         try:
-            m = mapping_single_asi(
-                station, photo_time, l1_folder, l2_folder,
-                maxTimeOffset=maxTimeOffset, altitude=altitude,
-                minBrightness=minBrightness, maxBrightness=maxBrightness,
-                offline=offline,
-            )
+            inputs = _station_inputs(station, photo_time, l1_folder,
+                                     l2_folder, maxTimeOffset, offline)
         except (FileNotFoundError, RuntimeError):
-            m = None
-        if m is not None:
-            mappings.append(m)
+            inputs = None
+        if inputs is None:
+            continue
+        img, img_date, l2 = inputs
+        _, _, _, lats_ref, lons_ref, heights_ref = l2
+        ref_idx = _ref_altitude_index(heights_ref, altitude)
+        if ref_idx is not None:
+            rows.append((station, img, img_date, l2,
+                         lats_ref[ref_idx], lons_ref[ref_idx]))
+        else:
+            pending.append(len(rows))
+            rows.append((station, img, img_date, l2, None, None))
+    if pending:
+        # one device call for every station's ray reconstruction; grids of
+        # one deployment share (h, w), so the batch axis is rectangular
+        l2s = [rows[i][3] for i in pending]
+        lats_b, lons_b = reproject_batch(
+            np.array([l2[0] for l2 in l2s], dtype=np.float64),
+            np.stack([l2[3][0] for l2 in l2s]),
+            np.stack([l2[4][0] for l2 in l2s]),
+            np.array([l2[5][0] for l2 in l2s], dtype=np.float64),
+            altitude)
+        for k, i in enumerate(pending):
+            rows[i] = rows[i][:4] + (lats_b[k], lons_b[k])
+    mappings = [
+        _build_mapping(st, img, d, l2[0], l2[2], lats, lons, altitude,
+                       minBrightness, maxBrightness)
+        for st, img, d, l2, lats, lons in rows
+    ]
     identifier = "THEMIS." + photo_time.strftime("%Y.%m.%d.%H.%M.%S")
     return MappingCollection(mappings, identifier, mayOverlap=True)
 

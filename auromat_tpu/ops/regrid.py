@@ -941,3 +941,60 @@ def bin_nearest(grid: GridSpec, lats, lons, data, oversample=2):
                 state = jnp.where(take[None], stp, state)
 
     return jnp.moveaxis(state[2:], 0, -1), best
+
+
+@partial(jax.jit, static_argnums=(0,))
+def bin_take_best(grid: GridSpec, lats, lons, priority, data):
+    """Per-cell winner selection: each occupied grid cell takes the payload
+    of its sample with the SMALLEST priority value.
+
+    The device form of the reference's elevation-sorted overlap priority
+    for multi-ASI collections (reference draw_helpers.py:128-178 sorts the
+    polygon collections so the station viewing a spot closest to zenith
+    draws last): pass ``priority=-elevation`` and bin the samples of ALL
+    stations in one call — each cell keeps the highest-elevation station's
+    pixel. One two-key ``lax.sort`` + the vectorized binary-search bin
+    starts of the sorted mean path; no scatter.
+
+    Semantics: NaN-coordinate samples never win. NaN *priority* at valid
+    coordinates sorts last (jax total order), so such a sample wins only
+    when its cell has no finite-priority competitor. A winning sample's
+    NaN payload channel stays NaN.
+
+    :param priority: per-sample sort key, same shape as ``lats``
+    :param data: (..., C) payload channels per sample
+    :returns: (data_grid (n_lat, n_lon, C) — NaN where empty,
+               best_priority (n_lat, n_lon) — +inf where empty)
+    """
+    n_ch = data.shape[-1]
+    f32 = jnp.float32
+    flat_lats = jnp.ravel(lats).astype(f32)
+    flat_lons = jnp.ravel(lons).astype(f32)
+    flat_pri = jnp.ravel(priority).astype(f32)
+    flat_data = jnp.reshape(data, (-1, n_ch)).astype(f32)
+    flat_idx, valid = bin_indices(grid, flat_lats, flat_lons)
+    n_bins = grid.n_lat * grid.n_lon
+
+    key = jnp.where(valid, flat_idx, n_bins).astype(jnp.int32)
+    pri = jnp.where(valid, flat_pri, jnp.inf)
+    # invalid samples never win (key == n_bins) — zero their payload so
+    # the dump slot stays NaN-free in the sort
+    pay = jnp.where(valid[:, None], flat_data, 0.0)
+    ops = [key, pri] + [pay[:, c] for c in range(n_ch)]
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    skey = sorted_ops[0]
+
+    bins_ext = jnp.arange(n_bins + 1, dtype=jnp.int32)
+    starts_ext = _searchsorted_binary(skey, bins_ext, side="left")
+    starts, ends = starts_ext[:-1], starts_ext[1:]
+    occupied = (ends > starts).reshape(grid.n_lat, grid.n_lon)
+    at = jnp.minimum(starts, skey.shape[0] - 1)
+
+    planes = [
+        jnp.where(occupied, sorted_ops[2 + c][at].reshape(
+            grid.n_lat, grid.n_lon), jnp.nan)
+        for c in range(n_ch)
+    ]
+    best = jnp.where(occupied, sorted_ops[1][at].reshape(
+        grid.n_lat, grid.n_lon), jnp.inf)
+    return jnp.stack(planes, axis=-1), best

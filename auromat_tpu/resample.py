@@ -154,6 +154,104 @@ def resample_mlat_mlt(mapping, **kw):
     return convert_sm_mapping_to_geo(sm_resampled)
 
 
+def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
+    """Compose a MappingCollection into ONE plate-carree mosaic mapping.
+
+    Where mappings overlap (e.g. neighbouring THEMIS all-sky imagers) each
+    grid cell takes the pixel of the station viewing it at the HIGHEST
+    elevation — the same overlap priority the reference applies when
+    drawing collections (reference draw_helpers.py:128-178 sorts the
+    polygon collections by elevation so the closest-to-zenith station
+    draws last), but materialized as data in one device pass
+    (ops.regrid.bin_take_best: all stations' samples in a single two-key
+    sort) instead of a matplotlib z-order. The reference never offers a
+    mosaic *mapping* — collections must be resampled per-station and
+    composited at draw time; this exceeds it the same way getSequence does
+    for THEMIS.
+
+    All mappings must carry elevation and share the emission altitude and
+    image channel count. Returns a single :class:`Mapping` (camera_pos is
+    NaN — a mosaic has no single camera; photoTime/identifier come from
+    the collection).
+
+    :param collection: MappingCollection or list of Mappings
+    """
+    mappings = (collection.mappings
+                if isinstance(collection, MappingCollection) else list(collection))
+    identifier = (getattr(collection, "identifier", None) or "collection")
+    if not mappings:
+        raise ValueError("empty collection")
+    for m in mappings:
+        if m.elevation is None:
+            raise ValueError(
+                f"mosaic needs elevation for overlap priority; {m.identifier}"
+                " has none")
+    if any(m.containsPole for m in mappings):
+        raise NotImplementedError("pole-containing mosaics")
+    altitude = mappings[0].altitude
+    if any(abs(m.altitude - altitude) > 1e-9 for m in mappings):
+        raise ValueError("mappings map different emission altitudes")
+    n_ch = mappings[0].img.shape[2] if mappings[0].img.ndim == 3 else 1
+    bbox = BoundingBox.mergedBoundingBoxes(m.boundingBox for m in mappings)
+    shift = bbox.containsDiscontinuity
+    if arcsec_per_px:
+        px_per_deg = plate_carree_resolution(bbox, arcsec_per_px)
+    try:
+        _, _ = px_per_deg
+    except TypeError:
+        px_per_deg = (px_per_deg, px_per_deg)
+
+    lats_l, lons_l, data_l = [], [], []
+    img_dtype = None
+    for m in mappings:
+        img = m.img
+        img3 = img if img.ndim == 3 else img[:, :, None]
+        if img3.shape[2] != n_ch:
+            raise ValueError("mappings have different image channel counts")
+        if img_dtype is None:
+            img_dtype = img3.dtype
+        la = np.asarray(m.latsCenter.filled(np.nan)).ravel()
+        lo = np.asarray(m.lonsCenter.filled(np.nan)).ravel()
+        if shift:
+            lo = np.asarray(wrap_longitude(lo + 180.0))
+        el = np.asarray(m.elevation.filled(np.nan)).ravel()
+        im = np.asarray(img3.astype(np.float32).filled(np.nan)).reshape(-1, n_ch)
+        lats_l.append(la)
+        lons_l.append(lo)
+        data_l.append(np.concatenate([im, el[:, None]], axis=-1))
+    lats = np.concatenate(lats_l)
+    lons = np.concatenate(lons_l)
+    data = np.concatenate(data_l, axis=0)
+
+    lon_min, lon_max = ((bbox.lonWest, bbox.lonEast) if not shift else
+                        (wrap_longitude(bbox.lonWest + 180.0),
+                         wrap_longitude(bbox.lonEast + 180.0)))
+    from auromat_tpu.ops.regrid import bin_take_best
+
+    grid = fixed_grid(px_per_deg, bbox.latSouth, bbox.latNorth,
+                      float(lon_min), float(lon_max))
+    best, _ = bin_take_best(grid, lats, lons, -data[:, -1], data)
+    best = np.asarray(best, dtype=np.float64)
+    img_r, elev_r = best[..., :n_ch], best[..., n_ch]
+
+    if np.issubdtype(img_dtype, np.integer):
+        with np.errstate(invalid="ignore"):
+            img_r = np.round(img_r)
+        img_r = np.where(np.isnan(img_r), 0, img_r).astype(img_dtype)
+    if n_ch == 1:
+        img_r = img_r[..., 0]
+    lat_grid, lon_grid = grid.corner_grids()
+    lat_grid_c, lon_grid_c = grid.center_grids()
+    if shift:
+        lon_grid = np.asarray(wrap_longitude(lon_grid + 180.0))
+        lon_grid_c = np.asarray(wrap_longitude(lon_grid_c + 180.0))
+    return Mapping(
+        lat_grid, lon_grid, lat_grid_c, lon_grid_c, elev_r, altitude, img_r,
+        np.full(3, np.nan), mappings[0].photoTime,
+        f"{identifier}.mosaic",
+    )
+
+
 def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
               px_per_deg, contains_discontinuity, contains_pole, method,
               bin_method="sorted"):

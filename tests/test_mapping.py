@@ -222,3 +222,24 @@ class TestCollection:
         bb = coll.boundingBox
         assert bb.latNorth == pytest.approx(72.0)
         assert coll.photoTime == m1.photoTime
+
+
+def test_grayscale_rgb_mask_shape():
+    """Base Mapping.rgb on 1-channel imagery: the mask must be rebuilt at 3
+    channels (found by driving a grayscale mosaic into draw_stereographic —
+    ma.masked_array raised MaskError on the (h, w, 1) img mask)."""
+    import datetime
+
+    n = 4
+    lats = np.tile(np.linspace(50, 53, n + 1)[:, None], (1, n + 1))
+    lons = np.tile(np.linspace(10, 13, n + 1)[None, :], (n + 1, 1))
+    lats_c = (lats[:-1, :-1] + lats[1:, 1:]) / 2
+    lons_c = (lons[:-1, :-1] + lons[1:, 1:]) / 2
+    elev = np.full((n, n), 45.0)
+    elev[0, 0] = np.nan
+    img = np.full((n, n), 1000, np.uint16)
+    m = Mapping(lats, lons, lats_c, lons_c, elev, 110.0, img,
+                np.zeros(3), datetime.datetime(2012, 1, 1), "gray")
+    rgb = m.rgb
+    assert rgb.shape == (n, n, 3) and rgb.mask.shape == (n, n, 3)
+    assert rgb.mask[0, 0].all() and not rgb.mask[1, 1].any()

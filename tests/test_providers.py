@@ -313,3 +313,60 @@ class TestReferenceGoldens:
         bb = cal.boundingBoxSimple
         assert (bb.latSouth, bb.lonWest, bb.latNorth, bb.lonEast) == (
             64.12, 10.09, 70.72, 42.69)
+
+
+class TestThemisBatched:
+    def test_reproject_batch_matches_serial(self, tmp_path):
+        """Vmapped all-station reprojection == per-station reproject."""
+        date, _ = synth_themis_cdfs(str(tmp_path), station="gill")
+        synth_themis_cdfs(str(tmp_path), station="atha")
+        cals = [themis.get_l2_data(str(tmp_path), st)
+                for st in ("gill", "atha")]
+        lat_lon = np.array([c[0] for c in cals])
+        lats_ref = np.stack([c[3][0] for c in cals])
+        lons_ref = np.stack([c[4][0] for c in cals])
+        h_ref = np.array([c[5][0] for c in cals])
+        lab, lob = themis.reproject_batch(lat_lon, lats_ref, lons_ref,
+                                          h_ref, 100.0)
+        for i, c in enumerate(cals):
+            la, lo = themis.reproject(c[0], c[3][0], c[4][0], c[5][0], 100.0)
+            np.testing.assert_allclose(lab[i], la, rtol=0, atol=1e-9)
+            np.testing.assert_allclose(lob[i], lo, rtol=0, atol=1e-9)
+
+    def test_get_mappings_batched_equals_single(self, tmp_path):
+        """get_mappings at a non-reference altitude (the batched-reproject
+        path) builds the same mappings as the serial mapping_single_asi."""
+        date, _ = synth_themis_cdfs(str(tmp_path), station="gill")
+        synth_themis_cdfs(str(tmp_path), station="atha")
+        coll = themis.get_mappings(
+            date, str(tmp_path), str(tmp_path), altitude=100, offline=True,
+            stations=["gill", "atha"])
+        assert len(coll.mappings) == 2
+        assert [m.identifier.split(".")[0] for m in coll.mappings] == \
+            ["gill", "atha"]
+        for m in coll.mappings:
+            st = m.identifier.split(".")[0]
+            single = themis.mapping_single_asi(
+                st, date, str(tmp_path), str(tmp_path), altitude=100,
+                offline=True)
+            np.testing.assert_allclose(
+                np.asarray(m.lats.filled(np.nan)),
+                np.asarray(single.lats.filled(np.nan)),
+                rtol=0, atol=1e-9, equal_nan=True)
+            assert np.array_equal(
+                np.asarray(m.img.filled(0)), np.asarray(single.img.filled(0)))
+
+    def test_get_mappings_mixed_ref_and_reproject(self, tmp_path):
+        """One station resolved from the calibration table (altitude=110 is
+        a reference altitude), collection at a non-ref altitude batches."""
+        date, _ = synth_themis_cdfs(str(tmp_path), station="gill")
+        coll110 = themis.get_mappings(
+            date, str(tmp_path), str(tmp_path), altitude=110, offline=True,
+            stations=["gill"])
+        assert len(coll110.mappings) == 1
+        single = themis.mapping_single_asi(
+            "gill", date, str(tmp_path), str(tmp_path), altitude=110,
+            offline=True)
+        np.testing.assert_array_equal(
+            np.asarray(coll110.mappings[0].lats.filled(np.nan)),
+            np.asarray(single.lats.filled(np.nan)))

@@ -332,3 +332,51 @@ class TestBinNearest:
         lats = np.full_like(lats, np.nan)
         dg, d2 = bin_nearest(grid, lats, lons, data)
         assert np.isinf(np.asarray(d2)).all()
+
+
+class TestBinTakeBest:
+    def test_matches_numpy_argmin_oracle(self):
+        from auromat_tpu.ops.regrid import bin_indices, bin_take_best
+
+        rng = np.random.default_rng(7)
+        n = 300  # sparse vs the 20x20 grid: leaves some cells empty
+        lats = rng.uniform(50.0, 55.0, n)
+        lons = rng.uniform(-105.0, -100.0, n)
+        lats[::37] = np.nan  # masked samples never win
+        pri = rng.uniform(-90.0, 0.0, n).astype(np.float32)
+        data = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+        g = fixed_grid(4, 50.0, 55.0, -105.0, -100.0)
+
+        best, bp = map(np.asarray, bin_take_best(g, lats, lons, pri, data))
+
+        flat_idx, valid = map(np.asarray, bin_indices(g, lats, lons))
+        oracle = np.full((g.n_lat, g.n_lon, 3), np.nan, np.float32)
+        opri = np.full((g.n_lat, g.n_lon), np.inf, np.float32)
+        for i in range(n):
+            if not valid[i]:
+                continue
+            iy, ix = divmod(int(flat_idx[i]), g.n_lon)
+            if pri[i] < opri[iy, ix]:
+                opri[iy, ix] = pri[i]
+                oracle[iy, ix] = data[i]
+        assert np.isnan(oracle).any() and not np.isnan(oracle).all()
+        assert np.array_equal(np.isnan(best), np.isnan(oracle))
+        m = ~np.isnan(oracle)
+        assert np.array_equal(best[m], oracle[m])
+        assert np.array_equal(bp, opri)
+
+    def test_nan_payload_survives(self):
+        """A winning sample's NaN payload channel stays NaN (matches the
+        masked-array semantics of the draw-layer compositing it replaces)."""
+        from auromat_tpu.ops.regrid import bin_take_best
+
+        g = fixed_grid(1, 50.0, 52.0, -105.0, -103.0)
+        lats = np.array([50.5, 50.5])
+        lons = np.array([-104.5, -104.5])
+        pri = np.array([0.0, 1.0])
+        data = np.array([[np.nan, 7.0], [3.0, 4.0]])
+        best, bp = map(np.asarray, bin_take_best(g, lats, lons, pri, data))
+        occ = np.argwhere(np.isfinite(bp))
+        assert len(occ) == 1
+        iy, ix = occ[0]
+        assert np.isnan(best[iy, ix, 0]) and best[iy, ix, 1] == 7.0

@@ -236,3 +236,83 @@ def test_resample_provider_wraps_batched():
     p2 = MaskByElevationProvider(P2(), 10)
     list(p2.getSequenceBatched())
     assert len(masked) == 2  # both batched mappings were masked
+
+
+class TestMosaic:
+    """Device mosaic compositing of overlapping collections
+    (resample.mosaic + ops.regrid.bin_take_best)."""
+
+    @staticmethod
+    def _station(offset_lat, offset_lon, elev_value, img_value):
+        lats, lats_c = _test_coords(offset_lat)
+        lats, lats_c = lats.T, lats_c.T
+        lons, lons_c = _test_coords(offset_lon)
+        n = lats.shape[0] - 1
+        img = np.full((n, n, 3), img_value, np.uint8)
+        elevation = np.full((n, n), float(elev_value))
+        return Mapping(
+            lats, lons, lats_c, lons_c, elevation, 110.0, img,
+            np.array([0.0, 0.0, 0.0]),
+            datetime.datetime(2012, 1, 25, 9, 26, 55), f"st{img_value}",
+        )
+
+    def test_overlap_takes_highest_elevation(self):
+        from auromat_tpu.mapping.mapping import MappingCollection
+        from auromat_tpu.resample import mosaic
+
+        # two overlapping disks; station B views everything at higher
+        # elevation, so every overlap cell must be B's
+        a = self._station(70, 160, 20.0, 10)
+        b = self._station(74, 164, 60.0, 200)
+        coll = MappingCollection([a, b], "pair", mayOverlap=True)
+        m = mosaic(coll, px_per_deg=1)
+        m.checkPlateCarree()
+        m.checkGuarantees()
+        img = np.asarray(m.img.filled(0))
+        el = np.asarray(m.elevation.filled(np.nan))
+        # cells carrying B's elevation carry B's pixels, and both stations
+        # survive somewhere
+        assert ((img[..., 0] == 200) == (el == 60.0)).all()
+        assert (img[..., 0] == 200).any() and (img[..., 0] == 10).any()
+        # overlap region exists and is entirely B's
+        only_a = self._station(70, 160, 20.0, 10)
+        ra = np.asarray(
+            mosaic(MappingCollection([only_a], "a"), px_per_deg=1)
+            .img.filled(0))
+        assert (ra[..., 0] == 10).sum() > (img[..., 0] == 10).sum()
+
+    def test_identifier_and_errors(self):
+        from auromat_tpu.mapping.mapping import MappingCollection
+        from auromat_tpu.resample import mosaic
+
+        a = self._station(70, 160, 20.0, 10)
+        m = mosaic(MappingCollection([a], "THEMIS.X"), px_per_deg=1)
+        assert m.identifier == "THEMIS.X.mosaic"
+        assert np.isnan(m.cameraPosGCRS).all()
+        with pytest.raises(ValueError):
+            mosaic(MappingCollection([], "e"))
+        b = self._station(70, 160, 20.0, 10)
+        b._altitude = 220.0
+        with pytest.raises(ValueError):
+            mosaic(MappingCollection([a, b], "alt"))
+
+    def test_discontinuity(self):
+        from auromat_tpu.mapping.mapping import MappingCollection
+        from auromat_tpu.resample import mosaic
+
+        a = self._station(70, 160, 20.0, 10)
+        lats = np.asarray(a.lats.filled(np.nan))
+        lons = np.asarray(wrap_longitude(
+            np.asarray(a.lons.filled(np.nan)) + 15.0))
+        lats_c = np.asarray(a.latsCenter.filled(np.nan))
+        lons_c = np.asarray(wrap_longitude(
+            np.asarray(a.lonsCenter.filled(np.nan)) + 15.0))
+        sh = Mapping(lats, lons, lats_c, lons_c,
+                     np.asarray(a.elevation.filled(np.nan)), 110.0,
+                     np.asarray(a.img.filled(0)),
+                     np.array([0.0, 0.0, 0.0]),
+                     datetime.datetime(2012, 1, 25, 9, 26, 55), "sh")
+        assert sh.containsDiscontinuity
+        m = mosaic(MappingCollection([sh], "d"), px_per_deg=1)
+        m.checkPlateCarree()
+        assert (np.asarray(m.img.filled(0)) > 0).any()
