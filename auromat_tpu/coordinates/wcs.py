@@ -66,11 +66,19 @@ class ZenithalWcs:
             and c1.startswith("RA---") and c2.startswith("DEC--")
             and c1[5:] == c2[5:]
         ) else None
-        if code not in self.SUPPORTED or float(header.get("LATPOLE", 0.0)) != 0.0:
+        latpole = float(header.get("LATPOLE", 0.0))
+        dec_ref = float(header.get("CRVAL2", 0.0))
+        # For zenithal projections the native pole IS the reference point,
+        # so delta_p = CRVAL2 and LATPOLE carries no information: wcslib
+        # writes the computed value (= CRVAL2) into the card, astrometry.net
+        # writes 0. Accept both spellings; anything else on a header is
+        # malformed enough to refuse rather than silently ignore.
+        latpole_ok = latpole == 0.0 or abs(latpole - dec_ref) < 1e-9
+        if code not in self.SUPPORTED or not latpole_ok:
             raise ValueError(
                 f"only RA---/DEC-- zenithal projections {self.SUPPORTED} "
-                f"with LATPOLE=0 are supported; got {c1!r}/{c2!r} "
-                f"LATPOLE={header.get('LATPOLE', 0.0)}"
+                f"with LATPOLE in (0, CRVAL2) are supported; got "
+                f"{c1!r}/{c2!r} LATPOLE={header.get('LATPOLE', 0.0)}"
             )
         self.projection = code
         self.ra_ref = float(header["CRVAL1"])

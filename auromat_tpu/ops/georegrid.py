@@ -183,6 +183,9 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     lat-slab pallas_calls (each slab re-reads the sample stream; out-of-slab
     pixels carry iy_rel == -1 and fall into no window) — the same bounded-
     VMEM strategy as regrid_pallas.bin_partial_pallas, with this kernel.
+    Slabs wholly outside the samples' occupied lat range are skipped at
+    runtime (lax.cond on the iy min/max), so the per-frame cost on a
+    global-scale grid tracks the occupied band, not the grid height.
 
     :param iy, ix: (h, w) int32 grid row/col per sample; -1 = invalid
     :param img_chw: (3, h, w) float, integer-valued 0..255 ('uint8' contract)
@@ -217,20 +220,10 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
 
     kern = functools.partial(_kernel, n_win_c=n_win_c, tile_h=tile_h,
                              tile_w=tile_w, win_r=win_r)
-    slabs = []
-    for s0 in range(0, n_lat_pad, slab_rows):
-        rows = min(slab_rows, n_lat_pad - s0)
-        n_win_r = rows // win_r
-        if s0 == 0 and rows == n_lat_pad:
-            iy_rel = iyp  # single-call fast path: no extra select pass
-        else:
-            iy_rel = jnp.where((iyp >= s0) & (iyp < s0 + rows), iyp - s0,
-                               jnp.int32(-1))
-        bounds = _tile_bounds(iy_rel, ixp, nty, ntx, tile_h, tile_w, win_r,
-                              n_win_r, n_win_c)
-        acc_rows = n_win_r * n_win_c * win_r
+
+    def slab_call(iy_rel, n_win_r, acc_rows):
         with jax.enable_x64(False):
-            acc = pl.pallas_call(
+            return pl.pallas_call(
                 kern,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
@@ -253,7 +246,38 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=_VMEM_LIMIT),
                 interpret=interpret,
-            )(bounds, iy_rel, ixp, imgp, elevp)
+            )(_tile_bounds(iy_rel, ixp, nty, ntx, tile_h, tile_w, win_r,
+                           acc_rows // (n_win_c * win_r), n_win_c),
+              iy_rel, ixp, imgp, elevp)
+
+    multi_slab = n_lat_pad > slab_rows
+    if multi_slab:
+        # occupied lat range of THIS sample set: slabs wholly outside
+        # [min_iy, max_iy] hold no samples and are skipped at runtime
+        # (lax.cond -> zero fill). A 12 MP frame on the 0.05 deg GLOBAL
+        # grid occupies 2-3 of ~18 slabs; re-streaming the full sample
+        # stream through the empty ones dominated the mission-scale cost.
+        # Conservative for multi-band sample sets (any slab inside the
+        # hull runs even if locally empty) — correctness is unaffected.
+        min_iy = jnp.min(jnp.where(iyp >= 0, iyp, jnp.int32(2**30)))
+        max_iy = jnp.max(iyp)
+    slabs = []
+    for s0 in range(0, n_lat_pad, slab_rows):
+        rows = min(slab_rows, n_lat_pad - s0)
+        n_win_r = rows // win_r
+        acc_rows = n_win_r * n_win_c * win_r
+        if not multi_slab:
+            acc = slab_call(iyp, n_win_r, acc_rows)  # no extra select pass
+        else:
+            def run(s0=s0, rows=rows, n_win_r=n_win_r, acc_rows=acc_rows):
+                iy_rel = jnp.where((iyp >= s0) & (iyp < s0 + rows),
+                                   iyp - s0, jnp.int32(-1))
+                return slab_call(iy_rel, n_win_r, acc_rows)
+
+            acc = jax.lax.cond(
+                (max_iy >= s0) & (min_iy < s0 + rows), run,
+                lambda acc_rows=acc_rows: jnp.zeros(
+                    (acc_rows, N_STACK, 128), jnp.float32))
         acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
                  .transpose(0, 2, 3, 1, 4).reshape(rows, N_STACK, n_lon_pad)
         slabs.append(acc)

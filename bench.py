@@ -199,6 +199,37 @@ def main():
             print(f"burst bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # BASELINE config 5 at real scale: the 12 MP frame binned into the
+    # 0.05 deg GLOBAL mosaic grid (3599 x 7199) through the grid-sharded
+    # step on a 1-device mesh (pallas per-shard binning + empty-lat-slab
+    # skipping). Quantifies the mission-scale mosaic cost on real hardware;
+    # the 8-device virtual-mesh variant is tests/test_sharding.py
+    # TestConfig5Scale. Disable with BENCH_CONFIG5=0 (one extra compile).
+    config5_ms = None
+    if method == "georegrid_pallas" and \
+            os.environ.get("BENCH_CONFIG5", "1") != "0":
+        try:
+            from jax.sharding import Mesh
+            from auromat_tpu.parallel import make_grid_sharded_mosaic_step
+
+            g5 = fixed_grid(20, -89.999, 89.999, -179.999, 179.999)
+            mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                         axis_names=("dp", "sp"))
+            g5step = make_grid_sharded_mosaic_step(
+                mesh1, g5, h, w, channels=3, dtype=dtype,
+                bin_method="pallas")
+            dyn5 = DynGeorefParams.stack([params], dtype=dtype)
+            imgs5 = jax.device_put(img[None])
+            dt5, _ = time_amortized(lambda: g5step(dyn5, imgs5),
+                                    lambda o: o[0][0, 0],
+                                    max(per_batch // 2, 2))
+            config5_ms = round(dt5 * 1e3, 2)
+            print(f"config-5 global 0.05deg mosaic step (1-device mesh): "
+                  f"{config5_ms} ms/frame", file=sys.stderr)
+        except Exception as e:
+            print(f"config-5 bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # full-precision (df64) chain: per-pixel lat/lon at <1e-6 deg parity
     # (VERDICT r1 item 2), plus the FULL-variable chain (lat/lon/elevation/
     # mlat/mlt — every exported per-pixel variable; VERDICT r2 item 3)

@@ -342,3 +342,25 @@ class TestZenithalProjections:
         bad = self._header("AIT")  # non-zenithal
         with pytest.raises(ValueError, match="zenithal"):
             ZenithalWcs(bad)
+
+    def test_latpole_crval2_spelling_accepted(self):
+        """wcslib writes the computed native-pole latitude (= CRVAL2 for
+        zenithal projections) into LATPOLE; astrometry.net writes 0. Both
+        carry no information for this family and must parse identically;
+        a genuinely inconsistent value is refused."""
+        from auromat_tpu.coordinates.wcs import ZenithalWcs, pix2world
+
+        h0 = self._header("ZEA")
+        h0["LATPOLE"] = 0.0
+        hw = self._header("ZEA")
+        hw["LATPOLE"] = hw["CRVAL2"]  # the wcslib spelling
+        px = np.array([10.0, 150.0])
+        py = np.array([20.0, 100.0])
+        ra0, dec0 = pix2world(ZenithalWcs(h0), px, py)
+        raw, decw = pix2world(ZenithalWcs(hw), px, py)
+        assert np.array_equal(np.asarray(ra0), np.asarray(raw))
+        assert np.array_equal(np.asarray(dec0), np.asarray(decw))
+        hbad = self._header("ZEA")
+        hbad["LATPOLE"] = 17.0
+        with pytest.raises(ValueError, match="LATPOLE"):
+            ZenithalWcs(hbad)

@@ -1,0 +1,91 @@
+"""Measure BASELINE config 5 on real hardware: 12 MP ISS frames binned into
+the 0.05 deg GLOBAL mosaic grid (3599 x 7199) through the grid-sharded
+mosaic step on a 1-device mesh.
+
+The virtual-CPU-mesh test (tests/test_sharding.py::TestConfig5Scale) proves
+the banding/chunking memory arithmetic at mission scale; this script prints
+the real-chip per-frame cost of the same step, so the "multi-chip fast by
+design" claim (VERDICT r2 item 1) has a measured mission-scale anchor, not
+just the regional-grid bench number.
+
+Usage:  python tools/config5_tpu.py  [B]      (default B=2 frames)
+
+Timing methodology matches bench.py: amortized async batches bounded by one
+scalar host fetch (jax.block_until_ready does not block on axon buffers).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from auromat_tpu.coordinates.wcs import TanWcs
+    from auromat_tpu.io import fits
+    from auromat_tpu.ops.georef import DynGeorefParams, GeorefParams
+    from auromat_tpu.ops.regrid import fixed_grid
+    from auromat_tpu.parallel import make_grid_sharded_mosaic_step
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    header = fits.read_header(
+        os.path.join(repo, "tests", "resources", "ISS030-E-102170_dc.wcs"))
+    wcs = TanWcs(header)
+    params = GeorefParams.from_wcs(
+        wcs, fits.get_shifted_spacecraft_position(header)[:3],
+        fits.get_photo_time(header), altitude=110.0)
+    h, w = params.height, params.width
+    mpix = h * w / 1e6
+
+    from PIL import Image
+    img = np.asarray(Image.open(
+        os.path.join(repo, "tests", "resources", "ISS030-E-102170_dc.jpg"))
+    ).astype(np.float32)
+
+    grid = fixed_grid(20, -89.999, 89.999, -179.999, 179.999)
+    assert (grid.n_lat, grid.n_lon) == (3599, 7199)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    step = make_grid_sharded_mosaic_step(mesh, grid, h, w, channels=3,
+                                         dtype=jnp.float32,
+                                         bin_method="pallas")
+    dyn = DynGeorefParams.stack([params] * B, dtype=jnp.float32)
+    imgs = jax.device_put(np.broadcast_to(img[None], (B, h, w, 3)).copy())
+
+    print(f"backend: {jax.default_backend()}, B={B} frames x {mpix:.2f} MPix,"
+          f" grid {grid.n_lat}x{grid.n_lon}", file=sys.stderr)
+    t0 = time.time()
+    out = step(dyn, imgs)
+    sync = float(np.asarray(out[0][0, 0]))  # host fetch = the only real sync
+    print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    total = float(np.asarray(out[0]).sum())
+    assert total > B * 1e6, f"no samples binned ({total})"
+
+    iters = int(os.environ.get("BENCH_PER_BATCH", 5))
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(dyn, imgs)
+        float(np.asarray(out[0][0, 0]))
+        ts.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(ts))
+    print(f"config5 step: {dt*1e3:.1f} ms for {B} frames = "
+          f"{dt*1e3/B:.1f} ms/frame = {B*mpix/dt:.0f} MPix/s "
+          f"(batches {[round(t*1e3,1) for t in ts]})")
+
+
+if __name__ == "__main__":
+    main()
