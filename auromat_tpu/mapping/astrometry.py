@@ -26,17 +26,17 @@ def _georeference_df64(params: GeorefParams, with_mlatmlt):
     """Full-frame georeference through the double-float chain: corner +
     centre grids through ops.georef.georeference_points_df64_full, shaped
     like :func:`ops.georef.georeference`'s output dict (host float64)."""
-    from auromat_tpu.ops.georef import georeference_points_df64_full
+    from auromat_tpu.ops.georef import _grid, georeference_points_df64_full
 
     w, h = params.width, params.height
     out = {}
     for corner, suffix in ((True, ""), (False, "_center")):
-        off = -0.5 if corner else 0.0
-        extra = 1 if corner else 0
-        px, py = np.meshgrid(
-            np.arange(off, off + w + extra, dtype=np.float32),
-            np.arange(off, off + h + extra, dtype=np.float32))
-        d = georeference_points_df64_full(params, px, py)
+        px, py = _grid(w, h, corner, jnp.float32)
+        # corner elevation is never exported, and mlat/mlt are optional —
+        # skip the unused df atan2 branches (the chain is VPU-FLOP-bound)
+        d = georeference_points_df64_full(params, px, py,
+                                          with_elevation=not corner,
+                                          with_mlatmlt=with_mlatmlt)
         if corner:
             out["lats"], out["lons"] = d["lat"], d["lon"]
         else:

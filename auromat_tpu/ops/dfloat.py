@@ -98,8 +98,14 @@ def _tpu_compilation_target():
     if jax.default_backend() != "tpu":
         return False
     dd = jax.config.jax_default_device
-    if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
-        return False
+    if dd is not None:
+        # jax accepts both a Device object and its platform STRING
+        # ("cpu"); a string has no .platform attribute, and falling into
+        # the "tpu" default here would trace the CPU-unsafe Dekker branch
+        # into an XLA-CPU compilation
+        platform = dd if isinstance(dd, str) else getattr(dd, "platform", "tpu")
+        if platform != "tpu":
+            return False
     return True
 
 

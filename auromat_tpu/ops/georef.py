@@ -497,15 +497,26 @@ def georeference_points_df(params: GeorefParams, px, py):
     return out["lat"][0], out["lat"][1], out["lon"][0], out["lon"][1]
 
 
-georeference_points_df_full = jax.jit(
-    partial(_georef_df_body, with_elevation=True, with_mlatmlt=True),
-    static_argnums=0,
+_georef_df_body_jit = jax.jit(
+    _georef_df_body, static_argnums=0,
+    static_argnames=("with_elevation", "with_mlatmlt"),
 )
-georeference_points_df_full.__doc__ = (
-    "df64 chain over EVERY exported per-pixel variable (lat, lon, "
-    "elevation, mlat, mlt) as NaN-masked (hi, lo) f32 pairs — the "
-    "TPU-resident full-precision production export (VERDICT r2 item 3)."
-)
+
+
+def georeference_points_df_full(params: GeorefParams, px, py,
+                                with_elevation=True, with_mlatmlt=True):
+    """df64 chain over EVERY exported per-pixel variable (lat, lon,
+    elevation, mlat, mlt) as NaN-masked (hi, lo) f32 pairs — the
+    TPU-resident full-precision production export.
+
+    The chain is VPU-FLOP-bound (each df atan2 is a dominant cost), so the
+    variable set is selectable: ``with_elevation=False`` /
+    ``with_mlatmlt=False`` skip those branches entirely (static jit args —
+    one cached trace per combination, no retrace per call).
+    """
+    return _georef_df_body_jit(params, px, py,
+                               with_elevation=with_elevation,
+                               with_mlatmlt=with_mlatmlt)
 
 _georeference_points_df_jit = jax.jit(georeference_points_df, static_argnums=0)
 
@@ -522,9 +533,12 @@ def georeference_points_df64(params: GeorefParams, px, py):
     return lat, lon
 
 
-def georeference_points_df64_full(params: GeorefParams, px, py):
+def georeference_points_df64_full(params: GeorefParams, px, py,
+                                  with_elevation=True, with_mlatmlt=True):
     """Full df64 chain collapsed to host float64 arrays (dict of deg)."""
-    out = georeference_points_df_full(params, px, py)
+    out = georeference_points_df_full(params, px, py,
+                                      with_elevation=with_elevation,
+                                      with_mlatmlt=with_mlatmlt)
     return {
         k: np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
         for k, (hi, lo) in out.items()

@@ -282,6 +282,7 @@ def main():
                 "df64_full_ms": df64_full_ms,
                 "sharded_1dev_pallas_ms": sharded_ms,
                 "burst8_mpix_s": burst_mpix_s,
+                "config5_ms": config5_ms,
             }
         )
     )
