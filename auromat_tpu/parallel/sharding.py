@@ -119,7 +119,8 @@ def make_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
 def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                                   channels=3, dtype=jnp.float32,
                                   with_elevation=True, bin_method="sorted",
-                                  chunk_rows=None, interpret=False):
+                                  chunk_rows=None, interpret=False,
+                                  slab_budget_bytes=None):
     """Mission-scale mosaic step: the GRID is sharded, not just the samples.
 
     ``make_sharded_mosaic_step`` psums dense full-grid partials onto every
@@ -219,7 +220,8 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                 data[..., :3].reshape(-1, width, 3), (2, 0, 1))
             elev2 = data[..., 3].reshape(-1, width)
             cnt_nat, sums_nat = bin_rgbelev_from_indices(
-                grid, iy2, ix2, img2, elev2, interpret=interpret)
+                grid, iy2, ix2, img2, elev2, interpret=interpret,
+                slab_budget_bytes=slab_budget_bytes)
             full = jnp.concatenate(
                 [cnt_nat[..., None], sums_nat], axis=-1).astype(dtype)
             # (n_lat, n_lon, 1+C) -> (n_dev, band_pad, n_lon, 1+C): rows

@@ -248,6 +248,37 @@ class TestGridShardedMosaic:
         el_ok = ~np.isnan(ms[..., 3])
         assert_allclose(mp[..., 3][el_ok], ms[..., 3][el_ok], atol=0.01)
 
+    def test_pallas_multi_slab_matches_single_call(self):
+        """A slab budget small enough to force the lat-slab loop (with its
+        runtime empty-slab skipping via lax.cond) inside shard_map must
+        reproduce the single-call pallas result bit-exactly — this is the
+        mission-scale (config-5 class) configuration where the grid
+        accumulator exceeds VMEM and only some slabs hold samples."""
+        grid = fixed_grid(2, -89.0, 89.0, -179.0, 179.0)
+        mesh = make_mesh(dp=4, sp=2)
+        from auromat_tpu.parallel import make_grid_sharded_mosaic_step
+
+        B, h, w = 4, 64, 128
+        params = _burst(B, h, w)
+        imgs = np.random.default_rng(9).integers(
+            0, 256, (B, h, w, 3)).astype(np.float32)
+        dyn = DynGeorefParams.stack(params, dtype=np.float32)
+        outs = {}
+        for budget in (None, 200_000):  # None = single call; tiny = slabs
+            step = make_grid_sharded_mosaic_step(
+                mesh, grid, h, w, channels=3, dtype=np.float32,
+                bin_method="pallas", interpret=True,
+                slab_budget_bytes=budget)
+            count, means = step(dyn, imgs)
+            outs[budget] = (np.asarray(count), np.asarray(means))
+        c1, m1 = outs[None]
+        cn, mn = outs[200_000]
+        assert c1.sum() > 0
+        assert np.array_equal(cn, c1)
+        assert np.array_equal(np.isnan(mn), np.isnan(m1))
+        ok = ~np.isnan(m1)
+        assert np.array_equal(mn[ok], m1[ok])
+
     def test_pallas_binning_rejects_bad_channel_contract(self):
         from auromat_tpu.parallel import make_grid_sharded_mosaic_step
 
