@@ -998,3 +998,114 @@ def bin_take_best(grid: GridSpec, lats, lons, priority, data):
     best = jnp.where(occupied, sorted_ops[1][at].reshape(
         grid.n_lat, grid.n_lon), jnp.inf)
     return jnp.stack(planes, axis=-1), best
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def interp_linear_structured(grid: GridSpec, lat_src, lon_src, data,
+                             n_iter=3):
+    """Device linear interpolation onto the grid from a STRUCTURED source.
+
+    The reference's 'linear' method triangulates the scattered pixel
+    centres with scipy.griddata (reference resample.py:323-326) — a
+    host-only Delaunay pass. A mapping's pixel centres are not arbitrary
+    scatter though: they form a smooth (h, w) mesh in lat/lon space, so
+    linear interpolation is the INVERSE of that mesh map. This solves it
+    the TPU way, with dense elementwise work and small gathers only:
+
+    1. seed each target cell with its nearest source pixel index via the
+       jump-flood machinery (:func:`bin_nearest` carrying (row, col)
+       payloads);
+    2. Newton-invert the bilinear patch map around the seed: 2-3
+       iterations of ``p -= J(p)^-1 (latlon(p) - target)`` with the
+       analytic patch Jacobian (the mesh is smooth, so convergence is
+       immediate);
+    3. bilinearly sample the payload channels at the fractional source
+       position.
+
+    Semantics vs scipy-linear: bilinear-on-quads instead of
+    linear-on-Delaunay-triangles — both reproduce locally-affine fields
+    exactly (gated in tests); on non-smooth data (imagery) the two
+    weightings differ within each cell's sample neighbourhood. Cells whose
+    interpolation quad touches a NaN source coordinate come out NaN (a
+    <=1-cell band at the footprint edge; the outline masking applied by
+    resample() covers it, like the reference's hull clipping). Cells
+    outside the footprint diverge to the border and are likewise masked
+    by the caller.
+
+    :param lat_src, lon_src: (h, w) source-mesh coordinates, NaN = masked
+    :param data: (h, w, C) payload channels
+    :returns: (data_grid (n_lat, n_lon, C), src_pos (n_lat, n_lon, 2)
+        fractional (row, col) source position per cell — NaN where
+        unsolved)
+    """
+    h, w = lat_src.shape
+    dtype = jnp.asarray(lat_src).dtype
+    lat_src = jnp.asarray(lat_src, dtype)
+    lon_src = jnp.asarray(lon_src, dtype)
+    data = jnp.asarray(data, dtype)
+    n_ch = data.shape[-1]
+
+    rows = jnp.broadcast_to(jnp.arange(h, dtype=dtype)[:, None], (h, w))
+    cols = jnp.broadcast_to(jnp.arange(w, dtype=dtype)[None, :], (h, w))
+    seed, _ = bin_nearest(grid, lat_src, lon_src,
+                          jnp.stack([rows, cols], axis=-1), oversample=1)
+    y = jnp.asarray(seed[..., 0], dtype)
+    x = jnp.asarray(seed[..., 1], dtype)
+
+    tgt_lat = jnp.asarray(grid.lat_centers, dtype)[:, None]
+    tgt_lon = jnp.asarray(grid.lon_centers, dtype)[None, :]
+
+    def patch(field, y0, x0, fy, fx):
+        f00 = field[y0, x0]
+        f01 = field[y0, x0 + 1]
+        f10 = field[y0 + 1, x0]
+        f11 = field[y0 + 1, x0 + 1]
+        val = ((1 - fy) * ((1 - fx) * f00 + fx * f01)
+               + fy * ((1 - fx) * f10 + fx * f11))
+        ddx = (1 - fy) * (f01 - f00) + fy * (f11 - f10)
+        ddy = (1 - fx) * (f10 - f00) + fx * (f11 - f01)
+        return val, ddx, ddy
+
+    for _ in range(n_iter):
+        yc = jnp.clip(y, 0.0, h - 1.0)
+        xc = jnp.clip(x, 0.0, w - 1.0)
+        y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
+        fy = yc - y0
+        fx = xc - x0
+        la, la_dx, la_dy = patch(lat_src, y0, x0, fy, fx)
+        lo, lo_dx, lo_dy = patch(lon_src, y0, x0, fy, fx)
+        r_lat = la - tgt_lat
+        r_lon = lo - tgt_lon
+        det = la_dx * lo_dy - la_dy * lo_dx
+        safe = jnp.abs(det) > 1e-30
+        det = jnp.where(safe, det, 1.0)
+        dx = (r_lat * lo_dy - r_lon * la_dy) / det
+        dy = (r_lon * la_dx - r_lat * lo_dx) / det
+        dx = jnp.where(safe, dx, jnp.nan)
+        dy = jnp.where(safe, dy, jnp.nan)
+        x = xc - dx
+        y = yc - dy
+
+    # converged & in range?  (cells outside the footprint run to the
+    # border clamp and keep a large residual)
+    yc = jnp.clip(y, 0.0, h - 1.0)
+    xc = jnp.clip(x, 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
+    fy = yc - y0
+    fx = xc - x0
+    la, _, _ = patch(lat_src, y0, x0, fy, fx)
+    lo, _, _ = patch(lon_src, y0, x0, fy, fx)
+    cell2 = jnp.asarray(grid.lat_step, dtype) ** 2 + \
+        jnp.asarray(grid.lon_step, dtype) ** 2
+    ok = ((la - tgt_lat) ** 2 + (lo - tgt_lon) ** 2) < cell2
+    ok &= (y == yc) & (x == xc)
+
+    outs = []
+    for c in range(n_ch):
+        val, _, _ = patch(data[..., c], y0, x0, fy, fx)
+        outs.append(jnp.where(ok, val, jnp.nan))
+    pos = jnp.stack([jnp.where(ok, yc, jnp.nan),
+                     jnp.where(ok, xc, jnp.nan)], axis=-1)
+    return jnp.stack(outs, axis=-1), pos

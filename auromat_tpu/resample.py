@@ -62,7 +62,11 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     :param arcsec_per_px: spherical resolution (overrides px_per_deg)
     :param method: 'mean' (device binning) | 'nearest' (host scipy KD-tree)
         | 'nearest_device' (TPU jump-flood Voronoi, ops.regrid.bin_nearest;
-        same outline masking, near-identical output) | 'linear' | 'cubic'
+        same outline masking, near-identical output) | 'linear' (host scipy
+        Delaunay) | 'linear_device' (TPU Newton mesh inversion + bilinear,
+        ops.regrid.interp_linear_structured; quad-bilinear rather than
+        triangle-linear weights — identical on locally-affine data) |
+        'cubic'
     :param bin_method: device binning kernel for 'mean': 'auto' picks, on
         TPU for uint8 imagery, the flagship v5 kernel ('pallas_rgbelev',
         RGB+elevation payloads — 2x the v2 kernel; taint semantics are a
@@ -302,7 +306,8 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
             _, data_r = bin_mean(grid, lats_center, lons_center, data,
                                  method=bin_method)
         data_r = np.asarray(data_r)
-    elif method in ("nearest", "nearest_device", "linear", "cubic"):
+    elif method in ("nearest", "nearest_device", "linear", "linear_device",
+                    "cubic"):
         if method == "nearest_device":
             # TPU-fast nearest: per-bin seeding + jump-flood Voronoi on
             # device (ops.regrid.bin_nearest) — the device path for the
@@ -311,6 +316,15 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
             from auromat_tpu.ops.regrid import bin_nearest
 
             data_r, _ = bin_nearest(grid, lats_center, lons_center, data)
+            data_r = np.asarray(data_r).astype(np.float64)
+        elif method == "linear_device":
+            # TPU-fast linear: Newton-invert the smooth (h, w) pixel->
+            # lat/lon mesh per target cell and sample bilinearly — no
+            # host Delaunay (ops.regrid.interp_linear_structured)
+            from auromat_tpu.ops.regrid import interp_linear_structured
+
+            data_r, _ = interp_linear_structured(
+                grid, lats_center, lons_center, data)
             data_r = np.asarray(data_r).astype(np.float64)
         else:
             import scipy.interpolate

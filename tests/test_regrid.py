@@ -380,3 +380,81 @@ class TestBinTakeBest:
         assert len(occ) == 1
         iy, ix = occ[0]
         assert np.isnan(best[iy, ix, 0]) and best[iy, ix, 1] == 7.0
+
+
+class TestInterpLinearStructured:
+    """Device linear interpolation by Newton mesh inversion + bilinear
+    sampling (the TPU replacement for scipy.griddata 'linear')."""
+
+    @staticmethod
+    def _affine_mesh(h=40, w=60):
+        i = np.arange(h, dtype=np.float64)[:, None]
+        j = np.arange(w, dtype=np.float64)[None, :]
+        lat = 58.0 - 0.1 * i + 0.02 * j
+        lon = -110.0 + 0.015 * i + 0.12 * j
+        return np.broadcast_to(lat, (h, w)).copy(), \
+            np.broadcast_to(lon, (h, w)).copy()
+
+    def test_reproduces_affine_fields_exactly(self):
+        """Both triangle-linear (scipy) and quad-bilinear interpolation
+        reproduce locally-affine data exactly; on an affine mesh the
+        Newton inversion is exact after one step, so cells inside the
+        footprint must match the analytic field to rounding."""
+        from auromat_tpu.ops.regrid import GridSpec, interp_linear_structured
+
+        lat, lon = self._affine_mesh()
+        f = 3.0 + 0.5 * lat - 0.25 * lon
+        data = np.stack([f, np.full_like(f, 7.25)], axis=-1)
+        grid = GridSpec(28, 38, 56.5, -109.0, 0.1, 0.1)
+        out, pos = interp_linear_structured(grid, lat, lon, data)
+        out = np.asarray(out)
+        ok = ~np.isnan(out[..., 0])
+        assert ok.sum() > 500
+        cy = grid.lat_centers[:, None] + 0 * grid.lon_centers[None, :]
+        cx = grid.lon_centers[None, :] + 0 * grid.lat_centers[:, None]
+        expect = 3.0 + 0.5 * cy - 0.25 * cx
+        np.testing.assert_allclose(out[..., 0][ok], expect[ok], atol=1e-9)
+        np.testing.assert_allclose(out[..., 1][ok], 7.25, atol=1e-12)
+
+    def test_matches_scipy_on_smooth_data(self):
+        """Curved mesh + smooth data: quad-bilinear and triangle-linear
+        weightings both approximate to O(cell^2) — results must agree to
+        a small tolerance over the shared valid cells."""
+        import scipy.interpolate
+
+        from auromat_tpu.ops.regrid import GridSpec, interp_linear_structured
+
+        h, w = 40, 60
+        i = np.arange(h, dtype=np.float64)[:, None]
+        j = np.arange(w, dtype=np.float64)[None, :]
+        lat = 58.0 - 0.1 * i + 0.02 * j + 1e-4 * (i - 20) ** 2 / 20
+        lon = -110.0 + 0.015 * i + 0.12 * j + 2e-4 * (j - 30) ** 2 / 30
+        val = np.sin(np.deg2rad(4 * lat)) * np.cos(np.deg2rad(3 * lon))
+        grid = GridSpec(28, 38, 56.5, -109.0, 0.1, 0.1)
+        out, _ = interp_linear_structured(grid, lat, lon, val[..., None])
+        out = np.asarray(out)[..., 0]
+        ref = scipy.interpolate.griddata(
+            (lat.ravel(), lon.ravel()), val.ravel(),
+            (grid.lat_centers[:, None], grid.lon_centers[None, :]),
+            method="linear")
+        both = ~np.isnan(out) & ~np.isnan(ref)
+        assert both.sum() > 500
+        np.testing.assert_allclose(out[both], ref[both], atol=2e-4)
+
+    def test_nan_hole_masks_touching_cells(self):
+        from auromat_tpu.ops.regrid import GridSpec, interp_linear_structured
+
+        lat, lon = self._affine_mesh()
+        lat[18:22, 28:33] = np.nan
+        lon[18:22, 28:33] = np.nan
+        f = lat + lon
+        grid = GridSpec(28, 38, 56.5, -109.0, 0.1, 0.1)
+        out, pos = interp_linear_structured(grid, lat, lon, f[..., None])
+        out = np.asarray(out)[..., 0]
+        ok = ~np.isnan(out)
+        assert ok.sum() > 400
+        # the hole exists in the output but does not swallow the frame
+        assert (~ok).sum() > 0
+        cy = grid.lat_centers[:, None] + 0 * grid.lon_centers[None, :]
+        cx = grid.lon_centers[None, :] + 0 * grid.lat_centers[:, None]
+        np.testing.assert_allclose(out[ok], (cy + cx)[ok], atol=1e-9)

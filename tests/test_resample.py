@@ -108,6 +108,32 @@ class TestResample:
         same = np.all(a[inside] == b[inside], axis=-1)
         assert same.mean() > 0.95, same.mean()
 
+    def test_linear_device_matches_scipy_shape(self):
+        """The TPU linear path (Newton mesh inversion + bilinear sampling,
+        ops.regrid.interp_linear_structured) against the host scipy
+        Delaunay path: plate-carree regular, invariants hold, and its
+        valid-cell set is (up to the documented <=1-cell NaN band at the
+        footprint edge) the scipy set. Value-level parity is gated in
+        test_regrid.TestInterpLinearStructured on affine/smooth fields —
+        on random imagery the quad-bilinear and triangle-linear weightings
+        legitimately differ within a cell."""
+        mapping = synthetic()
+        m_ref = resample(mapping, px_per_deg=2, method="linear")
+        m_dev = resample(mapping, px_per_deg=2, method="linear_device")
+        m_dev.checkPlateCarree()
+        m_dev.checkGuarantees()
+        a = np.asarray(m_dev.img_unmasked, dtype=np.float64)
+        b = np.asarray(m_ref.img_unmasked, dtype=np.float64)
+        assert a.shape == b.shape
+        na, nb = np.isnan(a).all(axis=-1), np.isnan(b).all(axis=-1)
+        # device-valid cells are scipy-valid (no fabricated cells)...
+        assert not (nb & ~na).any()
+        # ...and cover nearly all of them (edge band only)
+        both = (~na).sum()
+        assert both > 0.9 * (~nb).sum(), (both, (~nb).sum())
+        # interpolated values stay inside the sample range
+        assert np.nanmin(a) >= 0 and np.nanmax(a) <= 255
+
     def test_mlat_mlt_roundtrip_regular(self):
         mapping = synthetic()
         res = resample_mlat_mlt(mapping, arcsec_per_px=3600 * 0.5, method="nearest")
