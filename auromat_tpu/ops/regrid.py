@@ -1000,6 +1000,76 @@ def bin_take_best(grid: GridSpec, lats, lons, priority, data):
     return jnp.stack(planes, axis=-1), best
 
 
+def _patch_bilinear(field, y0, x0, fy, fx):
+    """Bilinear patch value + analytic in-patch derivatives at (fy, fx)."""
+    f00 = field[y0, x0]
+    f01 = field[y0, x0 + 1]
+    f10 = field[y0 + 1, x0]
+    f11 = field[y0 + 1, x0 + 1]
+    val = ((1 - fy) * ((1 - fx) * f00 + fx * f01)
+           + fy * ((1 - fx) * f10 + fx * f11))
+    ddx = (1 - fy) * (f01 - f00) + fy * (f11 - f10)
+    ddy = (1 - fx) * (f10 - f00) + fx * (f11 - f01)
+    return val, ddx, ddy
+
+
+def _invert_mesh(grid: GridSpec, lat_src, lon_src, n_iter):
+    """Fractional source position of every target cell centre on the
+    smooth (h, w) lat/lon mesh: jump-flood nearest seeding + Newton on the
+    bilinear patch map. Returns (yc, xc, ok) — clamped positions and the
+    converged-and-in-footprint predicate. Shared by the linear and cubic
+    device interpolators."""
+    h, w = lat_src.shape
+    dtype = lat_src.dtype
+
+    rows = jnp.broadcast_to(jnp.arange(h, dtype=dtype)[:, None], (h, w))
+    cols = jnp.broadcast_to(jnp.arange(w, dtype=dtype)[None, :], (h, w))
+    seed, _ = bin_nearest(grid, lat_src, lon_src,
+                          jnp.stack([rows, cols], axis=-1), oversample=1)
+    y = jnp.asarray(seed[..., 0], dtype)
+    x = jnp.asarray(seed[..., 1], dtype)
+
+    tgt_lat = jnp.asarray(grid.lat_centers, dtype)[:, None]
+    tgt_lon = jnp.asarray(grid.lon_centers, dtype)[None, :]
+
+    for _ in range(n_iter):
+        yc = jnp.clip(y, 0.0, h - 1.0)
+        xc = jnp.clip(x, 0.0, w - 1.0)
+        y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
+        fy = yc - y0
+        fx = xc - x0
+        la, la_dx, la_dy = _patch_bilinear(lat_src, y0, x0, fy, fx)
+        lo, lo_dx, lo_dy = _patch_bilinear(lon_src, y0, x0, fy, fx)
+        r_lat = la - tgt_lat
+        r_lon = lo - tgt_lon
+        det = la_dx * lo_dy - la_dy * lo_dx
+        safe = jnp.abs(det) > 1e-30
+        det = jnp.where(safe, det, 1.0)
+        dx = (r_lat * lo_dy - r_lon * la_dy) / det
+        dy = (r_lon * la_dx - r_lat * lo_dx) / det
+        dx = jnp.where(safe, dx, jnp.nan)
+        dy = jnp.where(safe, dy, jnp.nan)
+        x = xc - dx
+        y = yc - dy
+
+    # converged & in range?  (cells outside the footprint run to the
+    # border clamp and keep a large residual)
+    yc = jnp.clip(y, 0.0, h - 1.0)
+    xc = jnp.clip(x, 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
+    fy = yc - y0
+    fx = xc - x0
+    la, _, _ = _patch_bilinear(lat_src, y0, x0, fy, fx)
+    lo, _, _ = _patch_bilinear(lon_src, y0, x0, fy, fx)
+    cell2 = jnp.asarray(grid.lat_step, dtype) ** 2 + \
+        jnp.asarray(grid.lon_step, dtype) ** 2
+    ok = ((la - tgt_lat) ** 2 + (lo - tgt_lon) ** 2) < cell2
+    ok &= (y == yc) & (x == xc)
+    return yc, xc, ok
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def interp_linear_structured(grid: GridSpec, lat_src, lon_src, data,
                              n_iter=3):
@@ -1045,66 +1115,73 @@ def interp_linear_structured(grid: GridSpec, lat_src, lon_src, data,
     data = jnp.asarray(data, dtype)
     n_ch = data.shape[-1]
 
-    rows = jnp.broadcast_to(jnp.arange(h, dtype=dtype)[:, None], (h, w))
-    cols = jnp.broadcast_to(jnp.arange(w, dtype=dtype)[None, :], (h, w))
-    seed, _ = bin_nearest(grid, lat_src, lon_src,
-                          jnp.stack([rows, cols], axis=-1), oversample=1)
-    y = jnp.asarray(seed[..., 0], dtype)
-    x = jnp.asarray(seed[..., 1], dtype)
-
-    tgt_lat = jnp.asarray(grid.lat_centers, dtype)[:, None]
-    tgt_lon = jnp.asarray(grid.lon_centers, dtype)[None, :]
-
-    def patch(field, y0, x0, fy, fx):
-        f00 = field[y0, x0]
-        f01 = field[y0, x0 + 1]
-        f10 = field[y0 + 1, x0]
-        f11 = field[y0 + 1, x0 + 1]
-        val = ((1 - fy) * ((1 - fx) * f00 + fx * f01)
-               + fy * ((1 - fx) * f10 + fx * f11))
-        ddx = (1 - fy) * (f01 - f00) + fy * (f11 - f10)
-        ddy = (1 - fx) * (f10 - f00) + fx * (f11 - f01)
-        return val, ddx, ddy
-
-    for _ in range(n_iter):
-        yc = jnp.clip(y, 0.0, h - 1.0)
-        xc = jnp.clip(x, 0.0, w - 1.0)
-        y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
-        x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
-        fy = yc - y0
-        fx = xc - x0
-        la, la_dx, la_dy = patch(lat_src, y0, x0, fy, fx)
-        lo, lo_dx, lo_dy = patch(lon_src, y0, x0, fy, fx)
-        r_lat = la - tgt_lat
-        r_lon = lo - tgt_lon
-        det = la_dx * lo_dy - la_dy * lo_dx
-        safe = jnp.abs(det) > 1e-30
-        det = jnp.where(safe, det, 1.0)
-        dx = (r_lat * lo_dy - r_lon * la_dy) / det
-        dy = (r_lon * la_dx - r_lat * lo_dx) / det
-        dx = jnp.where(safe, dx, jnp.nan)
-        dy = jnp.where(safe, dy, jnp.nan)
-        x = xc - dx
-        y = yc - dy
-
-    # converged & in range?  (cells outside the footprint run to the
-    # border clamp and keep a large residual)
-    yc = jnp.clip(y, 0.0, h - 1.0)
-    xc = jnp.clip(x, 0.0, w - 1.0)
+    yc, xc, ok = _invert_mesh(grid, lat_src, lon_src, n_iter)
     y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
     fy = yc - y0
     fx = xc - x0
-    la, _, _ = patch(lat_src, y0, x0, fy, fx)
-    lo, _, _ = patch(lon_src, y0, x0, fy, fx)
-    cell2 = jnp.asarray(grid.lat_step, dtype) ** 2 + \
-        jnp.asarray(grid.lon_step, dtype) ** 2
-    ok = ((la - tgt_lat) ** 2 + (lo - tgt_lon) ** 2) < cell2
-    ok &= (y == yc) & (x == xc)
 
     outs = []
     for c in range(n_ch):
-        val, _, _ = patch(data[..., c], y0, x0, fy, fx)
+        val, _, _ = _patch_bilinear(data[..., c], y0, x0, fy, fx)
+        outs.append(jnp.where(ok, val, jnp.nan))
+    pos = jnp.stack([jnp.where(ok, yc, jnp.nan),
+                     jnp.where(ok, xc, jnp.nan)], axis=-1)
+    return jnp.stack(outs, axis=-1), pos
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def interp_cubic_structured(grid: GridSpec, lat_src, lon_src, data,
+                            n_iter=3):
+    """Device cubic interpolation: same mesh inversion as
+    :func:`interp_linear_structured`, sampled with a separable Catmull-Rom
+    bicubic kernel (C1 interpolating, like the reference's Clough-Tocher
+    'cubic' — reference resample.py:323-326 — but on the structured source
+    mesh instead of a host Delaunay triangulation; both overshoot on
+    non-smooth data). Cells whose 4x4 stencil would leave the mesh or
+    touch a NaN source value come out NaN (a <=2-cell band at the
+    footprint edge and around mask holes vs linear's 1 — an edge-clamped
+    stencil would silently lose the kernel's linear precision there)."""
+    h, w = lat_src.shape
+    dtype = jnp.asarray(lat_src).dtype
+    lat_src = jnp.asarray(lat_src, dtype)
+    lon_src = jnp.asarray(lon_src, dtype)
+    data = jnp.asarray(data, dtype)
+    n_ch = data.shape[-1]
+
+    yc, xc, ok = _invert_mesh(grid, lat_src, lon_src, n_iter)
+    y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
+    fy = yc - y0
+    fx = xc - x0
+    # full un-clamped 4x4 stencil only (see docstring)
+    ok &= (y0 >= 1) & (y0 <= h - 3) & (x0 >= 1) & (x0 <= w - 3)
+
+    def cr_weights(t):
+        # Catmull-Rom basis for taps at offsets (-1, 0, 1, 2)
+        t2 = t * t
+        t3 = t2 * t
+        return (
+            0.5 * (-t3 + 2 * t2 - t),
+            0.5 * (3 * t3 - 5 * t2 + 2),
+            0.5 * (-3 * t3 + 4 * t2 + t),
+            0.5 * (t3 - t2),
+        )
+
+    wy = cr_weights(fy)
+    wx = cr_weights(fx)
+    ys = [jnp.clip(y0 + m - 1, 0, h - 1) for m in range(4)]
+    xs = [jnp.clip(x0 + n - 1, 0, w - 1) for n in range(4)]
+
+    outs = []
+    for c in range(n_ch):
+        f = data[..., c]
+        val = 0.0
+        for m in range(4):
+            row = 0.0
+            for n in range(4):
+                row = row + wx[n] * f[ys[m], xs[n]]
+            val = val + wy[m] * row
         outs.append(jnp.where(ok, val, jnp.nan))
     pos = jnp.stack([jnp.where(ok, yc, jnp.nan),
                      jnp.where(ok, xc, jnp.nan)], axis=-1)

@@ -66,7 +66,8 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
         Delaunay) | 'linear_device' (TPU Newton mesh inversion + bilinear,
         ops.regrid.interp_linear_structured; quad-bilinear rather than
         triangle-linear weights — identical on locally-affine data) |
-        'cubic'
+        'cubic' (host scipy Clough-Tocher) | 'cubic_device' (TPU mesh
+        inversion + Catmull-Rom bicubic)
     :param bin_method: device binning kernel for 'mean': 'auto' picks, on
         TPU for uint8 imagery, the flagship v5 kernel ('pallas_rgbelev',
         RGB+elevation payloads — 2x the v2 kernel; taint semantics are a
@@ -307,7 +308,7 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
                                  method=bin_method)
         data_r = np.asarray(data_r)
     elif method in ("nearest", "nearest_device", "linear", "linear_device",
-                    "cubic"):
+                    "cubic", "cubic_device"):
         if method == "nearest_device":
             # TPU-fast nearest: per-bin seeding + jump-flood Voronoi on
             # device (ops.regrid.bin_nearest) — the device path for the
@@ -317,14 +318,17 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
 
             data_r, _ = bin_nearest(grid, lats_center, lons_center, data)
             data_r = np.asarray(data_r).astype(np.float64)
-        elif method == "linear_device":
-            # TPU-fast linear: Newton-invert the smooth (h, w) pixel->
-            # lat/lon mesh per target cell and sample bilinearly — no
-            # host Delaunay (ops.regrid.interp_linear_structured)
-            from auromat_tpu.ops.regrid import interp_linear_structured
+        elif method in ("linear_device", "cubic_device"):
+            # TPU-fast linear/cubic: Newton-invert the smooth (h, w)
+            # pixel->lat/lon mesh per target cell and sample bilinearly /
+            # Catmull-Rom bicubically — no host Delaunay
+            # (ops.regrid.interp_{linear,cubic}_structured)
+            from auromat_tpu.ops.regrid import (interp_cubic_structured,
+                                                interp_linear_structured)
 
-            data_r, _ = interp_linear_structured(
-                grid, lats_center, lons_center, data)
+            fn = (interp_linear_structured if method == "linear_device"
+                  else interp_cubic_structured)
+            data_r, _ = fn(grid, lats_center, lons_center, data)
             data_r = np.asarray(data_r).astype(np.float64)
         else:
             import scipy.interpolate

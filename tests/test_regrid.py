@@ -458,3 +458,54 @@ class TestInterpLinearStructured:
         cy = grid.lat_centers[:, None] + 0 * grid.lon_centers[None, :]
         cx = grid.lon_centers[None, :] + 0 * grid.lat_centers[:, None]
         np.testing.assert_allclose(out[ok], (cy + cx)[ok], atol=1e-9)
+
+
+class TestInterpCubicStructured:
+    def test_reproduces_affine_fields_exactly(self):
+        """Catmull-Rom has linear precision: affine data on an affine mesh
+        must come back exact, same gate as the linear path."""
+        from auromat_tpu.ops.regrid import GridSpec, interp_cubic_structured
+
+        lat, lon = TestInterpLinearStructured._affine_mesh()
+        f = 3.0 + 0.5 * lat - 0.25 * lon
+        grid = GridSpec(28, 38, 56.5, -109.0, 0.1, 0.1)
+        out, _ = interp_cubic_structured(grid, lat, lon, f[..., None])
+        out = np.asarray(out)[..., 0]
+        ok = ~np.isnan(out)
+        assert ok.sum() > 500
+        cy = grid.lat_centers[:, None] + 0 * grid.lon_centers[None, :]
+        cx = grid.lon_centers[None, :] + 0 * grid.lat_centers[:, None]
+        np.testing.assert_allclose(out[ok], (3.0 + 0.5 * cy - 0.25 * cx)[ok],
+                                   atol=1e-9)
+
+    def test_beats_linear_on_smooth_data(self):
+        """On a smooth field the bicubic sample error must be far below
+        the bilinear one (the point of the method): gate the error ratio
+        against the analytic field."""
+        from auromat_tpu.ops.regrid import (GridSpec,
+                                            interp_cubic_structured,
+                                            interp_linear_structured)
+
+        h, w = 40, 60
+        i = np.arange(h, dtype=np.float64)[:, None]
+        j = np.arange(w, dtype=np.float64)[None, :]
+        lat = (58.0 - 0.1 * i + 0.02 * j).repeat(1, axis=0)
+        lon = -110.0 + 0.015 * i + 0.12 * j
+        lat = np.broadcast_to(lat, (h, w)).copy()
+        lon = np.broadcast_to(lon, (h, w)).copy()
+        ffun = lambda la, lo: np.sin(np.deg2rad(60 * la)) * \
+            np.cos(np.deg2rad(45 * lo))
+        val = ffun(lat, lon)
+        grid = GridSpec(28, 38, 56.5, -109.0, 0.1, 0.1)
+        oc, _ = interp_cubic_structured(grid, lat, lon, val[..., None])
+        ol, _ = interp_linear_structured(grid, lat, lon, val[..., None])
+        oc = np.asarray(oc)[..., 0]
+        ol = np.asarray(ol)[..., 0]
+        cy = grid.lat_centers[:, None] + 0 * grid.lon_centers[None, :]
+        cx = grid.lon_centers[None, :] + 0 * grid.lat_centers[:, None]
+        truth = ffun(cy, cx)
+        both = ~np.isnan(oc) & ~np.isnan(ol)
+        assert both.sum() > 400
+        err_c = np.abs(oc - truth)[both].max()
+        err_l = np.abs(ol - truth)[both].max()
+        assert err_c < err_l / 5, (err_c, err_l)

@@ -134,6 +134,21 @@ class TestResample:
         # interpolated values stay inside the sample range
         assert np.nanmin(a) >= 0 and np.nanmax(a) <= 255
 
+    def test_cubic_device(self):
+        """Device cubic (mesh inversion + Catmull-Rom): invariants hold and
+        no cells are fabricated outside the scipy-cubic hull; the full
+        4x4-stencil requirement costs a wider edge band than linear."""
+        mapping = synthetic()
+        m_ref = resample(mapping, px_per_deg=2, method="cubic")
+        m_dev = resample(mapping, px_per_deg=2, method="cubic_device")
+        m_dev.checkPlateCarree()
+        m_dev.checkGuarantees()
+        a = np.asarray(m_dev.img_unmasked, dtype=np.float64)
+        b = np.asarray(m_ref.img_unmasked, dtype=np.float64)
+        na, nb = np.isnan(a).all(axis=-1), np.isnan(b).all(axis=-1)
+        assert not (nb & ~na).any()
+        assert (~na).sum() > 50
+
     def test_mlat_mlt_roundtrip_regular(self):
         mapping = synthetic()
         res = resample_mlat_mlt(mapping, arcsec_per_px=3600 * 0.5, method="nearest")
