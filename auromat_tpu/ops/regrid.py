@@ -1016,7 +1016,8 @@ def _patch_bilinear(field, y0, x0, fy, fx):
 def _invert_mesh(grid: GridSpec, lat_src, lon_src, n_iter):
     """Fractional source position of every target cell centre on the
     smooth (h, w) lat/lon mesh: jump-flood nearest seeding + Newton on the
-    bilinear patch map. Returns (yc, xc, ok) — clamped positions and the
+    bilinear patch map. Returns (yc, xc, y0, x0, fy, fx, ok) — clamped
+    positions, their patch index/fraction decomposition, and the
     converged-and-in-footprint predicate. Shared by the linear and cubic
     device interpolators."""
     h, w = lat_src.shape
@@ -1067,7 +1068,7 @@ def _invert_mesh(grid: GridSpec, lat_src, lon_src, n_iter):
         jnp.asarray(grid.lon_step, dtype) ** 2
     ok = ((la - tgt_lat) ** 2 + (lo - tgt_lon) ** 2) < cell2
     ok &= (y == yc) & (x == xc)
-    return yc, xc, ok
+    return yc, xc, y0, x0, fy, fx, ok
 
 
 @partial(jax.jit, static_argnums=(0, 4))
@@ -1115,11 +1116,7 @@ def interp_linear_structured(grid: GridSpec, lat_src, lon_src, data,
     data = jnp.asarray(data, dtype)
     n_ch = data.shape[-1]
 
-    yc, xc, ok = _invert_mesh(grid, lat_src, lon_src, n_iter)
-    y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
-    fy = yc - y0
-    fx = xc - x0
+    yc, xc, y0, x0, fy, fx, ok = _invert_mesh(grid, lat_src, lon_src, n_iter)
 
     outs = []
     for c in range(n_ch):
@@ -1149,11 +1146,7 @@ def interp_cubic_structured(grid: GridSpec, lat_src, lon_src, data,
     data = jnp.asarray(data, dtype)
     n_ch = data.shape[-1]
 
-    yc, xc, ok = _invert_mesh(grid, lat_src, lon_src, n_iter)
-    y0 = jnp.clip(jnp.floor(yc), 0, h - 2).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xc), 0, w - 2).astype(jnp.int32)
-    fy = yc - y0
-    fx = xc - x0
+    yc, xc, y0, x0, fy, fx, ok = _invert_mesh(grid, lat_src, lon_src, n_iter)
     # full un-clamped 4x4 stencil only (see docstring)
     ok &= (y0 >= 1) & (y0 <= h - 3) & (x0 >= 1) & (x0 <= w - 3)
 

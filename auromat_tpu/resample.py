@@ -145,6 +145,11 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     if img_is_int:
         with np.errstate(invalid="ignore"):
             img_r = np.round(img_r)
+            # cubic interpolation overshoots on sharp edges (both the host
+            # Clough-Tocher and the device Catmull-Rom): clamp to the
+            # integer range or the cast WRAPS (272 -> 16, -5 -> 251)
+            info = np.iinfo(img_dtype)
+            img_r = np.clip(img_r, info.min, info.max)
         img_r = np.where(np.isnan(img_r), 0, img_r).astype(img_dtype)
         # mask re-derived from coordinates; fill value irrelevant
     if img3.shape[2] == 1:

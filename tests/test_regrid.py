@@ -489,10 +489,8 @@ class TestInterpCubicStructured:
         h, w = 40, 60
         i = np.arange(h, dtype=np.float64)[:, None]
         j = np.arange(w, dtype=np.float64)[None, :]
-        lat = (58.0 - 0.1 * i + 0.02 * j).repeat(1, axis=0)
-        lon = -110.0 + 0.015 * i + 0.12 * j
-        lat = np.broadcast_to(lat, (h, w)).copy()
-        lon = np.broadcast_to(lon, (h, w)).copy()
+        lat = np.broadcast_to(58.0 - 0.1 * i + 0.02 * j, (h, w)).copy()
+        lon = np.broadcast_to(-110.0 + 0.015 * i + 0.12 * j, (h, w)).copy()
         ffun = lambda la, lo: np.sin(np.deg2rad(60 * la)) * \
             np.cos(np.deg2rad(45 * lo))
         val = ffun(lat, lon)

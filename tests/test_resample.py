@@ -149,6 +149,28 @@ class TestResample:
         assert not (nb & ~na).any()
         assert (~na).sum() > 50
 
+    def test_cubic_overshoot_clipped_not_wrapped(self):
+        """Cubic interpolation overshoots on sharp edges; the uint8 cast
+        must CLAMP (272 -> 255), not wrap (272 -> 16). Gate: the uint8
+        result equals the clipped+rounded float-image result."""
+        m_int = synthetic()
+        img = np.zeros_like(np.asarray(m_int.img_unmasked))
+        img[:, img.shape[1] // 2 :] = 255  # hard dark/bright edge
+        mk = lambda im: Mapping(
+            np.asarray(m_int.lats), np.asarray(m_int.lons),
+            np.asarray(m_int.latsCenter), np.asarray(m_int.lonsCenter),
+            np.asarray(m_int.elevation), m_int.altitude, im,
+            np.array([0.0, 0.0, 0.0]), m_int.photoTime, None)
+        r_int = resample(mk(img.astype(np.uint8)), px_per_deg=2,
+                         method="cubic_device")
+        r_flt = resample(mk(img.astype(np.float64)), px_per_deg=2,
+                         method="cubic_device")
+        a = np.asarray(r_int.img_unmasked, dtype=np.float64)
+        b = np.asarray(r_flt.img_unmasked, dtype=np.float64)
+        ok = ~np.isnan(b)
+        assert np.nanmax(b) > 255.5, "fixture no longer overshoots"
+        assert np.array_equal(a[ok], np.clip(np.round(b[ok]), 0, 255))
+
     def test_mlat_mlt_roundtrip_regular(self):
         mapping = synthetic()
         res = resample_mlat_mlt(mapping, arcsec_per_px=3600 * 0.5, method="nearest")
