@@ -124,9 +124,13 @@ def _draw_cities(ax, lat0, lon0, color="red", alpha=0.6, min_natscale=0.0):
 
 def draw_stereographic(mapping_or_collection, mlatmlt=False,
                        coastlines="default", cities=False, figsize=(10, 10),
-                       bgcolor="black"):
+                       bgcolor="black", bounding_box=None):
     """Stereographic plot centred on the data (reference draw.py:140-222).
 
+    :param bounding_box: optional BoundingBox fixing the map centre/extent
+        instead of the data's own — pass the merged sequence bbox so every
+        movie frame shares one map (reference drawStereographic's
+        ``boundingBox``; userguide movie recipe)
     :param mlatmlt: plot in the MLat/MLT system (drawStereographicMLatMLT)
     :param coastlines: (n, 2) lat/lon polyline array (NaN-separated), the
         string 'default' for the bundled coarse world coastline
@@ -143,11 +147,12 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False,
         # verts currently hold (mlt, mlat); convert mlt -> SM longitude
         verts = verts.copy()
         verts[..., 0] = mlt_to_sm_lon(verts[..., 0])
-    bb = mapping_or_collection.boundingBox
+    bb = (bounding_box if bounding_box is not None
+          else mapping_or_collection.boundingBox)
     center = bb.center
     size = bb.size
     lat0, lon0 = center.lat, center.lon
-    if mlatmlt:
+    if mlatmlt and bounding_box is None:
         # centre in magnetic coordinates: use mean of vertices
         lat0 = float(np.nanmean(verts[..., 1]))
         lon0 = float(np.nanmean(verts[..., 0]))

@@ -60,6 +60,25 @@ class TestFigures:
         out = save_fig(str(tmp_path / "stereo.png"), fig)
         assert os.path.getsize(out) > 5000
 
+    def test_draw_stereographic_fixed_bounding_box(self, resampled):
+        """bounding_box fixes the map extent independent of the data — the
+        movie recipe (reference drawStereographic's boundingBox kwarg)."""
+        from auromat_tpu.mapping.mapping import BoundingBox
+
+        bb = resampled.boundingBox
+        wide = BoundingBox(latSouth=bb.latSouth - 10, lonWest=bb.lonWest - 10,
+                           latNorth=bb.latNorth + 10, lonEast=bb.lonEast + 10)
+        fig_own = draw.draw_stereographic(resampled)
+        fig_fix = draw.draw_stereographic(resampled, bounding_box=wide)
+        xl_own = np.diff(fig_own.axes[0].get_xlim())[0]
+        xl_fix = np.diff(fig_fix.axes[0].get_xlim())[0]
+        assert xl_fix > xl_own * 1.2  # wider box -> wider map
+        # and the SAME box gives the SAME extent regardless of the data
+        fig_fix2 = draw.draw_stereographic(
+            MappingCollection([resampled], "t", mayOverlap=True),
+            bounding_box=wide)
+        assert fig_fix2.axes[0].get_xlim() == fig_fix.axes[0].get_xlim()
+
     def test_draw_stereographic_collection(self, resampled, tmp_path):
         coll = MappingCollection([resampled], "test", mayOverlap=True)
         fig = draw.draw_stereographic(coll)
