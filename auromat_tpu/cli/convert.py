@@ -129,8 +129,14 @@ def main(argv=None):
     if args.platform != "default":
         import jax
 
+        # keep the CPU backend registered alongside an accelerator (first
+        # entry = default): host-side f64 math (mapping lazies, ASI
+        # reprojection, pole rotation) pins itself to the CPU device via
+        # utils.host_f64_device, which needs jax.devices("cpu") to exist
+        platforms = (args.platform if args.platform == "cpu"
+                     else f"{args.platform},cpu")
         try:
-            jax.config.update("jax_platforms", args.platform)
+            jax.config.update("jax_platforms", platforms)
         except Exception as e:  # backend already initialised
             print(f"warning: cannot select platform {args.platform}: {e}",
                   file=sys.stderr)

@@ -122,7 +122,7 @@ def _draw_cities(ax, lat0, lon0, color="red", alpha=0.6, min_natscale=0.0):
     return s
 
 
-def draw_stereographic(mapping_or_collection, mlatmlt=False,
+def draw_stereographic(mapping_or_collection, mlatmlt=False, *,
                        coastlines="default", cities=False, figsize=(10, 10),
                        bgcolor="black", bounding_box=None):
     """Stereographic plot centred on the data (reference draw.py:140-222).
@@ -130,7 +130,9 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False,
     :param bounding_box: optional BoundingBox fixing the map centre/extent
         instead of the data's own — pass the merged sequence bbox so every
         movie frame shares one map (reference drawStereographic's
-        ``boundingBox``; userguide movie recipe)
+        ``boundingBox``; userguide movie recipe). Under ``mlatmlt`` it
+        fixes only the extent (a BoundingBox is geographic; the centre
+        stays the magnetic vertex mean)
     :param mlatmlt: plot in the MLat/MLT system (drawStereographicMLatMLT)
     :param coastlines: (n, 2) lat/lon polyline array (NaN-separated), the
         string 'default' for the bundled coarse world coastline
@@ -152,8 +154,12 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False,
     center = bb.center
     size = bb.size
     lat0, lon0 = center.lat, center.lon
-    if mlatmlt and bounding_box is None:
-        # centre in magnetic coordinates: use mean of vertices
+    if mlatmlt:
+        # centre in magnetic coordinates: use mean of vertices — a caller-
+        # supplied bounding_box is geographic, so under mlatmlt it fixes
+        # only the EXTENT (bb.size below), never the centre (its lat/lon
+        # are meaningless in the SM frame and would place the data
+        # off-screen)
         lat0 = float(np.nanmean(verts[..., 1]))
         lon0 = float(np.nanmean(verts[..., 0]))
 

@@ -449,7 +449,9 @@ class Mapping:
 
     @property
     def cameraFootpoint(self):
-        lat, lon = j2000_to_latlon(self._camera_pos[None, :], self.frame_matrices.j2000_to_geo)
+        with utils.host_f64_device():
+            lat, lon = j2000_to_latlon(
+                self._camera_pos[None, :], self.frame_matrices.j2000_to_geo)
         return Location(float(np.asarray(lat)[0]), float(np.asarray(lon)[0]))
 
     @property
@@ -467,11 +469,16 @@ class Mapping:
     # ---- magnetic coordinates
 
     def _mlat_mlt(self, lats_deg, lons_deg, mask):
-        x, y, z = geodetic_to_ecef(
-            np.deg2rad(lats_deg), np.deg2rad(lons_deg), self._altitude, WGS84_A, WGS84_B
-        )
-        geo = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)], axis=-1)
-        mlat, mlt = geo_to_mlat_mlt(geo, self.frame_matrices.geo_to_sm)
+        # host f64 regardless of the default backend (magnetic-coordinate
+        # parity; TPU backends degrade f64 -> f32)
+        with utils.host_f64_device():
+            x, y, z = geodetic_to_ecef(
+                np.deg2rad(lats_deg), np.deg2rad(lons_deg), self._altitude,
+                WGS84_A, WGS84_B
+            )
+            geo = np.stack(
+                [np.asarray(x), np.asarray(y), np.asarray(z)], axis=-1)
+            mlat, mlt = geo_to_mlat_mlt(geo, self.frame_matrices.geo_to_sm)
         mlat, mlt = np.asarray(mlat), np.asarray(mlt)
         return (ma.masked_array(mlat, mask, copy=False),
                 ma.masked_array(mlt, mask, copy=False))
@@ -667,13 +674,14 @@ class Mapping:
         # _resample in resample.py)
         if self.containsPole or poly_pole:
             polygon = polygon.copy()
-            for arr in (grid, polygon):
-                la, lo = rotate_pole(
-                    np.deg2rad(arr[:, 0]), np.deg2rad(arr[:, 1]), self._altitude,
-                    angle_deg=90.0, axis=(1, 0, 0),
-                )
-                arr[:, 0] = np.rad2deg(np.asarray(la))
-                arr[:, 1] = np.rad2deg(np.asarray(lo))
+            with utils.host_f64_device():
+                for arr in (grid, polygon):
+                    la, lo = rotate_pole(
+                        np.deg2rad(arr[:, 0]), np.deg2rad(arr[:, 1]),
+                        self._altitude, angle_deg=90.0, axis=(1, 0, 0),
+                    )
+                    arr[:, 0] = np.rad2deg(np.asarray(la))
+                    arr[:, 1] = np.rad2deg(np.asarray(lo))
         elif self.containsDiscontinuity or poly_bb.containsDiscontinuity:
             polygon = polygon.copy()
             grid[:, 1] = _wrap180(grid[:, 1] + 180.0)
@@ -801,15 +809,21 @@ def MaskByElevationProvider(provider, *args, **kw):
 
 def inflated_earth_intersection(directions, camera_pos, earth_inflation=110,
                                 earth_model="wgs84"):
-    """Ray/inflated-Earth intersections (reference mapping.py:1474-1510)."""
-    if earth_model == "wgs84":
-        return ellipsoid_line_intersection(
-            WGS84_A + earth_inflation, WGS84_B + earth_inflation, camera_pos, directions
-        )
-    if earth_model == "sphere":
-        return sphere_line_intersection(
-            EARTH_RADIUS + earth_inflation, camera_pos, directions
-        )
+    """Ray/inflated-Earth intersections (reference mapping.py:1474-1510).
+
+    Host API: runs in f64 on the CPU backend regardless of the default
+    (the fused device pipelines in ops.georef carry their own intersection).
+    """
+    with utils.host_f64_device():
+        if earth_model == "wgs84":
+            return np.asarray(ellipsoid_line_intersection(
+                WGS84_A + earth_inflation, WGS84_B + earth_inflation,
+                camera_pos, directions
+            ))
+        if earth_model == "sphere":
+            return np.asarray(sphere_line_intersection(
+                EARTH_RADIUS + earth_inflation, camera_pos, directions
+            ))
     raise ValueError("unsupported earth model: " + earth_model)
 
 
@@ -840,13 +854,15 @@ def convert_sm_mapping_to_geo(mapping: Mapping) -> Mapping:
     # convention), then carry the source masks over explicitly: deriving
     # them from NaNs of the converted data would silently return an
     # all-False corner mask
-    lats, lons = sm_to_latlon(
-        mapping.lats.data, mapping.lons.data, fm.sm_to_geo, altitude=mapping.altitude
-    )
-    lats_c, lons_c = sm_to_latlon(
-        mapping.latsCenter.data, mapping.lonsCenter.data, fm.sm_to_geo,
-        altitude=mapping.altitude,
-    )
+    with utils.host_f64_device():
+        lats, lons = sm_to_latlon(
+            mapping.lats.data, mapping.lons.data, fm.sm_to_geo,
+            altitude=mapping.altitude
+        )
+        lats_c, lons_c = sm_to_latlon(
+            mapping.latsCenter.data, mapping.lonsCenter.data, fm.sm_to_geo,
+            altitude=mapping.altitude,
+        )
     out = Mapping(
         np.asarray(lats), np.asarray(lons), np.asarray(lats_c), np.asarray(lons_c),
         np.asarray(mapping.elevation.filled(np.nan)) if mapping.elevation is not None else None,

@@ -28,7 +28,7 @@ from auromat_tpu.mapping.mapping import (
     Mapping,
     MappingCollection,
 )
-from auromat_tpu.utils import find_nearest
+from auromat_tpu.utils import find_nearest, host_f64_device
 
 FILE_DATETIME_FORMAT = "%y%m%d_%H%M%S"
 
@@ -145,7 +145,9 @@ def get_mapping(image_path, altitude=110, simple=False, cal_path=None):
     altitude = 110 if simple or altitude is None else altitude
 
     fm = FrameMatrices(date)
-    ox, oy, oz = geodetic_to_ecef_zero(np.deg2rad(cal.lat), np.deg2rad(cal.lon))
+    with host_f64_device():
+        ox, oy, oz = geodetic_to_ecef_zero(
+            np.deg2rad(cal.lat), np.deg2rad(cal.lon))
     cam_geo = np.array([float(ox), float(oy), float(oz)])
     cam_gcrs = fm.geo_to_j2000 @ cam_geo
 
@@ -166,12 +168,16 @@ def get_mapping(image_path, altitude=110, simple=False, cal_path=None):
         def grid_latlon(corner):
             az, el = fisheye_az_el(cal, w, corner=corner)
             dirs = az_el_to_geo_directions(cal, az, el)
-            inter = np.asarray(
-                ellipsoid_line_intersection(
-                    WGS84_A + altitude, WGS84_B + altitude, cam_geo, dirs
+            # host f64 regardless of the default backend (fisheye chain
+            # parity; TPU backends degrade f64 -> f32)
+            with host_f64_device():
+                inter = np.asarray(
+                    ellipsoid_line_intersection(
+                        WGS84_A + altitude, WGS84_B + altitude, cam_geo, dirs
+                    )
                 )
-            )
-            lat, lon = ecef_to_geodetic(inter[..., 0], inter[..., 1], inter[..., 2])
+                lat, lon = ecef_to_geodetic(
+                    inter[..., 0], inter[..., 1], inter[..., 2])
             return np.rad2deg(np.asarray(lat)), np.rad2deg(np.asarray(lon))
 
         lats, lons = grid_latlon(corner=True)

@@ -28,7 +28,7 @@ from auromat_tpu.io import cdflib
 from auromat_tpu.mapping.mapping import BaseMappingProvider, Mapping, MappingCollection
 from auromat_tpu.util.osutil import touch
 from auromat_tpu.util.url import download_file
-from auromat_tpu.utils import find_nearest
+from auromat_tpu.utils import find_nearest, host_f64_device
 
 STATIONS = [
     "atha", "chbg", "ekat", "fsim", "fsmi", "fykn",
@@ -100,27 +100,31 @@ def reproject(lat_lon_asi, lats_ref, lons_ref, height_ref, height_new):
 
     Reconstructs per-pixel rays from the station through the reference-height
     grid and re-intersects the inflated ellipsoid at the new height
-    (reference themis.py:224-253).
+    (reference themis.py:224-253). Runs in f64 on the host CPU backend
+    (``utils.host_f64_device``) regardless of the default backend.
     """
     lat_asi, lon_asi = lat_lon_asi
-    ox, oy, oz = geodetic_to_ecef_zero(np.deg2rad(lat_asi), np.deg2rad(lon_asi))
-    origin = np.array([float(ox), float(oy), float(oz)])
-    # L2 calibration grids arrive float32 — upcast so the ray chain runs
-    # in f64 like the reference's numpy math (and like reproject_batch)
-    x, y, z = geodetic_to_ecef(
-        np.deg2rad(np.asarray(lats_ref, dtype=np.float64)),
-        np.deg2rad(np.asarray(lons_ref, dtype=np.float64)), height_ref
-    )
-    dirs = np.stack(
-        [np.asarray(x) - origin[0], np.asarray(y) - origin[1], np.asarray(z) - origin[2]],
-        axis=-1,
-    )
-    inter = np.asarray(
-        ellipsoid_line_intersection(
-            WGS84_A + height_new, WGS84_B + height_new, origin, dirs
+    with host_f64_device():
+        ox, oy, oz = geodetic_to_ecef_zero(
+            np.deg2rad(lat_asi), np.deg2rad(lon_asi))
+        origin = np.array([float(ox), float(oy), float(oz)])
+        # L2 calibration grids arrive float32 — upcast so the ray chain
+        # runs in f64 like the reference's numpy math (and reproject_batch)
+        x, y, z = geodetic_to_ecef(
+            np.deg2rad(np.asarray(lats_ref, dtype=np.float64)),
+            np.deg2rad(np.asarray(lons_ref, dtype=np.float64)), height_ref
         )
-    )
-    lat, lon = ecef_to_geodetic(inter[..., 0], inter[..., 1], inter[..., 2])
+        dirs = np.stack(
+            [np.asarray(x) - origin[0], np.asarray(y) - origin[1],
+             np.asarray(z) - origin[2]],
+            axis=-1,
+        )
+        inter = np.asarray(
+            ellipsoid_line_intersection(
+                WGS84_A + height_new, WGS84_B + height_new, origin, dirs
+            )
+        )
+        lat, lon = ecef_to_geodetic(inter[..., 0], inter[..., 1], inter[..., 2])
     return np.rad2deg(np.asarray(lat)), np.rad2deg(np.asarray(lon))
 
 
@@ -154,6 +158,13 @@ def reproject_batch(lat_lon_asi, lats_ref, lons_ref, height_ref, height_new):
     batch axis of a single jitted ray-reconstruct + re-intersect kernel
     (SURVEY.md section 2c P4).
 
+    Like :func:`reproject`, the math is pinned to the host CPU backend
+    when another backend is the default (``utils.host_f64_device``):
+    calibration reprojection needs float64 (TPUs have none — f64 silently
+    degrades to f32 there, which would break the batched==serial
+    equivalence), and at 24 x 256 x 256 points it is latency-, not
+    compute-bound.
+
     :param lat_lon_asi: (S, 2) station geodetic lat/lon degrees
     :param lats_ref, lons_ref: (S, h, w) calibration grids, degrees
     :param height_ref: scalar or (S,) reference altitude km
@@ -164,16 +175,17 @@ def reproject_batch(lat_lon_asi, lats_ref, lons_ref, height_ref, height_new):
     if _reproject_batch_fn is None:
         _reproject_batch_fn = _reproject_batch_jit()
     ll = np.asarray(lat_lon_asi, dtype=np.float64)
-    ox, oy, oz = geodetic_to_ecef_zero(
-        np.deg2rad(ll[:, 0]), np.deg2rad(ll[:, 1]))
-    origins = np.stack(
-        [np.asarray(ox), np.asarray(oy), np.asarray(oz)], axis=-1)
     h_ref = np.broadcast_to(
         np.asarray(height_ref, dtype=np.float64), (ll.shape[0],))
-    lat, lon = _reproject_batch_fn(
-        origins, np.deg2rad(np.asarray(lats_ref, dtype=np.float64)),
-        np.deg2rad(np.asarray(lons_ref, dtype=np.float64)), h_ref,
-        float(height_new))
+    with host_f64_device():
+        ox, oy, oz = geodetic_to_ecef_zero(
+            np.deg2rad(ll[:, 0]), np.deg2rad(ll[:, 1]))
+        origins = np.stack(
+            [np.asarray(ox), np.asarray(oy), np.asarray(oz)], axis=-1)
+        lat, lon = _reproject_batch_fn(
+            origins, np.deg2rad(np.asarray(lats_ref, dtype=np.float64)),
+            np.deg2rad(np.asarray(lons_ref, dtype=np.float64)), h_ref,
+            float(height_new))
     return np.rad2deg(np.asarray(lat)), np.rad2deg(np.asarray(lon))
 
 

@@ -836,9 +836,15 @@ def bin_nearest(grid: GridSpec, lats, lons, data, oversample=2):
     than the sample spacing (the method's intended regime) have almost no
     multi-sample cells and match correspondingly closer.
 
-    Outside-footprint cells still get the globally nearest sample (exact
-    scipy semantics); callers mask by outline exactly as the reference does
-    (resample.py:250-259).
+    Outside-footprint cells still get a nearest sample propagated by the
+    JFA (scipy-like semantics); callers mask by outline exactly as the
+    reference does (resample.py:250-259). Border caveat: samples falling
+    OUTSIDE the grid coverage are dropped by ``bin_indices`` before
+    seeding (the oversample pad ring only recovers ~(pad/s) cells beyond
+    the edge), so a border cell whose true nearest sample lies outside the
+    grid can take a farther in-grid sample than scipy's global KD-tree
+    would — one more way a miss still holds a nearby real sample, not
+    exactness at the border.
 
     :returns: (data_grid (n_lat, n_lon, C), dist2_grid (n_lat, n_lon) —
         squared degree distance to the winning sample; +inf when there are

@@ -22,6 +22,7 @@ from auromat_tpu.mapping.mapping import (
     convert_sm_mapping_to_geo,
 )
 from auromat_tpu.ops.regrid import bin_mean, fixed_grid
+from auromat_tpu.utils import host_f64_device as _host_ctx
 from auromat_tpu.utils import points_inside_polygon
 
 
@@ -143,18 +144,26 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     img_r = data[..., :-1] if has_elevation else data
     elevation_r = data[..., -1] if has_elevation else None
     if img_is_int:
-        with np.errstate(invalid="ignore"):
-            img_r = np.round(img_r)
-            # cubic interpolation overshoots on sharp edges (both the host
-            # Clough-Tocher and the device Catmull-Rom): clamp to the
-            # integer range or the cast WRAPS (272 -> 16, -5 -> 251)
-            info = np.iinfo(img_dtype)
-            img_r = np.clip(img_r, info.min, info.max)
-        img_r = np.where(np.isnan(img_r), 0, img_r).astype(img_dtype)
+        img_r = _finalize_int_image(img_r, img_dtype)
         # mask re-derived from coordinates; fill value irrelevant
     if img3.shape[2] == 1:
         img_r = img_r[..., 0]
     return mapping.createResampled(lats, lons, lats_c, lons_c, elevation_r, img_r)
+
+
+def _finalize_int_image(img_r, img_dtype):
+    """Float resampled image -> the source integer dtype.
+
+    Cubic interpolation overshoots on sharp edges (both the host
+    Clough-Tocher and the device Catmull-Rom): clamp to the integer range
+    or the cast WRAPS (272 -> 16, -5 -> 251). NaN (masked) cells become 0;
+    the mask is re-derived from coordinates, so the fill value is
+    irrelevant."""
+    with np.errstate(invalid="ignore"):
+        img_r = np.round(img_r)
+        info = np.iinfo(img_dtype)
+        img_r = np.clip(img_r, info.min, info.max)
+    return np.where(np.isnan(img_r), 0, img_r).astype(img_dtype)
 
 
 def resample_mlat_mlt(mapping, **kw):
@@ -220,6 +229,12 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
             raise ValueError("mappings have different image channel counts")
         if img_dtype is None:
             img_dtype = img3.dtype
+        elif img3.dtype != img_dtype:
+            # a silent cast to the first dtype would wrap out-of-range
+            # values (uint16 THEMIS counts into a uint8 mosaic)
+            raise ValueError(
+                f"mappings have different image dtypes: {img_dtype} vs "
+                f"{img3.dtype}")
         la = np.asarray(m.latsCenter.filled(np.nan)).ravel()
         lo = np.asarray(m.lonsCenter.filled(np.nan)).ravel()
         if shift:
@@ -245,9 +260,7 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     img_r, elev_r = best[..., :n_ch], best[..., n_ch]
 
     if np.issubdtype(img_dtype, np.integer):
-        with np.errstate(invalid="ignore"):
-            img_r = np.round(img_r)
-        img_r = np.where(np.isnan(img_r), 0, img_r).astype(img_dtype)
+        img_r = _finalize_int_image(img_r, img_dtype)
     if n_ch == 1:
         img_r = img_r[..., 0]
     lat_grid, lon_grid = grid.corner_grids()
@@ -270,15 +283,18 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
 
     if contains_pole:
         outline = outline_fn()
-        o_lats, o_lons = rotate_pole(
-            np.deg2rad(outline[:, 0]), np.deg2rad(outline[:, 1]), altitude,
-            angle_deg=90.0, axis=(1, 0, 0),
-        )
+        # host f64 regardless of the default backend (pole rotation feeds
+        # the parity-gated coordinate grids; TPU backends degrade f64->f32)
+        with _host_ctx():
+            o_lats, o_lons = rotate_pole(
+                np.deg2rad(outline[:, 0]), np.deg2rad(outline[:, 1]), altitude,
+                angle_deg=90.0, axis=(1, 0, 0),
+            )
         outline[:, 0] = np.rad2deg(np.asarray(o_lats))
         outline[:, 1] = np.rad2deg(np.asarray(o_lons))
         lat_min, lat_max = outline[:, 0].min(), outline[:, 0].max()
         lon_min, lon_max = outline[:, 1].min(), outline[:, 1].max()
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore"), _host_ctx():
             la, lo = rotate_pole(
                 np.deg2rad(lats_center.ravel()), np.deg2rad(lons_center.ravel()),
                 altitude, angle_deg=90.0, axis=(1, 0, 0),
@@ -360,10 +376,11 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
 
     if contains_pole:
         def unrotate(la, lo):
-            la2, lo2 = rotate_pole(
-                np.deg2rad(la.ravel()), np.deg2rad(lo.ravel()), altitude,
-                angle_deg=-90.0, axis=(1, 0, 0),
-            )
+            with _host_ctx():
+                la2, lo2 = rotate_pole(
+                    np.deg2rad(la.ravel()), np.deg2rad(lo.ravel()), altitude,
+                    angle_deg=-90.0, axis=(1, 0, 0),
+                )
             return (np.rad2deg(np.asarray(la2)).reshape(la.shape),
                     np.rad2deg(np.asarray(lo2)).reshape(lo.shape))
 

@@ -7,6 +7,31 @@ outline extraction, convex hulls, polygon area/centroid, point-in-polygon.
 import numpy as np
 
 
+def host_f64_device():
+    """Context pinning jax math to the host CPU backend when it is not the
+    default backend.
+
+    Host-side per-frame math (mapping lazies, ASI calibration reprojection,
+    pole rotation) needs float64: TPU backends silently degrade f64 to f32
+    (CLAUDE.md), and on a remote TPU every eager op is a network roundtrip
+    — these paths are latency-, not FLOP-bound, so the host CPU is also
+    the FAST placement. No-op when CPU already is the default, or when no
+    CPU backend exists (``jax_platforms`` pinned to an accelerator alone —
+    the convert CLI therefore selects "tpu,cpu", not bare "tpu").
+    Device-resident pipelines (ops.georef/georegrid, parallel.*) manage
+    their own placement and never route through this."""
+    import contextlib
+
+    import jax
+
+    if jax.default_backend() != "cpu":
+        try:
+            return jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+    return contextlib.nullcontext()
+
+
 def vector_lengths(vectors, axis=-1):
     vectors = np.asarray(vectors)
     return np.sqrt((vectors * vectors).sum(axis=axis))
