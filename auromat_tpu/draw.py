@@ -36,6 +36,7 @@ from auromat_tpu.draw_helpers import (
     overlap_polygons,
     polygons_from_mapping_or_collection,
     save_fig,  # noqa: F401  (re-export, reference draw.saveFig)
+    set_colors,  # noqa: F401  (re-export, reference draw.setColors)
 )
 from auromat_tpu.coordinates.transform import mlt_to_sm_lon
 
@@ -516,6 +517,45 @@ def draw_corr_plot(corr, image=None, figsize=(12, 8)):
     return fig
 
 
+def get_fixed_constellation_colors(colors=None):
+    """Per-constellation colors such that sky-neighbors differ.
+
+    Greedy graph coloring over the Delaunay triangulation of the bundled
+    figures' midpoints (reference draw.py:1349-1397
+    getFixedConstellationColors) — gives every constellation a stable
+    color assignment reusable across a whole frame sequence.
+
+    :param colors: iterable of base color names (default: the reference's
+        9-color set)
+    :returns: dict of constellation name -> color string
+    """
+    from scipy.spatial import Delaunay
+
+    from auromat_tpu.coordinates.constellations import load
+
+    base = list(colors) if colors is not None else [
+        "white", "lime", "red", "orange", "cyan", "magenta",
+        "lightblue", "hotpink", "yellow",
+    ]
+    data = load()
+    names = list(data)
+    points = np.array([[r[len(r) // 2][1], r[len(r) // 2][2]]
+                       for r in data.values()])
+    tri = Delaunay(points)
+    neighbors = {i: set() for i in range(len(names))}
+    for simplex in tri.simplices:
+        for a in simplex:
+            neighbors[a].update(int(b) for b in simplex if b != a)
+    assigned = {}
+    for i in range(len(names)):
+        used = {assigned[j] for j in neighbors[i] if j in assigned}
+        free = [c for c in base if c not in used]
+        # more neighbors than base colors: fall back to cycling (the
+        # reference reuses colors too once the palette is exhausted)
+        assigned[i] = free[0] if free else base[i % len(base)]
+    return {names[i]: assigned[i] for i in range(len(names))}
+
+
 def draw_constellations(wcs_or_mapping, data=None, color="white",
                         figsize=(12, 8), image=None):
     """Constellation stick figures over the frame.
@@ -525,13 +565,31 @@ def draw_constellations(wcs_or_mapping, data=None, color="white",
     (auromat_tpu.coordinates.constellations); pass ``data`` as a mapping of
     ``name -> [((ra1, dec1), (ra2, dec2)), ...]`` degree segments to
     override.
+
+    :param color: a single color name, a list of names cycled over
+        constellations, or a dict of ``name -> color`` (e.g. from
+        :func:`get_fixed_constellation_colors`)
     """
+    import itertools
+
     from auromat_tpu.coordinates.wcs import TanWcs, tan_world2pix
 
     if data is None:
         from auromat_tpu.coordinates.constellations import figure_segments
 
         data = figure_segments()
+    if isinstance(color, dict):
+        color_of = color.get
+        fallback = "white"
+        def color_fn(name):
+            return color_of(name, fallback)
+    elif isinstance(color, str):
+        def color_fn(name):
+            return color
+    else:
+        cycle = itertools.cycle(color)
+        def color_fn(name):
+            return next(cycle)
 
     wcs = (wcs_or_mapping if isinstance(wcs_or_mapping, TanWcs)
            else _wcs_from_mapping(wcs_or_mapping,
@@ -540,6 +598,7 @@ def draw_constellations(wcs_or_mapping, data=None, color="white",
     if image is not None:
         ax.imshow(np.asarray(image), cmap="gray", origin="upper")
     for name, segments in data.items():
+        c = color_fn(name)
         pts = []
         for (ra1, dec1), (ra2, dec2) in segments:
             x1, y1 = tan_world2pix(wcs, ra1, dec1)
@@ -547,11 +606,11 @@ def draw_constellations(wcs_or_mapping, data=None, color="white",
             x1, y1, x2, y2 = (float(np.asarray(v)) for v in (x1, y1, x2, y2))
             if (0 <= x1 <= wcs.width and 0 <= y1 <= wcs.height) or \
                (0 <= x2 <= wcs.width and 0 <= y2 <= wcs.height):
-                ax.plot([x1, x2], [y1, y2], color=color, linewidth=0.8)
+                ax.plot([x1, x2], [y1, y2], color=c, linewidth=0.8)
                 pts.append((x1, y1))
         if pts:
             cx, cy = np.mean(pts, axis=0)
-            ax.annotate(name, (cx, cy), color=color, fontsize=8)
+            ax.annotate(name, (cx, cy), color=c, fontsize=8)
     ax.set_xlim(0, wcs.width)
     ax.set_ylim(wcs.height, 0)
     return fig

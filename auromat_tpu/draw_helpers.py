@@ -107,6 +107,43 @@ def figure_image(fig):
     return buf[:, :, :3].copy()
 
 
+def set_colors(fig_or_figax, bgcolor="white", transparent=False):
+    """Switch a figure between the white/black color schemes.
+
+    Recolors the figure/axes background and every axis decoration (spines,
+    tick marks/labels, axis labels, titles and other text) so plots can be
+    produced for either background after the fact (reference
+    draw.py:1958-1971 setColors + draw_helpers.py:327-363 _setMplColors).
+
+    :param fig_or_figax: a Figure, or a (fig, ax, ...) sequence
+    :param bgcolor: 'white' or 'black' plot background
+    :param transparent: transparent background outside the plot bounds
+    """
+    from matplotlib.figure import Figure
+    from matplotlib.text import Text
+
+    if isinstance(fig_or_figax, Figure):
+        fig, axes = fig_or_figax, fig_or_figax.axes
+    else:
+        fig = fig_or_figax[0]
+        axes = [fig_or_figax[1]]
+    textcolor = "white" if bgcolor == "black" else "black"
+    facecolor = "none" if transparent else bgcolor
+    fig.patch.set_facecolor(facecolor)
+    for ax in axes:
+        ax.set_facecolor(facecolor)
+        for spine in ax.spines.values():
+            spine.set_color(textcolor)
+        ax.tick_params(colors=textcolor, which="both")
+        ax.xaxis.label.set_color(textcolor)
+        ax.yaxis.label.set_color(textcolor)
+        for t in ax.findobj(Text):
+            t.set_color(textcolor)
+    for t in fig.texts:
+        t.set_color(textcolor)
+    return fig
+
+
 def save_fig(path, fig, dpi=None, transparent=False, width_px=None):
     """Save and close a figure (reference draw.py:1937-1956).
 

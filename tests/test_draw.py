@@ -358,6 +358,56 @@ class TestBundledConstellations:
         save_fig(str(tmp_path / "const_bundled.png"), fig)
         assert (tmp_path / "const_bundled.png").stat().st_size > 0
 
+    def test_fixed_constellation_colors(self):
+        """Greedy Delaunay coloring: full coverage, neighbors differ
+        (reference draw.py getFixedConstellationColors)."""
+        from scipy.spatial import Delaunay
+
+        from auromat_tpu.coordinates.constellations import load
+
+        colors = draw.get_fixed_constellation_colors()
+        data = load()
+        assert set(colors) == set(data)
+        assert all(isinstance(c, str) for c in colors.values())
+        # recompute the neighbor graph and assert adjacent constellations
+        # got different colors (the palette of 9 is large enough that the
+        # greedy pass never has to reuse within a neighborhood here)
+        names = list(data)
+        pts = np.array([[r[len(r) // 2][1], r[len(r) // 2][2]]
+                        for r in data.values()])
+        tri = Delaunay(pts)
+        for simplex in tri.simplices:
+            cs = [colors[names[i]] for i in simplex]
+            assert len(set(cs)) == len(cs), cs
+
+    def test_draw_with_color_dict_and_cycle(self, mapping, tmp_path):
+        fig = draw.draw_constellations(
+            mapping, color=draw.get_fixed_constellation_colors())
+        save_fig(str(tmp_path / "const_dict.png"), fig)
+        fig = draw.draw_constellations(mapping, color=["red", "lime"])
+        save_fig(str(tmp_path / "const_cycle.png"), fig)
+        assert (tmp_path / "const_dict.png").stat().st_size > 0
+        assert (tmp_path / "const_cycle.png").stat().st_size > 0
+
+
+class TestSetColors:
+    def test_black_scheme(self, resampled):
+        """set_colors flips background + text colors in place (reference
+        draw.setColors)."""
+        fig = draw.draw_plot(resampled)
+        draw.set_colors(fig, bgcolor="black")
+        assert fig.patch.get_facecolor()[:3] == (0.0, 0.0, 0.0)
+        ax = fig.axes[0]
+        assert ax.xaxis.label.get_color() == "white"
+        assert all(s.get_edgecolor()[:3] == (1.0, 1.0, 1.0)
+                   for s in ax.spines.values())
+        # figax tuple form + transparent
+        draw.set_colors((fig, ax), bgcolor="white", transparent=True)
+        assert fig.patch.get_facecolor()[3] == 0.0
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
 
 class TestCatalogStars:
     def test_offline_bright_catalog(self, mapping, tmp_path):
