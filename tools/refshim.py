@@ -126,24 +126,72 @@ coordinates.Angle = Angle
 coordinates.angles = angles
 
 
-class Time:  # transform.py imports it; golden paths never call it
-    def __init__(self, *a, **k):
-        raise NotImplementedError("astropy.time.Time stub")
+class Time:
+    """Functional subset: Time(datetime, scale='utc').jd — all the
+    reference's date2es (transform.py:525-532) consumes."""
+
+    def __init__(self, value, scale="utc", format=None):
+        import datetime as _dt
+
+        if not isinstance(value, _dt.datetime):
+            raise NotImplementedError(f"Time stub: {type(value)}")
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        self._dt = value
+
+    @property
+    def jd(self):
+        import datetime as _dt
+
+        delta = self._dt - _dt.datetime(1970, 1, 1)
+        return 2440587.5 + delta.total_seconds() / 86400.0
 
 
 time_mod = types.ModuleType("astropy.time")
 time_mod.Time = Time
 constants = types.ModuleType("astropy.constants")
 constants.R_earth = _Quantity(6378136.0, "m")
+units.arcsec = _Unit("arcsec")
+units.degree = _Unit("deg")
+
+
+def _quantity_to(self, unit):
+    # arcsec -> degree is the only conversion the golden paths make
+    # (resample.plateCarreeResolution)
+    if self.unit == "arcsec" and getattr(unit, "name", None) == "deg":
+        return _Quantity(self.value / 3600.0, "deg")
+    if self.unit == getattr(unit, "name", None):
+        return self
+    raise NotImplementedError((self.unit, unit))
+
+
+_Quantity.to = _quantity_to
+wcs_pkg = types.ModuleType("astropy.wcs")
+wcs_wcs = types.ModuleType("astropy.wcs.wcs")
+
+
+class WCS:  # import surface of reference wcs.py; TAN fast path never builds it
+    def __init__(self, *a, **k):
+        raise NotImplementedError("astropy.wcs.WCS stub")
+
+
+wcs_wcs.WCS = WCS
+wcs_pkg.WCS = WCS
+wcs_pkg.wcs = wcs_wcs
+wcs_pkg.__path__ = []
+astropy.__version__ = "1.0"  # LooseVersion checks in resample.py
 astropy.units = units
 astropy.coordinates = coordinates
 astropy.time = time_mod
 astropy.constants = constants
+astropy.wcs = wcs_pkg
+astropy.__path__ = []
 sys.modules.update({
     "astropy": astropy, "astropy.units": units,
     "astropy.coordinates": coordinates,
     "astropy.coordinates.angles": angles,
     "astropy.time": time_mod, "astropy.constants": constants,
+    "astropy.wcs": wcs_pkg, "astropy.wcs.wcs": wcs_wcs,
 })
 
 # --- geographiclib -----------------------------------------------------
@@ -153,17 +201,62 @@ geodesic_mod = types.ModuleType("geographiclib.geodesic")
 
 class _Geodesic:
     WGS84 = None  # populated after class def
+    # outmask flag constants (values irrelevant — the backing
+    # implementation always computes every quantity it can)
+    EMPTY = 0
+    DISTANCE = 1
+    AZIMUTH = 2
+    LATITUDE = 4
+    LONGITUDE = 8
+    ALL = 0x7FFF
+
+
+class _GeodesicLine:
+    """Minimal geographiclib GeodesicLine: Position(s12) via the repo's
+    direct-problem solver (only lat2/lon2 are read on the golden paths)."""
+
+    def __init__(self, lat1, lon1, azi1):
+        self._start = (lat1, lon1, azi1)
+
+    def Position(self, s12, outmask=None):
+        from auromat_tpu.coordinates import geodesic as _g
+
+        lat1, lon1, azi1 = self._start
+        loc = _g.destination(_g.Location(lat1, lon1), azi1, s12)
+        return {"lat2": float(loc.lat), "lon2": float(loc.lon), "s12": s12}
 
 
 class _WGS84:
     a = 6378137.0
     f = 1 / 298.257223563
 
-    def Inverse(self, *a, **k):
-        raise NotImplementedError("geographiclib stub")
+    # Functional backing via the repo's vectorized Vincenty solver
+    # (auromat_tpu.coordinates.geodesic — itself golden-tested against
+    # direct-problem oracles). On the resample-golden path these feed only
+    # pole detection and bbox sizing, never the binned values.
+    def Inverse(self, lat1, lon1, lat2, lon2, outmask=None):
+        from auromat_tpu.coordinates import geodesic as _g
 
-    Direct = Inverse
-    Line = Inverse
+        p1, p2 = _g.Location(lat1, lon1), _g.Location(lat2, lon2)
+        azi1 = float(_g.course(p1, p2))
+        azi2 = (float(_g.course(p2, p1)) + 180.0 + 180.0) % 360.0 - 180.0
+        return {
+            "s12": float(_g.distance(p1, p2)),
+            "a12": float(_g.angular_distance(p1, p2)),
+            "azi1": azi1,
+            "azi2": azi2,
+            "lat1": lat1, "lon1": lon1, "lat2": lat2, "lon2": lon2,
+        }
+
+    def Direct(self, lat1, lon1, azi1, s12, outmask=None):
+        from auromat_tpu.coordinates import geodesic as _g
+
+        loc = _g.destination(_g.Location(lat1, lon1), azi1, s12)
+        return {"lat2": float(loc.lat), "lon2": float(loc.lon),
+                "s12": s12, "azi1": azi1, "lat1": lat1, "lon1": lon1}
+
+    def Line(self, lat1, lon1, azi1, caps=None):
+        return _GeodesicLine(lat1, lon1, azi1)
 
 
 _Geodesic.WGS84 = _WGS84()
@@ -190,7 +283,29 @@ sk_io = types.ModuleType("skimage.io")
 sk_io.imread = None
 sk_io.imsave = None
 measure = types.ModuleType("skimage.measure")
-measure.find_contours = None
+
+
+def _find_contours(image, level):
+    """cv2-backed stand-in for skimage.measure.find_contours as consumed by
+    the reference's _outline_skimage (utils.py:96-151): returns closed
+    (y, x) float contours of the binary image whose rounded coordinates
+    index the True region's boundary pixels. cv2.findContours with
+    CHAIN_APPROX_NONE traces exactly those pixels."""
+    import cv2
+
+    mask = (np.asarray(image) >= level).astype(np.uint8)
+    contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_NONE)
+    out = []
+    for c in contours:
+        xy = c[:, 0, :].astype(np.float64)  # (n, 2) x,y
+        yx = xy[:, ::-1]
+        yx = np.vstack([yx, yx[:1]])  # find_contours returns closed rings
+        out.append(yx)
+    return out
+
+
+measure.find_contours = _find_contours
 sk_color = types.ModuleType("skimage.color")
 sk_color.gray2rgb = lambda a: np.repeat(np.asarray(a)[..., None], 3, axis=-1)
 sk_color.rgb2gray = None
