@@ -170,13 +170,15 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False, *,
     fig, ax = _new_axes(figsize, facecolor=bgcolor)
     ax.set_facecolor(bgcolor)
     _graticule(ax, lat0, lon0, size.width, size.height)
-    if isinstance(coastlines, str) and coastlines == "default":
-        if mlatmlt:
-            coastlines = None  # geographic polylines are meaningless in MLat/MLT
-        else:
-            from auromat_tpu.coastlines import coastline_latlon
+    if mlatmlt:
+        # geographic polylines (bundled OR caller-supplied) are meaningless
+        # in the MLat/MLT frame — the docstring scopes the whole parameter
+        # to geographic plots
+        coastlines = None
+    elif isinstance(coastlines, str) and coastlines == "default":
+        from auromat_tpu.coastlines import coastline_latlon
 
-            coastlines = coastline_latlon()
+        coastlines = coastline_latlon()
     if coastlines is not None:
         from auromat_tpu.coastlines import near_hemisphere
 

@@ -13,7 +13,7 @@ import numpy.ma as ma
 
 from auromat_tpu.coordinates import geodesic
 from auromat_tpu.coordinates.geodesic import Location
-from auromat_tpu.coordinates.transform import rotate_pole, wrap_longitude
+from auromat_tpu.coordinates.transform import rotate_pole
 from auromat_tpu.mapping.mapping import (
     BoundingBox,
     Mapping,
@@ -24,6 +24,16 @@ from auromat_tpu.mapping.mapping import (
 from auromat_tpu.ops.regrid import bin_mean, fixed_grid
 from auromat_tpu.utils import host_f64_device as _host_ctx
 from auromat_tpu.utils import points_inside_polygon
+
+
+def _wrap_lon_np(lon):
+    """Wrap degrees into [-180, 180), host-side numpy f64.
+
+    The jax wrap_longitude would run on the DEFAULT backend: under an
+    accelerator default these per-frame grid wraps would silently degrade
+    f64->f32 (and cost eager remote roundtrips on axon) - same hazard the
+    rotate_pole calls pin away via host_f64_device()."""
+    return (np.asarray(lon, dtype=np.float64) + 180.0) % 360.0 - 180.0
 
 
 def plate_carree_resolution(bounding_box: BoundingBox, arcsec_per_px):
@@ -238,7 +248,7 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
         la = np.asarray(m.latsCenter.filled(np.nan)).ravel()
         lo = np.asarray(m.lonsCenter.filled(np.nan)).ravel()
         if shift:
-            lo = np.asarray(wrap_longitude(lo + 180.0))
+            lo = _wrap_lon_np(lo + 180.0)
         el = np.asarray(m.elevation.filled(np.nan)).ravel()
         im = np.asarray(img3.astype(np.float32).filled(np.nan)).reshape(-1, n_ch)
         lats_l.append(la)
@@ -249,8 +259,8 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     data = np.concatenate(data_l, axis=0)
 
     lon_min, lon_max = ((bbox.lonWest, bbox.lonEast) if not shift else
-                        (wrap_longitude(bbox.lonWest + 180.0),
-                         wrap_longitude(bbox.lonEast + 180.0)))
+                        (_wrap_lon_np(bbox.lonWest + 180.0),
+                         _wrap_lon_np(bbox.lonEast + 180.0)))
     from auromat_tpu.ops.regrid import bin_take_best
 
     grid = fixed_grid(px_per_deg, bbox.latSouth, bbox.latNorth,
@@ -266,8 +276,8 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     lat_grid, lon_grid = grid.corner_grids()
     lat_grid_c, lon_grid_c = grid.center_grids()
     if shift:
-        lon_grid = np.asarray(wrap_longitude(lon_grid + 180.0))
-        lon_grid_c = np.asarray(wrap_longitude(lon_grid_c + 180.0))
+        lon_grid = _wrap_lon_np(lon_grid + 180.0)
+        lon_grid_c = _wrap_lon_np(lon_grid_c + 180.0)
     return Mapping(
         lat_grid, lon_grid, lat_grid_c, lon_grid_c, elev_r, altitude, img_r,
         np.full(3, np.nan), mappings[0].photoTime,
@@ -304,9 +314,9 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
         outline_fn = lambda: outline
     elif contains_discontinuity:
         outline = outline_fn()
-        outline[:, 1] = np.asarray(wrap_longitude(outline[:, 1] + 180.0))
+        outline[:, 1] = _wrap_lon_np(outline[:, 1] + 180.0)
         lon_min, lon_max = outline[:, 1].min(), outline[:, 1].max()
-        lons_center = np.asarray(wrap_longitude(lons_center + 180.0))
+        lons_center = _wrap_lon_np(lons_center + 180.0)
         outline_fn = lambda: outline
 
     grid = fixed_grid(px_per_deg, lat_min, lat_max, lon_min, lon_max)
@@ -387,8 +397,8 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
         lat_grid, lon_grid = unrotate(lat_grid, lon_grid)
         lat_grid_c, lon_grid_c = unrotate(lat_grid_c, lon_grid_c)
     elif contains_discontinuity:
-        lon_grid = np.asarray(wrap_longitude(lon_grid + 180.0))
-        lon_grid_c = np.asarray(wrap_longitude(lon_grid_c + 180.0))
+        lon_grid = _wrap_lon_np(lon_grid + 180.0)
+        lon_grid_c = _wrap_lon_np(lon_grid_c + 180.0)
 
     return lat_grid, lon_grid, lat_grid_c, lon_grid_c, data_r
 

@@ -122,8 +122,10 @@ def extract_aurora_sequences(url=AURORA_VIDEOS_URL):
     pair_re = re.compile(
         link + r'"[^>]*>\s*(?:<nobr>)?[A-Z0-9-]*\s*</a>\s*to\s*<a\s[^>]*'
         + link, re.DOTALL | re.IGNORECASE)
-    anchor_re = re.compile(r'<a\s+name="([A-Za-z0-9_]+)"\s*>(.*?)</a>',
-                           re.DOTALL)
+    # legacy NASA HTML mixes attribute case/order (<A NAME=..>, id= before
+    # name=): match any <a ...> tag carrying a name attribute
+    anchor_re = re.compile(r'<a\s[^>]*name="([A-Za-z0-9_]+)"[^>]*>(.*?)</a>',
+                           re.DOTALL | re.IGNORECASE)
     # split the page at the named anchors; each section up to the next
     # anchor holds that sequence's frame-range pair
     anchors = list(anchor_re.finditer(html))
