@@ -166,6 +166,63 @@ class TestSyntheticPaths:
         assert np.abs(elev[both] - ref[both]).max() < 1e-4
 
 
+class TestInterpMethods:
+    """'nearest'/'linear'/'cubic' vs the executed reference (scipy
+    griddata + concave-outline masking, reference resample.py:216-259) on
+    a mid-latitude synthetic cap. nearest/linear are bit-exact incl.
+    masks; cubic differs ONLY where the interpolant overshoots the uint8
+    range — the reference np.require-casts the rounded float (wraps
+    modulo 256, resample.py:132), the repo deliberately clamps
+    (_finalize_int_image) — the gate asserts exactly that signature."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        return np.load(os.path.join(RES, "golden_resample_methods.npz"))
+
+    @pytest.fixture(scope="class")
+    def mapping(self, golden):
+        from datetime import datetime
+
+        from auromat_tpu.mapping.mapping import Mapping
+
+        return Mapping(golden["in_lats"], golden["in_lons"],
+                       golden["in_lats_center"], golden["in_lons_center"],
+                       golden["in_elevation"], 110.0, golden["in_img"],
+                       [0.0, 0.0, 6871.0], datetime(2012, 1, 25, 9, 27, 57),
+                       "synthetic_methods")
+
+    @pytest.mark.parametrize("method", ["nearest", "linear", "cubic"])
+    def test_method(self, golden, mapping, method):
+        r = resample(mapping, px_per_deg=float(golden["px_per_deg"]),
+                     contains_pole=False, method=method)
+        img = r.img
+        assert np.asarray(img).shape == golden[f"{method}_img"].shape
+        mask = np.ma.getmaskarray(img)
+        gmask = golden[f"{method}_img_mask"]
+        assert (mask != gmask).sum() == 0, "outline masking differs"
+        both = ~mask.any(axis=-1) & ~gmask.any(axis=-1)
+        ours = np.asarray(img.filled(0)).astype(np.int64)
+        ref = golden[f"{method}_img"].astype(np.int64)
+        diff = np.abs(ours - ref)
+        diff[~both] = 0
+        overshoot = diff > 1
+        if method == "cubic":
+            # clamp-vs-wrap cells: repo value pinned at an endpoint
+            assert overshoot.sum() < 100
+            assert np.isin(ours[overshoot], (0, 255)).all(), (
+                "non-endpoint repo value at a large diff: not the "
+                "clamp-vs-wrap deviation")
+            diff[overshoot] = 0
+        assert (diff > 1).sum() == 0
+        assert (diff == 1).mean() < 1e-3
+        elev = np.asarray(r.elevation.filled(np.nan))
+        ge = golden[f"{method}_elevation"]
+        b = ~np.isnan(elev) & ~np.isnan(ge)
+        assert b.any()
+        # golden elevation stored f32
+        assert np.abs(elev[b] - ge[b]).max() < 1e-4
+
+
 def test_mlatmlt_parity():
     """resample_mlat_mlt vs the executed reference resampleMLatMLT
     (reference resample.py:63-71 + mapping.py:1519-1559): gates the GEO→SM

@@ -243,11 +243,47 @@ def make_golden_synthetic(tag, lat0, lon0, half_deg, n, contains_pole):
           f"{(~np.ma.getmaskarray(rimg)).all(axis=-1).mean():.3f} valid")
 
 
+def make_golden_methods():
+    """Interpolation-method goldens ('nearest'/'linear'/'cubic' through
+    scipy griddata + outline masking, reference resample.py:216-259) on a
+    mid-latitude synthetic cap (straight path: no pole/discontinuity)."""
+    import datetime as dt
+
+    from auromat.mapping.mapping import GenericMapping
+    from auromat.resample import resample as ref_resample
+
+    lats, lons, lats_c, lons_c, elev, img = _gnomonic_cap(
+        55.0, -100.0, 6.0, 140)
+    photo_time = dt.datetime(2012, 1, 25, 9, 27, 57)
+    cam = np.array([0.0, 0.0, 6871.0])
+    payload = {"px_per_deg": PX_PER_DEG, "altitude": 110.0,
+               "in_lats": lats, "in_lons": lons, "in_lats_center": lats_c,
+               "in_lons_center": lons_c, "in_elevation": elev, "in_img": img}
+    for method in ("nearest", "linear", "cubic"):
+        m = GenericMapping(lats.copy(), lons.copy(), lats_c.copy(),
+                           lons_c.copy(), elev.copy(), 110.0, img.copy(),
+                           cam, photo_time, f"synthetic_{method}")
+        r = ref_resample(m, pxPerDeg=PX_PER_DEG, containsPole=False,
+                         method=method)
+        rimg = r.img
+        payload[f"{method}_lats"] = np.asarray(r.lats.filled(np.nan))
+        payload[f"{method}_img"] = np.asarray(rimg.filled(0))
+        payload[f"{method}_img_mask"] = np.asarray(np.ma.getmaskarray(rimg))
+        payload[f"{method}_elevation"] = np.asarray(
+            r.elevation.filled(np.nan), dtype=np.float32)
+        print("method", method, rimg.shape,
+              f"{(~np.ma.getmaskarray(rimg)).all(axis=-1).mean():.3f} valid")
+    out = os.path.join(RES, "golden_resample_methods.npz")
+    np.savez_compressed(out, **payload)
+    print("->", out)
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["frames", "mlatmlt", "synthetic"],
+    ap.add_argument("--only", choices=["frames", "mlatmlt", "synthetic",
+                                       "methods"],
                     default=None)
     args = ap.parse_args()
     if args.only in (None, "frames"):
@@ -260,3 +296,5 @@ if __name__ == "__main__":
                               contains_pole=True)
         make_golden_synthetic("discont", 60.0, 180.0, 8.0, 180,
                               contains_pole=False)
+    if args.only in (None, "methods"):
+        make_golden_methods()
