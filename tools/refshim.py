@@ -20,6 +20,35 @@ six.PY3 = True
 six.PY2 = False
 six.string_types = (str,)
 six.integer_types = (int,)
+# real packages (dateutil via matplotlib) import these too
+six.text_type = str
+six.binary_type = bytes
+six.advance_iterator = next
+six.next = next
+six.itervalues = lambda d, **kw: iter(d.values(**kw))
+six.iterkeys = lambda d, **kw: iter(d.keys(**kw))
+six.u = lambda s: s
+six.b = lambda s: s.encode("latin-1")
+import functools as _functools  # noqa: E402
+
+six.wraps = _functools.wraps
+
+
+def _with_metaclass(meta, *bases):
+    return meta("_NewBase", bases or (object,), {})
+
+
+six.with_metaclass = _with_metaclass
+import _thread as _thread_mod  # noqa: E402
+
+six_moves = types.ModuleType("six.moves")
+six_moves.range = range
+six_moves.zip = zip
+six_moves.map = map
+six_moves._thread = _thread_mod
+six.moves = six_moves
+sys.modules["six.moves"] = six_moves
+sys.modules["six.moves._thread"] = _thread_mod
 
 
 def _reraise(tp, value, tb=None):
@@ -341,5 +370,95 @@ sys.modules["spacepy.pycdf"] = pycdf
 exifread = types.ModuleType("exifread")
 exifread.process_file = lambda *a, **k: {}
 sys.modules["exifread"] = exifread
+
+# --- astropy.io.fits / astropy.utils / astroquery import surface -------
+# auromat.fits imports these at module level; the golden paths (e.g.
+# solving.masking via auromat.draw) never call into them.
+def _raising(name):
+    def _f(*a, **k):
+        raise NotImplementedError(name + " stub")
+
+    return _f
+
+
+io_pkg = types.ModuleType("astropy.io")
+io_fits = types.ModuleType("astropy.io.fits")
+for _n in ("open", "getheader", "Column", "BinTableHDU", "Header"):
+    setattr(io_fits, _n, _raising("astropy.io.fits." + _n))
+io_pkg.fits = io_fits
+io_pkg.__path__ = []
+astropy.io = io_pkg
+utils_pkg = types.ModuleType("astropy.utils")
+utils_data = types.ModuleType("astropy.utils.data")
+utils_data.download_file = _raising("astropy.utils.data.download_file")
+utils_pkg.data = utils_data
+utils_pkg.__path__ = []
+astropy.utils = utils_pkg
+astroquery = types.ModuleType("astroquery")
+astroquery_query = types.ModuleType("astroquery.query")
+
+
+class suspend_cache:
+    def __init__(self, *a, **k):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+astroquery_query.suspend_cache = suspend_cache
+astroquery.query = astroquery_query
+astroquery.__path__ = []
+sys.modules.update({
+    "astropy.io": io_pkg, "astropy.io.fits": io_fits,
+    "astropy.utils": utils_pkg, "astropy.utils.data": utils_data,
+    "astroquery": astroquery, "astroquery.query": astroquery_query,
+})
+
+# --- draw-layer import surface (basemap/brewer2mpl/old-mpl) -------------
+# auromat.draw imports these at module level; the golden paths (e.g.
+# solving.masking's debug-only drawHistogram) never call them.
+basemap = types.ModuleType("mpl_toolkits.basemap")
+
+
+class Basemap:
+    def __init__(self, *a, **k):
+        raise NotImplementedError("Basemap stub")
+
+
+basemap.Basemap = Basemap
+sys.modules["mpl_toolkits.basemap"] = basemap
+brewer2mpl = types.ModuleType("brewer2mpl")
+
+
+def _get_map(*a, **k):
+    import matplotlib.cm as _cm
+
+    # close enough for module-level colormap globals the golden paths
+    # never render
+    return types.SimpleNamespace(mpl_colormap=_cm.get_cmap("RdBu")
+                                 if hasattr(_cm, "get_cmap")
+                                 else __import__("matplotlib").colormaps["RdBu"])
+
+
+brewer2mpl.get_map = _get_map
+sys.modules["brewer2mpl"] = brewer2mpl
+try:  # matplotlib.mlab.poly_between was removed in matplotlib 3.x
+    import matplotlib.mlab as _mlab
+
+    if not hasattr(_mlab, "poly_between"):
+        def _poly_between(x, ylower, yupper):
+            import numpy as _np
+
+            x = _np.concatenate((x, x[::-1]))
+            y = _np.concatenate((yupper, ylower[::-1]))
+            return x, y
+
+        _mlab.poly_between = _poly_between
+except ImportError:
+    pass
 
 sys.path.insert(0, "/root/reference")
