@@ -223,6 +223,29 @@ class TestInterpMethods:
         assert np.abs(elev[b] - ge[b]).max() < 1e-4
 
 
+def test_polygon_decomposition_parity():
+    """Draw-layer quad decomposition vs the executed reference
+    generatePolygonsFromMapping (reference draw_helpers.py:34-90) on the
+    resampled mapping — the geometry every stereographic/KML/polar plot
+    renders. Same quads, same order, same colors; the reference emits
+    (lat, lon) vertices, the repo plot-order (x=lon, y=lat)."""
+    name = "ISS030-E-102170_dc"
+    golden = np.load(os.path.join(RES, f"golden_polygons_{name}.npz"))
+    m = get_mapping(os.path.join(RES, f"{name}.jpg"),
+                    os.path.join(RES, f"{name}.wcs"),
+                    altitude=float(golden["altitude"]))
+    r = resample(m, px_per_deg=float(golden["px_per_deg"]))
+    from auromat_tpu.draw_helpers import polygons_from_mapping_or_collection
+
+    verts, colors = polygons_from_mapping_or_collection(r)
+    ref_verts = golden["verts"][:, :, ::-1]  # (lat,lon) -> (lon,lat)
+    assert verts.shape == ref_verts.shape, (
+        f"quad count/order differs: {verts.shape} vs {ref_verts.shape}")
+    assert np.abs(verts - ref_verts).max() < 1e-9
+    ref_colors = golden["colors"].astype(np.float64) / 255.0
+    assert np.abs(colors[:, :3] - ref_colors).max() == 0.0
+
+
 def test_mlatmlt_parity():
     """resample_mlat_mlt vs the executed reference resampleMLatMLT
     (reference resample.py:63-71 + mapping.py:1519-1559): gates the GEO→SM

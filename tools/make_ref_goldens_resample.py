@@ -278,12 +278,31 @@ def make_golden_methods():
     print("->", out)
 
 
+def make_golden_polygons(name):
+    """Draw-layer quad decomposition golden: the reference's
+    generatePolygonsFromMapping (draw_helpers.py:34-90: QuadMesh-style
+    corner stacking + NaN/color-mask filtering) on the RESAMPLED mapping —
+    the geometry every stereographic/KML/polar plot renders."""
+    from auromat.draw_helpers import generatePolygonsFromMapping
+    from auromat.resample import resample as ref_resample
+
+    m = build_reference_mapping(name)
+    r = ref_resample(m, pxPerDeg=PX_PER_DEG, containsPole=False,
+                     method="mean")
+    verts, colors = generatePolygonsFromMapping(r)
+    out = os.path.join(RES, f"golden_polygons_{name}.npz")
+    np.savez_compressed(out, px_per_deg=PX_PER_DEG, altitude=110.0,
+                        verts=np.asarray(verts, dtype=np.float64),
+                        colors=np.asarray(colors, dtype=np.uint8))
+    print("polygons", name, "->", out, verts.shape, colors.shape)
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["frames", "mlatmlt", "synthetic",
-                                       "methods"],
+                                       "methods", "polygons"],
                     default=None)
     args = ap.parse_args()
     if args.only in (None, "frames"):
@@ -298,3 +317,5 @@ if __name__ == "__main__":
                               contains_pole=False)
     if args.only in (None, "methods"):
         make_golden_methods()
+    if args.only in (None, "polygons"):
+        make_golden_polygons("ISS030-E-102170_dc")
