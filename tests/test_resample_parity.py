@@ -223,6 +223,60 @@ class TestInterpMethods:
         assert np.abs(elev[b] - ge[b]).max() < 1e-4
 
 
+def test_mapping_properties_parity():
+    """Mapping-level property parity vs the executed reference
+    (mapping.py:760-923): centroid (signed-area polygonCentroid over the
+    outline), cameraFootpoint, arcSecPerPx sampling statistics, the
+    outline point multiset, convex-hull geometry, and maskedByElevation /
+    maskedByPolygon center masks (bit-exact)."""
+    name = "ISS030-E-102170_dc"
+    golden = np.load(os.path.join(RES, f"golden_mapprops_{name}.npz"))
+    m = get_mapping(os.path.join(RES, f"{name}.jpg"),
+                    os.path.join(RES, f"{name}.wcs"),
+                    altitude=float(golden["altitude"]))
+    c, f = m.centroid, m.cameraFootpoint
+    assert abs(c.lat - golden["centroid"][0]) < 1e-9
+    assert abs(c.lon - golden["centroid"][1]) < 1e-9
+    assert abs(f.lat - golden["camera_footpoint"][0]) < 1e-9
+    assert abs(f.lon - golden["camera_footpoint"][1]) < 1e-9
+    s = m.arcSecPerPx
+    scales = np.array([[p.mean, p.median, p.min, p.max]
+                       for p in (s.width, s.height, s.diagonal)])
+    # NOTE: the reference's per-pair distances flow through the shimmed
+    # geographiclib (backed by the repo solver) — this gates the
+    # 1000-polygon sampling/aggregation, not the geodesic core (which has
+    # its own direct-problem oracle tests)
+    assert np.abs(scales / golden["arcsec_per_px"] - 1).max() < 1e-9
+
+    # outline: same point multiset (traversal start/orientation may differ)
+    ro, go = np.asarray(m.outline), golden["outline"]
+    assert ro.shape == go.shape
+    rs = ro[np.lexsort(ro.T)]
+    gs = go[np.lexsort(go.T)]
+    assert np.abs(rs - gs).max() < 1e-9
+
+    # convex hull: the reference emits every point on hull facets (7k+
+    # collinear pixel-grid points, utils.py:245-275), the repo the minimal
+    # vertex set — gate geometric equivalence: repo vertices are reference
+    # hull points, and all reference points lie inside the repo hull
+    rh, gh = np.asarray(m.outlineConvexHull), golden["convex_hull"]
+    ref_set = set(map(tuple, np.round(gh, 9)))
+    assert all(tuple(p) in ref_set for p in np.round(rh, 9))
+    # both hulls are convex in PIXEL space; mapped to lat/lon the facet
+    # midpoints bow off the vertex-to-vertex chords, so lat/lon
+    # point-in-polygon containment is not a valid equivalence test. The
+    # subset check above plus identical angular extents pin the geometry.
+    assert np.abs(rh.min(axis=0) - gh.min(axis=0)).max() < 1e-9
+    assert np.abs(rh.max(axis=0) - gh.max(axis=0)).max() < 1e-9
+
+    me = m.maskedByElevation(15)
+    assert (np.ma.getmaskarray(me.img)[..., 0]
+            == golden["elev15_center_mask"]).all()
+    mp = m.maskedByPolygon(golden["mask_polygon"])
+    assert (np.ma.getmaskarray(mp.img)[..., 0]
+            == golden["poly_center_mask"]).all()
+
+
 def test_polygon_decomposition_parity():
     """Draw-layer quad decomposition vs the executed reference
     generatePolygonsFromMapping (reference draw_helpers.py:34-90) on the

@@ -297,12 +297,49 @@ def make_golden_polygons(name):
     print("polygons", name, "->", out, verts.shape, colors.shape)
 
 
+MASK_POLYGON = [[50.0, -110.0], [50.0, -95.0], [58.0, -95.0], [58.0, -110.0]]
+
+
+def make_golden_mapprops(name):
+    """Mapping-property goldens: centroid (polygonCentroid over the
+    outline, reference mapping.py:760-783), cameraFootpoint
+    (j2000ToLatLon), arcSecPerPx sampling/aggregation (mapping.py:786-843
+    — NOTE the per-pair angular distances flow through the shimmed
+    geographiclib, i.e. the repo's own Vincenty, so this gates the
+    1000-polygon sampling and statistics, not the geodesic core),
+    outline/convex hull pixel sets, and maskedByElevation /
+    maskedByPolygon center masks (mapping.py:845-923)."""
+    m = build_reference_mapping(name)
+    c = m.centroid
+    f = m.cameraFootpoint
+    s = m.arcSecPerPx
+    scales = np.array([[p.mean, p.median, p.min, p.max]
+                       for p in (s.width, s.height, s.diagonal)])
+    m_elev = m.maskedByElevation(15)
+    m_poly = m.maskedByPolygon(np.array(MASK_POLYGON, dtype=np.float64))
+    out = os.path.join(RES, f"golden_mapprops_{name}.npz")
+    np.savez_compressed(
+        out,
+        altitude=110.0,
+        centroid=[c.lat, c.lon],
+        camera_footpoint=[f.lat, f.lon],
+        arcsec_per_px=scales,
+        outline=np.asarray(m.outline, dtype=np.float64),
+        convex_hull=np.asarray(m.outlineConvexHull, dtype=np.float64),
+        mask_polygon=np.array(MASK_POLYGON, dtype=np.float64),
+        elev15_center_mask=np.asarray(
+            np.ma.getmaskarray(m_elev.img)[..., 0]),
+        poly_center_mask=np.asarray(np.ma.getmaskarray(m_poly.img)[..., 0]),
+    )
+    print("mapprops", name, "->", out, "centroid", c, "scales", scales[0])
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["frames", "mlatmlt", "synthetic",
-                                       "methods", "polygons"],
+                                       "methods", "polygons", "mapprops"],
                     default=None)
     args = ap.parse_args()
     if args.only in (None, "frames"):
@@ -319,3 +356,5 @@ if __name__ == "__main__":
         make_golden_methods()
     if args.only in (None, "polygons"):
         make_golden_polygons("ISS030-E-102170_dc")
+    if args.only in (None, "mapprops"):
+        make_golden_mapprops("ISS030-E-102170_dc")

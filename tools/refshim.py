@@ -185,11 +185,14 @@ units.degree = _Unit("deg")
 
 
 def _quantity_to(self, unit):
-    # arcsec -> degree is the only conversion the golden paths make
-    # (resample.plateCarreeResolution)
-    if self.unit == "arcsec" and getattr(unit, "name", None) == "deg":
+    # arcsec <-> degree are the only conversions the golden paths make
+    # (resample.plateCarreeResolution, mapping.arcSecPerPx)
+    uname = getattr(unit, "name", None)
+    if self.unit == "arcsec" and uname == "deg":
         return _Quantity(self.value / 3600.0, "deg")
-    if self.unit == getattr(unit, "name", None):
+    if self.unit == "deg" and uname == "arcsec":
+        return _Quantity(self.value * 3600.0, "arcsec")
+    if self.unit == uname:
         return self
     raise NotImplementedError((self.unit, unit))
 
@@ -329,6 +332,11 @@ def _find_contours(image, level):
     for c in contours:
         xy = c[:, 0, :].astype(np.float64)  # (n, 2) x,y
         yx = xy[:, ::-1]
+        # cv2 traverses outer contours in the OPPOSITE orientation to
+        # skimage.find_contours; signed-area consumers downstream
+        # (reference utils.polygonCentroid via outline()) depend on it —
+        # a reversed ring negates the centroid to the antipode
+        yx = yx[::-1]
         yx = np.vstack([yx, yx[:1]])  # find_contours returns closed rings
         out.append(yx)
     return out
