@@ -223,6 +223,37 @@ class TestInterpMethods:
         assert np.abs(elev[b] - ge[b]).max() < 1e-4
 
 
+def test_bbox_merge_parity():
+    """BoundingBox.mergedBoundingBoxes vs the executed reference
+    (mapping.py:232-275) on overlap / discontinuity / multi-box cases,
+    plus the pinned deviation: for an interval wider than 180 deg the
+    reference's np.unwrap REVERSES it and returns the COMPLEMENT box
+    (golden: west=120, east=-100 for a (-100..120) box); the repo's
+    directional (east-west) mod 360 formulation returns the box itself."""
+    from auromat_tpu.mapping.mapping import BoundingBox
+
+    golden = np.load(os.path.join(RES, "golden_bbox_merge.npz"))
+    merged = golden["merged"]
+    i = 0
+    while f"case{i}" in golden:
+        case = golden[f"case{i}"]
+        bb = BoundingBox.mergedBoundingBoxes(
+            [BoundingBox(*map(float, b)) for b in case])
+        ours = np.array([bb.latSouth, bb.lonWest, bb.latNorth, bb.lonEast])
+        assert np.abs(ours - merged[i]).max() < 1e-9, (i, ours, merged[i])
+        i += 1
+    assert i == len(merged)
+
+    wide = golden["wide_case"][0]
+    bb = BoundingBox.mergedBoundingBoxes([BoundingBox(*map(float, wide))])
+    # reference golden is the complement (unwrap defect)
+    ref = golden["wide_merged"]
+    assert abs(ref[1] - 120.0) < 1e-9 and abs(ref[3] - (-100.0)) < 1e-9
+    # repo: the box itself
+    assert abs(bb.lonWest - (-100.0)) < 1e-9
+    assert abs(bb.lonEast - 120.0) < 1e-9
+
+
 def test_mapping_properties_parity():
     """Mapping-level property parity vs the executed reference
     (mapping.py:760-923): centroid (signed-area polygonCentroid over the

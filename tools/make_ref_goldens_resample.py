@@ -334,12 +334,55 @@ def make_golden_mapprops(name):
     print("mapprops", name, "->", out, "centroid", c, "scales", scales[0])
 
 
+BBOX_CASES = [
+    # (latS, lonW, latN, lonE) per box; merged by the reference
+    [(10, -50, 20, -40), (15, -45, 25, -30)],
+    [(0, -170, 10, -160), (0, 160, 10, 170)],        # discontinuity merge
+    [(-20, 10, -10, 20), (0, 40, 10, 50), (30, 100, 40, 110)],
+    [(50, 170, 60, -175), (52, 178, 62, -170)],      # both cross 180
+    [(5, -10, 15, 0), (5, 5, 15, 15), (5, -30, 15, -20)],
+]
+BBOX_WIDE_CASE = [(0.0, -100.0, 10.0, 120.0)]  # 220 deg wide single box
+
+
+def make_golden_bbox():
+    """BoundingBox merge goldens (reference mapping.py:232-275).
+
+    Also pins the reference's np.unwrap defect: for an interval wider
+    than 180 deg, unwrap REVERSES it and _minimumBoundingBoxLons returns
+    the complement box (the repo fixed its port of this in round 2 — the
+    directional (east-west) mod 360 formulation)."""
+    from auromat.mapping.mapping import BoundingBox
+
+    merged = []
+    for case in BBOX_CASES:
+        bb = BoundingBox.mergedBoundingBoxes(
+            [BoundingBox(*b) for b in case])
+        merged.append([bb.latSouth, bb.lonWest, bb.latNorth, bb.lonEast])
+    wide = BoundingBox.mergedBoundingBoxes(
+        [BoundingBox(*b) for b in BBOX_WIDE_CASE])
+    out = os.path.join(RES, "golden_bbox_merge.npz")
+    np.savez_compressed(
+        out,
+        merged=np.asarray(merged, dtype=np.float64),
+        wide_case=np.asarray(BBOX_WIDE_CASE, dtype=np.float64),
+        wide_merged=np.asarray(
+            [wide.latSouth, wide.lonWest, wide.latNorth, wide.lonEast],
+            dtype=np.float64),
+        **{f"case{i}": np.asarray(c, dtype=np.float64)
+           for i, c in enumerate(BBOX_CASES)},
+    )
+    print("bbox ->", out, "wide (reference, defect):",
+          [wide.lonWest, wide.lonEast])
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["frames", "mlatmlt", "synthetic",
-                                       "methods", "polygons", "mapprops"],
+                                       "methods", "polygons", "mapprops",
+                                       "bbox"],
                     default=None)
     args = ap.parse_args()
     if args.only in (None, "frames"):
@@ -358,3 +401,5 @@ if __name__ == "__main__":
         make_golden_polygons("ISS030-E-102170_dc")
     if args.only in (None, "mapprops"):
         make_golden_mapprops("ISS030-E-102170_dc")
+    if args.only in (None, "bbox"):
+        make_golden_bbox()
