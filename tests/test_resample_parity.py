@@ -223,6 +223,25 @@ class TestInterpMethods:
         assert np.abs(elev[b] - ge[b]).max() < 1e-4
 
 
+def test_histogram2d_parity():
+    """util.histogram.histogram2d list-of-weights host API vs the
+    executed reference vendored histogram (util/histogram.py:32-49):
+    identical counts and weight sums incl. right-edge-inclusive and
+    out-of-range points."""
+    from auromat_tpu.util.histogram import histogram2d
+
+    g = np.load(os.path.join(RES, "golden_histogram2d.npz"))
+    hists, xe, ye = histogram2d(
+        g["x"], g["y"], bins=tuple(g["bins"]),
+        range=[list(r) for r in g["range"]],
+        weights=[None, g["w1"], g["w2"]])
+    assert np.array_equal(xe, g["xedges"])
+    assert np.array_equal(ye, g["yedges"])
+    assert np.array_equal(hists[0], g["count"])
+    assert np.abs(hists[1] - g["h1"]).max() < 1e-9
+    assert np.abs(hists[2] - g["h2"]).max() < 1e-9
+
+
 def test_bbox_merge_parity():
     """BoundingBox.mergedBoundingBoxes vs the executed reference
     (mapping.py:232-275) on overlap / discontinuity / multi-box cases,

@@ -376,13 +376,40 @@ def make_golden_bbox():
           [wide.lonWest, wide.lonEast])
 
 
+def make_golden_histogram():
+    """util.histogram list-of-weights goldens (reference
+    util/histogram.py:32-49 searchsorted variant): random coordinates
+    incl. exact-edge and out-of-range points, weights [count, w1, w2]."""
+    import auromat.util.histogram as ref_hist
+
+    rng = np.random.RandomState(42)
+    n = 20000
+    x = rng.uniform(-1.2, 1.3, n)
+    y = rng.uniform(-0.1, 1.1, n)
+    # exact-edge hits: right-most edge must be inclusive
+    x[:50] = 1.0
+    y[50:100] = 1.0
+    w1 = rng.uniform(0, 255, n)
+    w2 = rng.normal(0, 3, n)
+    bins = (20, 30)
+    rng_box = [[-1.0, 1.0], [0.0, 1.0]]
+    hists, xe, ye = ref_hist.histogram2d(
+        x, y, bins=bins, range=rng_box, weights=[None, w1, w2])
+    out = os.path.join(RES, "golden_histogram2d.npz")
+    np.savez_compressed(out, x=x, y=y, w1=w1, w2=w2,
+                        bins=np.asarray(bins), range=np.asarray(rng_box),
+                        count=hists[0], h1=hists[1], h2=hists[2],
+                        xedges=xe, yedges=ye)
+    print("histogram ->", out, hists[0].shape, hists[0].sum())
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["frames", "mlatmlt", "synthetic",
                                        "methods", "polygons", "mapprops",
-                                       "bbox"],
+                                       "bbox", "histogram"],
                     default=None)
     args = ap.parse_args()
     if args.only in (None, "frames"):
@@ -403,3 +430,5 @@ if __name__ == "__main__":
         make_golden_mapprops("ISS030-E-102170_dc")
     if args.only in (None, "bbox"):
         make_golden_bbox()
+    if args.only in (None, "histogram"):
+        make_golden_histogram()
