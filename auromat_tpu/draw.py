@@ -1163,3 +1163,4 @@ def draw_scanlines_map_co(out, arcsec_per_px=100, line_width_factor=1.0,
             out["times"] = photo_times
 
     return _co()
+

@@ -157,3 +157,47 @@ def save_fig(path, fig, dpi=None, transparent=False, width_px=None):
 
     plt.close(fig)
     return path
+
+
+def ensure_continuous_path(points):
+    """Reorder at most two logical segments of a pixel path into one
+    continuous segment (reference draw_helpers.py:261-280: scanline
+    outlines traced from a seam can come out as end-half + start-half)."""
+    points = np.asarray(points)
+    if len(points) < 3:
+        return points
+    vecs = points[1:] - points[:-1]
+    len_sq = (vecs * vecs).sum(axis=1)
+    jumps = len_sq > 2
+    if np.any(jumps):
+        jump_idx = int(np.argmax(jumps))
+        return np.concatenate((points[jump_idx + 1:], points[:jump_idx + 1]))
+    return points
+
+
+def load_fig_image(im, dpi=80):
+    """Figure with a raster image spanning the full canvas and data
+    coordinates equal to pixel coordinates (reference
+    draw_helpers.py:298-325); base canvas for image-space overlays.
+
+    :param im: image path or RGB array
+    :rtype: (Figure, Axes)
+    """
+    import matplotlib.cm as cm
+    import matplotlib.pyplot as plt
+
+    from auromat_tpu.io.image import image_to_mpl, load_image
+
+    if isinstance(im, str):
+        im = load_image(im)
+    im = image_to_mpl(im)
+    h, w = im.shape[0], im.shape[1]
+    fig = plt.figure(figsize=(w / dpi, h / dpi), dpi=dpi)
+    ax = plt.Axes(fig, [0, 0, 1, 1])
+    ax.set_xlim(0, w)
+    ax.set_ylim(0, h)
+    ax.invert_yaxis()
+    ax.set_axis_off()
+    fig.add_axes(ax)
+    fig.figimage(im, cmap=cm.gray if im.ndim == 2 else None)
+    return fig, ax

@@ -710,3 +710,62 @@ def get_catalog_stars(header, limit=500, limit_factor=2.5, max_vmag=None,
     if limit:
         x, y, vmag = x[:limit], y[:limit], vmag[:limit]
     return (x, y, vmag) if ret_vmag else (x, y)
+
+
+def cd11_cd21(scale, rotation_deg):
+    """(CD1_1, CD2_1) from pixel scale (deg/px) and rotation (deg).
+
+    Reference: auromat/fits.py:67-78.
+    """
+    import math
+
+    rho = math.radians(rotation_deg)
+    return scale * math.cos(rho), scale * math.sin(rho)
+
+
+def set_cd_matrix(header, scale, rotation_deg):
+    """Set the WCS CD matrix from pixel scale (deg/px) and rotation (deg).
+
+    Reference: auromat/fits.py:80-92.
+    """
+    cd11, cd21 = cd11_cd21(scale, rotation_deg)
+    header["CD1_1"] = cd11
+    header["CD1_2"] = -cd21
+    header["CD2_1"] = cd21
+    header["CD2_2"] = cd11
+
+
+def get_radius(header, extend=0.0):
+    """Radius (deg) of the circle enclosing the image, from the CD-matrix
+    pixel scale and IMAGEW/IMAGEH (reference fits.py:94-106).
+
+    :param extend: fractional enlargement in [0, 1]
+    """
+    import math
+
+    diag_px = math.hypot(header["IMAGEW"], header["IMAGEH"])
+    return get_pixel_scale_deg(header) * diag_px / 2 * (1 + extend)
+
+
+def set_center_radec(header, ra, dec):
+    """Point the WCS reference pixel at the image centre with the given
+    celestial coordinates (reference fits.py:120-137)."""
+    assert 0 <= ra <= 360
+    assert -90 <= dec <= 90
+    w, h = header["IMAGEW"], header["IMAGEH"]
+    header["CRPIX1"] = int(w // 2 + 1)  # FITS is 1-based
+    header["CRPIX2"] = int(h // 2 + 1)
+    header["CRVAL1"] = ra
+    header["CRVAL2"] = dec
+
+
+def get_shifted_photo_time(header):
+    """The time-shift-corrected photo time, falling back to DATE-OBS
+    (reference fits.py:381-391)."""
+    from datetime import timedelta
+
+    t = get_photo_time(header)
+    shifted = get_shifted_spacecraft_position(header)
+    if shifted is not None and t is not None:
+        return t + timedelta(seconds=shifted[3])
+    return t

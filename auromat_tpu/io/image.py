@@ -89,3 +89,46 @@ def read_exposure_time(path):
     tags = _exif(path)
     v = tags.get("ExposureTime")
     return float(v) if v else None
+
+
+def convert_exif_date(date_str, subsec_str=None):
+    """EXIF date/time string (+ optional sub-second part) -> datetime.
+
+    Reference: auromat/util/image.py:128-152 (exiftool may hand back an
+    int when the sub-second field has no leading zeros).
+    """
+    from datetime import datetime
+
+    t = datetime.strptime(str(date_str), "%Y:%m:%d %H:%M:%S")
+    if subsec_str is not None:
+        frac = str(subsec_str).strip()
+        if frac.isdigit():
+            t = t.replace(microsecond=int(float("0." + frac) * 1e6))
+    return t
+
+
+def _normalize_image(rgb):
+    """(Masked) image -> float/uint8 [0, 255] range; masked entries NaN.
+
+    Reference: auromat/util/image.py:74-94.
+    """
+    import numpy.ma as ma
+
+    if rgb.dtype == np.uint16:
+        rgb = rgb * (255 / 65535)
+    elif rgb.dtype != np.uint8 and np.nanmax(rgb) <= 1.0:
+        rgb = rgb * 255.0
+    if ma.isMaskedArray(rgb):
+        rgb = rgb.filled(np.nan) if rgb.dtype.kind == "f" else rgb.filled(0)
+    return rgb
+
+
+def image_to_mpl(rgb):
+    """Image -> float [0, 1] range for matplotlib (reference image2mpl)."""
+    return np.asarray(_normalize_image(rgb), dtype=np.float64) / 255.0
+
+
+def image_to_cv(rgb):
+    """RGB image -> BGR uint8 for OpenCV (reference image2cv)."""
+    rgb = np.require(_normalize_image(rgb), np.uint8, "C")
+    return rgb[..., ::-1].copy()

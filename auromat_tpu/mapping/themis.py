@@ -550,3 +550,16 @@ class ThemisMappingProvider(BaseMappingProvider):
                 yield self.get(t)
             except ValueError:
                 continue
+
+
+def mask_by_l2(mask, img):
+    """Mask image pixels flagged by the L2 mask (NaN where mask==1).
+
+    .. warning:: mirrors the reference's warning (themis.py:255-269): the
+        published L2 masks contain inconsistent data (0/1 interpretation
+        mixed up in at least one case) — prefer elevation masking.
+    """
+    img = np.asarray(img).astype(np.float32)
+    img = img.copy()
+    img[np.asarray(mask) == 1] = np.nan
+    return img

@@ -364,3 +364,62 @@ def download_image_sequence_raw(folder, mission, from_frame, to_frame,
         raw=True, pattern=disk_name(0).replace("-0.", "-{frame}."),
         lensDistortionCorrected=False)
     return meta, []
+
+
+JPEG_FILE_PATTERN = "{mission}-{roll}-{frame}.jpg"
+JPEG_URL_PATTERN = (
+    "https://eol.jsc.nasa.gov/DatabaseImages/ESC/large/{mission}/"
+    "{mission}-{roll}-{frame}.JPG"
+)
+
+
+def filename_of(frame, meta):
+    """Filename for a frame of a downloaded sequence (reference
+    eol.py:437-443)."""
+    return frame_id(meta["mission"], frame) + ".jpg"
+
+
+def frame_iter(meta):
+    """Frames of a sequence, skipping recorded gaps (reference
+    eol.py:445-448)."""
+    missing = set(meta.get("missing", ()))
+    for frame in range(meta["fromFrame"], meta["toFrame"] + 1):
+        if frame not in missing:
+            yield frame
+
+
+def filename_iter(meta):
+    """(filename, frame) pairs of a sequence (reference eol.py:450-452)."""
+    for frame in frame_iter(meta):
+        yield filename_of(frame, meta), frame
+
+
+def download_images(folder, ids, format_="jpg"):
+    """Download images given by (mission, roll, frame) tuples (reference
+    eol.py:96-114; like there, only JPEG supports per-id download — RAW
+    frames ride the order/poll batch flow, download_image_sequence_raw)."""
+    if format_ == "jpg":
+        return download_images_jpg(folder, ids)
+    if format_ == "raw":
+        raise NotImplementedError(
+            "per-id RAW download: use download_image_sequence_raw")
+    raise ValueError(f"unknown format: {format_}")
+
+
+def download_images_jpg(folder, ids):
+    """Download JPEGs for (mission, roll, frame) tuples; skip existing
+    files; return paths, or False on any error (reference eol.py:116-139).
+    """
+    os.makedirs(folder, exist_ok=True)
+    paths = []
+    for mission, roll, frame in ids:
+        path = os.path.join(folder, JPEG_FILE_PATTERN.format(
+            mission=mission, roll=roll, frame=frame))
+        if not os.path.exists(path):
+            try:
+                download_file(JPEG_URL_PATTERN.format(
+                    mission=mission, roll=roll, frame=frame), path)
+            except DownloadError:
+                return False
+        paths.append(path)
+    return paths

@@ -120,3 +120,25 @@ def is_consistent(header, altitude=0.0, star_px_coords=None):
         if np.isfinite(np.asarray(slat)).any():
             return False  # a solve star would sit on the Earth disk
     return True
+
+
+def solve(image_path, wcs_path, tle_path=None, norad_id=ISS_NORAD_ID,
+          overwrite=False, **solve_kw):
+    """Solve a single image into ``wcs_path``; returns True on success
+    (reference solving/spacecraft.py:28-65). The spacecraft position is
+    stamped from the TLE archive when available, like solve_sequence."""
+    from auromat_tpu.solving.solving import solve_image
+
+    if os.path.exists(wcs_path) and not overwrite:
+        raise FileExistsError(wcs_path)
+    solved = solve_image(image_path, wcs_path, **solve_kw)
+    if solved is None:
+        return False
+    header = fits.read_header(solved)
+    fits.set_norad_id(header, norad_id)
+    t = read_exif_time(image_path)
+    if t is not None and tle_path and os.path.exists(tle_path):
+        calc = EphemerisCalculator(tle_path, norad_id=norad_id)
+        fits.set_spacecraft_position(header, np.asarray(calc(t)), t)
+    fits.write_header(header, solved)
+    return True

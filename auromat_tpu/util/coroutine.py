@@ -42,3 +42,8 @@ def feed(iterable, target):
     for item in iterable:
         target.send(item)
     target.close()
+
+
+def throw(target, etype, e, tb):
+    """Raise an exception inside a coroutine (reference coroutine.py:116)."""
+    target.throw(etype(e).with_traceback(tb))

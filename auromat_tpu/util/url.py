@@ -94,3 +94,24 @@ def fetch_text(url, timeout=60):
         except Exception as e:
             last = e
     raise DownloadError(f"failed to fetch {url}: {last!r}")
+
+
+def download_resource(url, fn, unify_errors=True, timeout=60):
+    """Fetch ``url`` and return ``fn(response_bytes)``; retry once on
+    transient errors, 404 raises immediately (reference url.py:69-93)."""
+    last = None
+    for attempt in range(2):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r:
+                return fn(r.read())
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                if unify_errors:
+                    raise DownloadError(e)
+                raise
+            last = e
+        except Exception as e:  # URLError, socket timeouts
+            last = e
+    if unify_errors:
+        raise DownloadError(f"failed to fetch {url}: {last!r}")
+    raise last

@@ -127,3 +127,14 @@ def find_nearest(a, value):
     if idx >= len(a):
         return len(a) - 1
     return idx if abs(a[idx] - value) < abs(a[idx - 1] - value) else idx - 1
+
+
+def without_consecutive_duplicates(points):
+    """Drop consecutive duplicate rows of an (n, d) array (reference
+    utils.withoutConsecutiveDuplicates, used on traced outlines)."""
+    points = np.asarray(points)
+    if len(points) < 2:
+        return points
+    keep = np.ones(len(points), dtype=bool)
+    keep[1:] = (points[1:] != points[:-1]).any(axis=1)
+    return points[keep]

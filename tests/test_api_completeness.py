@@ -1,0 +1,224 @@
+"""Small reference-API-surface helpers added for completeness.
+
+Each maps 1:1 to a reference symbol (cited in the implementations):
+fits CD/centre setters and radius, shifted photo time, EXIF date
+conversion, mpl/cv image converters, coroutine throw, consecutive-dup
+removal, continuous-path reordering, figure-from-image canvas, EOL
+sequence iteration helpers, THEMIS L2 masking, and download_resource.
+"""
+
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+RES = os.path.join(os.path.dirname(__file__), "resources")
+
+
+def test_cd_matrix_roundtrip():
+    from auromat_tpu.io import fits
+
+    header = {"IMAGEW": 4000, "IMAGEH": 3000}
+    fits.set_cd_matrix(header, scale=0.002, rotation_deg=30.0)
+    assert header["CD1_1"] == pytest.approx(0.002 * np.cos(np.deg2rad(30)))
+    assert header["CD2_1"] == pytest.approx(0.002 * np.sin(np.deg2rad(30)))
+    assert header["CD1_2"] == -header["CD2_1"]
+    assert header["CD2_2"] == header["CD1_1"]
+    # scale recoverable: sqrt(det)
+    det = header["CD1_1"] * header["CD2_2"] - header["CD1_2"] * header["CD2_1"]
+    assert np.sqrt(det) == pytest.approx(0.002)
+    assert fits.get_radius(header) == pytest.approx(
+        0.002 * np.hypot(4000, 3000) / 2)
+    assert fits.get_radius(header, extend=0.5) == pytest.approx(
+        fits.get_radius(header) * 1.5)
+
+
+def test_set_center_radec():
+    from auromat_tpu.io import fits
+
+    header = {"IMAGEW": 400, "IMAGEH": 300}
+    fits.set_center_radec(header, 123.5, -45.0)
+    assert header["CRPIX1"] == 201 and header["CRPIX2"] == 151
+    assert header["CRVAL1"] == 123.5 and header["CRVAL2"] == -45.0
+
+
+def test_get_shifted_photo_time():
+    from auromat_tpu.io import fits
+
+    header = fits.read_header(
+        os.path.join(RES, "ISS030-E-102170_dc.wcs"))
+    t0 = fits.get_photo_time(header)
+    shift = fits.get_shifted_spacecraft_position(header)[3]
+    assert fits.get_shifted_photo_time(header) == t0 + timedelta(seconds=shift)
+
+
+def test_convert_exif_date():
+    from auromat_tpu.io.image import convert_exif_date
+
+    t = convert_exif_date("2012:01:25 09:27:57")
+    assert t == datetime(2012, 1, 25, 9, 27, 57)
+    # exiftool may return the subsecond field as an int
+    t = convert_exif_date("2012:01:25 09:27:57", 5)
+    assert t.microsecond == 500000
+    t = convert_exif_date("2012:01:25 09:27:57", "05")
+    assert t.microsecond == 50000
+
+
+def test_image_converters():
+    from auromat_tpu.io.image import image_to_cv, image_to_mpl
+
+    rgb8 = np.array([[[0, 128, 255]]], dtype=np.uint8)
+    m = image_to_mpl(rgb8)
+    assert m.max() <= 1.0 and m[0, 0, 2] == pytest.approx(1.0)
+    bgr = image_to_cv(rgb8)
+    assert bgr.dtype == np.uint8
+    assert list(bgr[0, 0]) == [255, 128, 0]
+    rgb16 = np.array([[[65535, 0, 32768]]], dtype=np.uint16)
+    m16 = image_to_mpl(rgb16)
+    assert m16[0, 0, 0] == pytest.approx(1.0)
+    assert m16[0, 0, 2] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_coroutine_throw():
+    import sys
+
+    from auromat_tpu.util.coroutine import coroutine, throw
+
+    seen = []
+
+    @coroutine
+    def consumer():
+        try:
+            while True:
+                seen.append((yield))
+        except ValueError as e:
+            seen.append(("caught", str(e)))
+            raise
+
+    c = consumer()
+    c.send(1)
+    try:
+        raise ValueError("boom")
+    except ValueError:
+        tb = sys.exc_info()[2]
+        with pytest.raises(ValueError):
+            throw(c, ValueError, "boom", tb)
+    assert seen == [1, ("caught", "boom")]
+
+
+def test_without_consecutive_duplicates():
+    from auromat_tpu.utils import without_consecutive_duplicates
+
+    p = np.array([[0, 0], [0, 0], [1, 0], [1, 0], [1, 0], [0, 0]])
+    out = without_consecutive_duplicates(p)
+    assert out.tolist() == [[0, 0], [1, 0], [0, 0]]
+
+
+def test_ensure_continuous_path():
+    from auromat_tpu.draw_helpers import ensure_continuous_path
+
+    # two segments: middle->right then left->middle, split by a jump
+    seg = np.array([[0, 5], [0, 6], [0, 7], [0, 0], [0, 1], [0, 2],
+                    [0, 3], [0, 4]])
+    out = ensure_continuous_path(seg)
+    assert out[:, 1].tolist() == [0, 1, 2, 3, 4, 5, 6, 7]
+    cont = np.array([[0, 0], [0, 1], [1, 2]])
+    assert ensure_continuous_path(cont).tolist() == cont.tolist()
+
+
+def test_load_fig_image():
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from auromat_tpu.draw_helpers import load_fig_image
+
+    img = np.zeros((40, 60, 3), dtype=np.uint8)
+    fig, ax = load_fig_image(img)
+    assert ax.get_xlim() == (0, 60)
+    assert ax.get_ylim() == (40, 0)  # inverted y: image convention
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_eol_sequence_iters(tmp_path):
+    from auromat_tpu.solving import eol
+
+    meta = {"mission": "ISS030", "fromFrame": 10, "toFrame": 14,
+            "missing": [12]}
+    frames = list(eol.frame_iter(meta))
+    assert frames == [10, 11, 13, 14]
+    pairs = list(eol.filename_iter(meta))
+    assert pairs[0] == ("ISS030-E-10.jpg", 10)
+    assert eol.filename_of(13, meta) == "ISS030-E-13.jpg"
+
+
+def test_eol_download_images_jpg(tmp_path):
+    from auromat_tpu.solving import eol
+
+    # existing files are not re-downloaded: pre-create them so no network
+    ids = [("ISS030", "E", 7), ("ISS030", "E", 8)]
+    for _, _, f in ids:
+        (tmp_path / f"ISS030-E-{f}.jpg").write_bytes(b"x")
+    paths = eol.download_images(str(tmp_path), ids, "jpg")
+    assert [os.path.basename(p) for p in paths] == [
+        "ISS030-E-7.jpg", "ISS030-E-8.jpg"]
+    with pytest.raises(NotImplementedError):
+        eol.download_images(str(tmp_path), ids, "raw")
+
+
+def test_mask_by_l2():
+    from auromat_tpu.mapping.themis import mask_by_l2
+
+    img = np.arange(9, dtype=np.uint16).reshape(3, 3)
+    mask = np.zeros((3, 3), dtype=np.int8)
+    mask[1, 1] = 1
+    out = mask_by_l2(mask, img)
+    assert out.dtype == np.float32
+    assert np.isnan(out[1, 1])
+    assert out[0, 0] == 0 and out[2, 2] == 8
+    assert img[1, 1] == 4  # input untouched
+
+
+def test_download_resource_file_url(tmp_path):
+    from auromat_tpu.util.url import DownloadError, download_resource
+
+    p = tmp_path / "x.json"
+    p.write_text('{"a": 3}')
+    import json
+
+    out = download_resource(p.as_uri(), lambda b: json.loads(b))
+    assert out == {"a": 3}
+    with pytest.raises(DownloadError):
+        download_resource((tmp_path / "missing.json").as_uri(), lambda b: b)
+
+
+def test_solve_single_image(tmp_path):
+    """Single-image solve wrapper (reference solving/spacecraft.py:28-65)
+    over the fake-solver flow: writes the wcs, stamps the NORAD id, and
+    refuses to clobber without overwrite."""
+    import stat
+
+    from auromat_tpu.io import fits
+    from auromat_tpu.solving.spacecraft import solve
+
+    wcs_src = os.path.join(RES, "ISS029-E-8492.wcs")
+    fake = tmp_path / "solve-field"
+    fake.write_text(
+        "#!/bin/sh\n"
+        'img="$1"; shift\n'
+        'dir=""\n'
+        'while [ $# -gt 0 ]; do if [ "$1" = "--dir" ]; then dir="$2"; fi; shift; done\n'
+        f'cp {wcs_src} "$dir/$(basename "${{img%.*}}").wcs"\n'
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    out_wcs = tmp_path / "out.wcs"
+    ok = solve(os.path.join(RES, "ISS029-E-8492.jpg"), str(out_wcs),
+               solve_field=str(fake), work_dir=str(tmp_path))
+    assert ok is True
+    header = fits.read_header(str(out_wcs))
+    assert fits.get_norad_id(header) == 25544
+    with pytest.raises(FileExistsError):
+        solve(os.path.join(RES, "ISS029-E-8492.jpg"), str(out_wcs),
+              solve_field=str(fake), work_dir=str(tmp_path))
