@@ -167,3 +167,22 @@ def test_antipodal_minimality_and_consistency_sweep():
     dlon = np.abs((lon2b - lon2 + 180) % 360 - 180)
     err_m = np.hypot(dlat, dlon * np.cos(np.deg2rad(lat2))) * 111e3
     assert err_m.max() < 5.0, err_m.max()
+
+
+class TestPoleContainmentReferenceCases:
+    """The reference's own containsOrCrossesPole cases (reference
+    test/geodesic_test.py:15-33), incl. the discontinuity-spanning
+    non-polar polygon."""
+
+    def test_reference_polygons(self):
+        assert not geo.contains_or_crosses_pole(
+            [L(1, 0), L(1, 4), L(5, 6), L(5, 2)])
+        # same shape shifted onto the 180-degree discontinuity
+        assert not geo.contains_or_crosses_pole(
+            [L(1, 179), L(1, -177), L(5, -175), L(5, -179)])
+        # around the north pole
+        assert geo.contains_or_crosses_pole(
+            [L(85, -135), L(85, -45), L(85, 45), L(85, 135)])
+        # crossing the north pole
+        assert geo.contains_or_crosses_pole(
+            [L(85, -90), L(85, 0), L(85, 90)])

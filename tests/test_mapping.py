@@ -243,3 +243,55 @@ def test_grayscale_rgb_mask_shape():
     rgb = m.rgb
     assert rgb.shape == (n, n, 3) and rgb.mask.shape == (n, n, 3)
     assert rgb.mask[0, 0].all() and not rgb.mask[1, 1].any()
+
+
+class TestBoundingBoxReferenceOracles:
+    """The reference's OWN published test values (reference
+    test/boundingbox_test.py:12-48) — center/size of the minimum spherical
+    rectangle computed there with the real geographiclib (Karney); the
+    repo's Vincenty-based geometry agrees to well below the reference's
+    own 7-decimal gate (measured ~4e-9 km)."""
+
+    def test_plain(self):
+        bb = BoundingBox(latSouth=-60, lonWest=80, latNorth=-30, lonEast=85)
+        np.testing.assert_array_almost_equal(
+            [bb.center.lat, bb.center.lon], [-45.03119418083877, 82.5])
+        np.testing.assert_array_almost_equal(
+            [bb.size.width, bb.size.height],
+            [482.39311013217343, 3336.5953086140203], decimal=5)
+
+    def test_discontinuity(self):
+        bb = BoundingBox(latSouth=-60.646114098, lonWest=82.7852215499,
+                         latNorth=-38.7515567117, lonEast=-178.546517062)
+        np.testing.assert_array_almost_equal(
+            [bb.center.lat, bb.center.lon],
+            [-54.33647117488648, 132.11935224395])
+        np.testing.assert_array_almost_equal(
+            [bb.size.width, bb.size.height],
+            [8084.704893634039, 3464.8889697347718], decimal=5)
+
+    def test_poles(self):
+        for lat_s, lat_n, clat in [(60, 90, 90), (-90, -60, -90)]:
+            bb = BoundingBox(latSouth=lat_s, lonWest=-180, latNorth=lat_n,
+                             lonEast=180)
+            np.testing.assert_array_almost_equal(
+                [bb.center.lat, bb.center.lon], [clat, 0])
+            np.testing.assert_array_almost_equal(
+                [bb.size.width, bb.size.height],
+                [6695.78581964, 6695.78581964], decimal=5)
+
+    def test_point(self):
+        bb = BoundingBox(latSouth=50, lonWest=80, latNorth=50, lonEast=80)
+        np.testing.assert_array_almost_equal(
+            [bb.center.lat, bb.center.lon], [50, 80])
+        assert bb.size.width == 0 and bb.size.height == 0
+
+    def test_merge(self):
+        bb1 = BoundingBox(latSouth=-55, lonWest=95, latNorth=-45, lonEast=109)
+        bb2 = BoundingBox(latSouth=44, lonWest=-164, latNorth=74, lonEast=-35)
+        bb = BoundingBox.mergedBoundingBoxes([bb1, bb2])
+        np.testing.assert_array_equal(
+            [bb.latSouth, bb.latNorth, bb.lonWest, bb.lonEast],
+            [bb1.latSouth, bb2.latNorth, bb1.lonWest, bb2.lonEast])
+        np.testing.assert_array_almost_equal(
+            [bb.center.lat, bb.center.lon], [21.136113246, -150])
