@@ -19,7 +19,37 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s=120):
+    """Fail fast if the remote TPU is in its dead state (jax.devices()
+    itself hangs there — observed outages of hours; see CLAUDE.md). Probes
+    device init + one tiny jitted op in a subprocess with a hard timeout
+    so the driver's bench run errors out instead of hanging forever."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "y = jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))\n"
+        "print(jax.devices()[0].platform, float(y[0, 0]))\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "error": f"backend unresponsive: device probe exceeded "
+                     f"{timeout_s}s (axon TPU dead state)"}))
+        sys.exit(3)
+    if out.returncode != 0:
+        print(json.dumps({
+            "error": "backend probe failed",
+            "stderr": out.stderr.strip()[-500:]}))
+        sys.exit(3)
+
+
 def main():
+    _probe_backend()
     import jax
 
     # persistent compile cache: the remote TPU compile path is slow (minutes);
