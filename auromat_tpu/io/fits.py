@@ -739,12 +739,19 @@ def get_radius(header, extend=0.0):
     """Radius (deg) of the circle enclosing the image, from the CD-matrix
     pixel scale and IMAGEW/IMAGEH (reference fits.py:94-106).
 
+    Uses the reference's own scale definition — the first-column norm
+    sqrt(CD1_1^2 + CD2_1^2) (reference getPixelScale, fits.py:43-52) —
+    NOT sqrt|det|: on a skewed/anisotropic solve the geometric-mean scale
+    is smaller and would under-cover the catalog query region this
+    radius bounds.
+
     :param extend: fractional enlargement in [0, 1]
     """
     import math
 
     diag_px = math.hypot(header["IMAGEW"], header["IMAGEH"])
-    return get_pixel_scale_deg(header) * diag_px / 2 * (1 + extend)
+    scale = math.hypot(header["CD1_1"], header["CD2_1"])
+    return scale * diag_px / 2 * (1 + extend)
 
 
 def set_center_radec(header, ra, dec):

@@ -108,9 +108,10 @@ def convert_exif_date(date_str, subsec_str=None):
 
 
 def _normalize_image(rgb):
-    """(Masked) image -> float/uint8 [0, 255] range; masked entries NaN.
+    """(Masked) image -> float [0, 255] range; masked entries NaN.
 
-    Reference: auromat/util/image.py:74-94.
+    Reference: auromat/util/image.py:74-94 (converts to float BEFORE
+    filling, so masked uint8 pixels become NaN, not 0).
     """
     import numpy.ma as ma
 
@@ -119,7 +120,7 @@ def _normalize_image(rgb):
     elif rgb.dtype != np.uint8 and np.nanmax(rgb) <= 1.0:
         rgb = rgb * 255.0
     if ma.isMaskedArray(rgb):
-        rgb = rgb.filled(np.nan) if rgb.dtype.kind == "f" else rgb.filled(0)
+        rgb = rgb.astype(np.float64).filled(np.nan)
     return rgb
 
 
@@ -129,6 +130,10 @@ def image_to_mpl(rgb):
 
 
 def image_to_cv(rgb):
-    """RGB image -> BGR uint8 for OpenCV (reference image2cv)."""
+    """RGB image -> BGR uint8 for OpenCV (reference image2cv). Grayscale
+    passes through unchanged (the channel reversal applies to the color
+    axis only — on a 2D array it would mirror the image)."""
     rgb = np.require(_normalize_image(rgb), np.uint8, "C")
-    return rgb[..., ::-1].copy()
+    if rgb.ndim == 3 and rgb.shape[-1] == 3:
+        return rgb[..., ::-1].copy()
+    return rgb

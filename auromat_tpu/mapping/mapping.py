@@ -50,7 +50,7 @@ MappingProperties = namedtuple(
 
 
 def _wrap180(lon):
-    return (np.asarray(lon) + 180.0) % 360.0 - 180.0
+    return utils.wrap_lon_180(lon)
 
 
 class BoundingBox:

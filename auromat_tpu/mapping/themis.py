@@ -559,7 +559,6 @@ def mask_by_l2(mask, img):
         published L2 masks contain inconsistent data (0/1 interpretation
         mixed up in at least one case) — prefer elevation masking.
     """
-    img = np.asarray(img).astype(np.float32)
-    img = img.copy()
+    img = np.asarray(img).astype(np.float32)  # astype always copies
     img[np.asarray(mask) == 1] = np.nan
     return img

@@ -23,17 +23,8 @@ from auromat_tpu.mapping.mapping import (
 )
 from auromat_tpu.ops.regrid import bin_mean, fixed_grid
 from auromat_tpu.utils import host_f64_device as _host_ctx
+from auromat_tpu.utils import wrap_lon_180 as _wrap_lon_np
 from auromat_tpu.utils import points_inside_polygon
-
-
-def _wrap_lon_np(lon):
-    """Wrap degrees into [-180, 180), host-side numpy f64.
-
-    The jax wrap_longitude would run on the DEFAULT backend: under an
-    accelerator default these per-frame grid wraps would silently degrade
-    f64->f32 (and cost eager remote roundtrips on axon) - same hazard the
-    rotate_pole calls pin away via host_f64_device()."""
-    return (np.asarray(lon, dtype=np.float64) + 180.0) % 360.0 - 180.0
 
 
 def plate_carree_resolution(bounding_box: BoundingBox, arcsec_per_px):

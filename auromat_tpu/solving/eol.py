@@ -124,8 +124,11 @@ def extract_aurora_sequences(url=AURORA_VIDEOS_URL):
         + link, re.DOTALL | re.IGNORECASE)
     # legacy NASA HTML mixes attribute case/order (<A NAME=..>, id= before
     # name=): match any <a ...> tag carrying a name attribute
-    anchor_re = re.compile(r'<a\s[^>]*name="([A-Za-z0-9_]+)"[^>]*>(.*?)</a>',
-                           re.DOTALL | re.IGNORECASE)
+    # \s before name= so attributes merely ENDING in 'name'
+    # (classname=, data-name=) don't make phantom anchors
+    anchor_re = re.compile(
+        r'<a\s(?:[^>]*\s)?name="([A-Za-z0-9_]+)"[^>]*>(.*?)</a>',
+        re.DOTALL | re.IGNORECASE)
     # split the page at the named anchors; each section up to the next
     # anchor holds that sequence's frame-range pair
     anchors = list(anchor_re.finditer(html))
@@ -375,16 +378,28 @@ JPEG_URL_PATTERN = (
 
 def filename_of(frame, meta):
     """Filename for a frame of a downloaded sequence (reference
-    eol.py:437-443)."""
+    eol.py:437-443). RAW sidecars carry the on-disk ``pattern`` derived
+    from the photo page (with mission/roll already substituted, {frame}
+    open); JPEG sequences use the frame_id convention."""
+    pattern = meta.get("pattern")
+    if pattern:
+        return pattern.format(mission=meta.get("mission"),
+                              roll=meta.get("roll"), frame=frame)
     return frame_id(meta["mission"], frame) + ".jpg"
 
 
 def frame_iter(meta):
     """Frames of a sequence, skipping recorded gaps (reference
-    eol.py:445-448)."""
-    missing = set(meta.get("missing", ()))
-    for frame in range(meta["fromFrame"], meta["toFrame"] + 1):
-        if frame not in missing:
+    eol.py:445-448). Reads both sidecar layouts: JPEG sequences
+    (fromFrame/toFrame/missing) and RAW orders
+    (rawFromFrame/rawToFrame/rawFrameGaps)."""
+    start = meta.get("fromFrame", meta.get("rawFromFrame"))
+    stop = meta.get("toFrame", meta.get("rawToFrame"))
+    if start is None or stop is None:
+        raise KeyError("sequence sidecar has no fromFrame/rawFromFrame range")
+    skip = set(meta.get("missing", ())) | set(meta.get("rawFrameGaps", ()))
+    for frame in range(start, stop + 1):
+        if frame not in skip:
             yield frame
 
 

@@ -138,3 +138,14 @@ def without_consecutive_duplicates(points):
     keep = np.ones(len(points), dtype=bool)
     keep[1:] = (points[1:] != points[:-1]).any(axis=1)
     return points[keep]
+
+
+def wrap_lon_180(lon):
+    """Wrap degrees into [-180, 180), host-side numpy f64.
+
+    The jax-based transform.wrap_longitude would run per-frame grid wraps
+    on the DEFAULT backend — under an accelerator default that silently
+    degrades f64->f32 (and costs eager remote roundtrips on a networked
+    TPU). Host grid math stays numpy (CLAUDE.md convention).
+    """
+    return (np.asarray(lon, dtype=np.float64) + 180.0) % 360.0 - 180.0

@@ -19,15 +19,21 @@ import time
 import numpy as np
 
 
-def _probe_backend(timeout_s=120):
+def _probe_backend(timeout_s=300):
     """Fail fast if the remote TPU is in its dead state (jax.devices()
     itself hangs there — observed outages of hours; see CLAUDE.md). Probes
     device init + one tiny jitted op in a subprocess with a hard timeout
-    so the driver's bench run errors out instead of hanging forever."""
+    so the driver's bench run errors out instead of hanging forever. The
+    probe sets the same persistent compile cache as the bench, so a
+    healthy backend costs one cached-compile roundtrip, not a fresh
+    minutes-long remote compile misread as dead."""
     import subprocess
 
+    cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache")
     code = (
         "import jax, jax.numpy as jnp\n"
+        f"jax.config.update('jax_compilation_cache_dir', {cache!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
         "y = jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))\n"
         "print(jax.devices()[0].platform, float(y[0, 0]))\n"
     )

@@ -222,3 +222,68 @@ def test_solve_single_image(tmp_path):
     with pytest.raises(FileExistsError):
         solve(os.path.join(RES, "ISS029-E-8492.jpg"), str(out_wcs),
               solve_field=str(fake), work_dir=str(tmp_path))
+
+
+def test_image_to_mpl_masked_uint8_nan():
+    """Masked uint8 pixels must come out NaN (reference converts to float
+    BEFORE filling, util/image.py:74-94) — not 0/black."""
+    import numpy.ma as ma
+
+    from auromat_tpu.io.image import image_to_mpl
+
+    img = ma.masked_array(
+        np.full((2, 2, 3), 200, dtype=np.uint8),
+        mask=np.zeros((2, 2, 3), dtype=bool))
+    img.mask[0, 0] = True
+    out = image_to_mpl(img)
+    assert np.isnan(out[0, 0]).all()
+    assert out[1, 1, 0] == pytest.approx(200 / 255)
+
+
+def test_image_to_cv_grayscale_not_mirrored():
+    from auromat_tpu.io.image import image_to_cv
+
+    g = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    out = image_to_cv(g)
+    assert out.tolist() == g.tolist()  # channel reversal must not mirror
+
+
+def test_frame_iter_raw_sidecar():
+    """RAW-order sidecars (rawFromFrame/rawToFrame/rawFrameGaps/pattern)
+    written by download_image_sequence_raw must drive the iteration
+    helpers too."""
+    from auromat_tpu.solving import eol
+
+    meta = {"mission": "ISS030", "roll": "E", "raw": True,
+            "rawFromFrame": 5, "rawToFrame": 8, "rawFrameGaps": [6],
+            "pattern": "iss030e00000{frame}.nef"}
+    assert list(eol.frame_iter(meta)) == [5, 7, 8]
+    assert eol.filename_of(5, meta) == "iss030e000005.nef"
+    with pytest.raises(KeyError):
+        list(eol.frame_iter({"mission": "x"}))
+
+
+def test_anchor_regex_rejects_classname(monkeypatch):
+    from auromat_tpu.solving import eol
+    from auromat_tpu.util import url as url_mod
+
+    page = (
+        '<a classname="bogus" href="x">not an anchor</a>'
+        '<a href="photo.pl?mission=ISS030&roll=E&frame=5">A</a> to '
+        '<a href="photo.pl?mission=ISS030&roll=E&frame=9">B</a>'
+        '<A NAME="seq1">Real sequence</A>'
+        '<a href="photo.pl?mission=ISS031&roll=E&frame=10">C</a> to '
+        '<a href="photo.pl?mission=ISS031&roll=E&frame=20">D</a>'
+    )
+    monkeypatch.setattr(url_mod, "fetch_text", lambda u, timeout=60: page)
+    monkeypatch.setattr(
+        "auromat_tpu.solving.eol.AURORA_VIDEOS_URL", "http://x")
+    import auromat_tpu.solving.eol as eol_mod
+    # extract imports fetch_text inside the function from util.url
+    seqs = eol_mod.extract_aurora_sequences("http://x")
+    # the classname tag must NOT split the page: only seq1 is an anchor,
+    # and its section holds the ISS031 pair
+    assert len(seqs) == 1
+    assert seqs[0].url_anchor == "seq1"
+    assert (seqs[0].mission, seqs[0].from_frame, seqs[0].to_frame) == (
+        "ISS031", 10, 20)
