@@ -403,13 +403,37 @@ def make_golden_histogram():
     print("histogram ->", out, hists[0].shape, hists[0].sum())
 
 
+def make_golden_igrf():
+    """Geomagnetic dipole pole locations (reference transform.py:740-753:
+    IGRF g01/g11/h11 interpolation -> mag_lat/mag_lon) for a spread of
+    dates — gates the repo's coefficient table, date->epoch math, and
+    pole formula end to end."""
+    import datetime as dt
+
+    from auromat.coordinates.transform import northGeomagneticPoleLocation
+
+    dates = [dt.datetime(1975, 6, 1), dt.datetime(1999, 12, 31),
+             dt.datetime(2003, 3, 15, 12), dt.datetime(2012, 1, 25, 9, 27),
+             dt.datetime(2015, 7, 1), dt.datetime(2019, 11, 30)]
+    poles = []
+    for d in dates:
+        loc = northGeomagneticPoleLocation(d)
+        poles.append([float(loc.lat), float(loc.lon)])
+    out = os.path.join(RES, "golden_igrf_pole.npz")
+    np.savez_compressed(
+        out,
+        dates=np.array([d.isoformat() for d in dates]),
+        poles=np.asarray(poles, dtype=np.float64))
+    print("igrf ->", out, poles[3])
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["frames", "mlatmlt", "synthetic",
                                        "methods", "polygons", "mapprops",
-                                       "bbox", "histogram"],
+                                       "bbox", "histogram", "igrf"],
                     default=None)
     args = ap.parse_args()
     if args.only in (None, "frames"):
@@ -432,3 +456,5 @@ if __name__ == "__main__":
         make_golden_bbox()
     if args.only in (None, "histogram"):
         make_golden_histogram()
+    if args.only in (None, "igrf"):
+        make_golden_igrf()
