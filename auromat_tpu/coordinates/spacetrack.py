@@ -81,22 +81,77 @@ class Spacetrack:
     # reference API aliases (spacetrack.py:44-92)
     updateTLEsFor = update_tles_for
 
+    # TLEs for an active satellite publish several per day; a hole wider
+    # than this inside the requested range means the archive has a gap
+    # (disjoint ranges appended over time) and must be re-queried
+    MAX_EPOCH_GAP = timedelta(days=7)
+
+    def _covers(self, path, start, end):
+        """Archive covers [start, end]: epochs (SORTED — the file is
+        append-ordered and may hold disjoint ranges) reach both endpoints
+        with no interior gap. ``end`` is clamped to now: no published TLE
+        can have a future epoch, so a raw future end would defeat the
+        min_update_interval for current-epoch satellites (re-login +
+        re-query per call — space-track rate limits)."""
+        try:
+            tles = parse_tle_file(path)
+        except Exception:
+            return False
+        if not tles:
+            return False
+        epochs = sorted(t.epoch for t in tles)
+        eff_end = min(end, datetime.now())
+        # pure gap criterion with MAX_EPOCH_GAP slack at both endpoints:
+        # the newest published TLE always lags now by hours (an exact
+        # epochs[-1] >= now can never hold), and a TLE shortly before
+        # start serves the start of the range the same way
+        near = [e for e in epochs
+                if start - self.MAX_EPOCH_GAP <= e
+                <= eff_end + self.MAX_EPOCH_GAP]
+        if not near:
+            return False
+        seq = [start] + near + [eff_end]
+        return all(b - a <= self.MAX_EPOCH_GAP for a, b in zip(seq, seq[1:]))
+
+    @staticmethod
+    def _checksum_filter(lines):
+        """Keep whole TLE ENTRIES whose lines all pass the checksum —
+        filtering single lines would orphan the partner line, which
+        parse_tle_file then misreads as a name line of the next TLE."""
+        good = []
+        name = None
+        i = 0
+        while i < len(lines):
+            line = lines[i]
+            if line.startswith("1 "):
+                if (i + 1 < len(lines) and lines[i + 1].startswith("2 ")
+                        and tle_checksum_ok(line)
+                        and tle_checksum_ok(lines[i + 1])):
+                    if name is not None:
+                        good.append(name)
+                    good.extend([line, lines[i + 1]])
+                i += 2 if (i + 1 < len(lines)
+                           and lines[i + 1].startswith("2 ")) else 1
+                name = None
+            elif line.startswith("2 "):
+                i += 1  # orphan line 2: drop
+                name = None
+            else:
+                name = line  # 3-line format name, kept only with its pair
+                i += 1
+        return good
+
     def update_tles(self, norad_id, start, end):
         path = self.tle_path(norad_id)
         stamp = path + ".stamp"
-        if os.path.exists(stamp):
+        if os.path.exists(stamp) and os.path.exists(path):
             mtime = datetime.fromtimestamp(os.path.getmtime(stamp))
-            if datetime.now() - mtime < self.min_update_interval and os.path.exists(path):
-                # check coverage before skipping
-                try:
-                    tles = parse_tle_file(path)
-                    if tles and tles[0].epoch <= start and tles[-1].epoch >= end:
-                        return path
-                except Exception:
-                    pass
+            if (datetime.now() - mtime < self.min_update_interval
+                    and self._covers(path, start, end)):
+                return path
         text = self.query(norad_id, start, end)
         lines = [l for l in text.splitlines() if l.strip()]
-        good = [l for l in lines if tle_checksum_ok(l)]
+        good = self._checksum_filter(lines)
         existing = set()
         if os.path.exists(path):
             with open(path) as f:

@@ -110,6 +110,9 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
                 root.createDimension("vertex2", 2)
             if not lat_lon_pc or mlat_mlt_pc is False:
                 root.createDimension("vertex4", 4)
+        # no variable uses 'channel' (bands are separate 2D variables) —
+        # kept because the reference's schema creates it too (ref
+        # export/netcdf.py:92) and re-importers may key on the dim list
         root.createDimension("channel", mapping.img.shape[2])
         root.createDimension("xyz", 3)
         root.createDimension("scalar", 1)
@@ -239,9 +242,11 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
             var.units = b"unitless"
             var.valid_min = img_dtype(np.iinfo(img_src.dtype).min)
             var.valid_max = img_dtype(np.iinfo(img_src.dtype).max)
-            var.actual_range = np.array(
-                [np.min(img_src[:, :, i]), np.max(img_src[:, :, i])], dtype=img_dtype
-            )
+            ch = img_src[:, :, i]
+            if ch.count() > 0:  # fully masked channel: np.min returns
+                # ma.masked and np.array(...) raises MaskError
+                var.actual_range = np.array(
+                    [np.min(ch), np.max(ch)], dtype=img_dtype)
             var.coordinates = (
                 b"altitude time" if lat_lon_pc else b"lat lon altitude time"
             )
@@ -253,7 +258,8 @@ def write(output_path, mapping, metadata=None, includeBounds=True,
             za = root.createVariable("zenith_angle", np.float32, (y, x))
             za.units = b"degrees"
             za.valid_min, za.valid_max = np.float32(0), np.float32(90)
-            za.actual_range = np.float32([np.min(zena), np.max(zena)])
+            if zena.count() > 0:
+                za.actual_range = np.float32([np.min(zena), np.max(zena)])
             za.standard_name = b"zenith_angle"
             za.long_name = b"Absolute sensor zenith angle"
             za.coordinates = (b"altitude time" if lat_lon_pc

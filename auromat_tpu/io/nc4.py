@@ -89,13 +89,16 @@ class Nc4Writer:
         shape = tuple(self._nc4_dims[d].shape[0] for d in dims)
         nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
         kwargs = {}
+        if chunksizes:
+            # explicit chunk layout applies regardless of compression
+            kwargs["chunks"] = tuple(chunksizes)
         if zlib and self._nc4_compress and nbytes >= _COMPRESS_MIN_BYTES:
-            kwargs = dict(
+            kwargs.update(
                 compression="gzip",
                 compression_opts=self._nc4_complevel,
                 shuffle=True,
-                chunks=tuple(chunksizes) if chunksizes else True,
             )
+            kwargs.setdefault("chunks", True)
         is_coord = dims == (name,) and name in self._nc4_dims
         if is_coord:
             # COORDINATE variable (shares its dimension's name, the CF

@@ -13,6 +13,25 @@ import time
 from collections import defaultdict
 
 
+class _StageHandle:
+    def __init__(self, enabled):
+        self.enabled = enabled
+
+    def sync(self, out):
+        """Force completion of ``out`` via a one-element host fetch (the
+        only sync that blocks on the axon remote runtime)."""
+        if not self.enabled:
+            return out
+        import numpy as np
+
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves:
+            np.asarray(leaves[0]).ravel()[:1]
+        return out
+
+
 class StageTimer:
     """Collects named wall-clock stage timings.
 
@@ -30,17 +49,22 @@ class StageTimer:
 
     @contextlib.contextmanager
     def __call__(self, name):
+        """Time a stage. For async backends, pass the stage's OUTPUT to
+        the yielded handle so the timer can synchronize on it::
+
+            with timer("georef") as stage:
+                out = georeference(...)
+                stage.sync(out)
+
+        Without a sync target the stage measures DISPATCH time on async
+        backends — and on the axon remote TPU even jax.block_until_ready
+        does not block (see CLAUDE.md); ``sync()`` does a one-element host
+        fetch, the only reliable barrier there."""
+        handle = _StageHandle(self.sync)
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if self.sync:
-                try:
-                    import jax
-
-                    jax.effects_barrier()
-                except Exception:
-                    pass
             self.times[name].append(time.perf_counter() - t0)
 
     def total(self, name):
@@ -76,18 +100,27 @@ def device_trace(log_dir):
 def benchmark(fn, *args, iters=10, warmup=2):
     """Median wall time of a (jitted) callable with device synchronisation.
 
+    Synchronizes with a one-element HOST FETCH of the first output leaf:
+    jax.block_until_ready does not block on axon remote-TPU buffers
+    (CLAUDE.md), so a block_until_ready loop would time dispatch only.
+
     :returns: (median_seconds, all_times)
     """
     import numpy as np
 
     import jax
 
+    def _fetch(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves:
+            np.asarray(leaves[0]).ravel()[:1]
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), times
 

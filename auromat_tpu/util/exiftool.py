@@ -28,13 +28,17 @@ class ExifTool:
             et.copy_tags("frame.NEF", "frame.jpg")
     """
 
-    def __init__(self, executable="exiftool"):
+    def __init__(self, executable="exiftool", nums=True):
         if shutil.which(executable) is None:
             raise RuntimeError(
                 f"{executable!r} not found on PATH; install exiftool to use "
                 "RAW metadata workflows"
             )
         self.executable = executable
+        # session-wide numeric-values flag: exiftool has no per-command
+        # reversal of -common_args ('--n' means "exclude tag n", not
+        # "undo -n") — the reference makes this a constructor flag too
+        self.nums = nums
         self._process = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -43,7 +47,7 @@ class ExifTool:
             return self
         self._process = subprocess.Popen(
             [self.executable, "-stay_open", "True", "-@", "-",
-             "-common_args", "-G", "-n"],
+             "-common_args", "-G"] + (["-n"] if self.nums else []),
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
         )
@@ -84,31 +88,33 @@ class ExifTool:
         while not out.rstrip(b"\r\n").endswith(_SENTINEL):
             chunk = self._process.stdout.read1(65536)
             if not chunk:
-                break
+                # process died before emitting the sentinel — slicing the
+                # sentinel length off real output would truncate it
+                raise RuntimeError(
+                    "exiftool process ended mid-response "
+                    f"(exit code {self._process.poll()})")
             out += chunk
         return out.rstrip(b"\r\n")[: -len(_SENTINEL)].rstrip(b"\r\n")
 
-    def get_metadata_batch(self, paths, tags=None, nums=True):
+    def get_metadata_batch(self, paths, tags=None):
         """JSON metadata dicts for many files in one exchange.
 
-        :param tags: restrict to these tag names (no leading dash)
-        :param nums: numeric tag values (-n), like the reference's flag
+        :param tags: restrict to these tag names (no leading dash); numeric
+            vs printable values follow the session's ``nums`` flag
         """
         args = ["-j"]
-        if not nums:
-            args.append("--n")  # undo the session-wide -n
         if tags:
             args.extend("-" + t for t in tags)
         args.extend(os.fspath(p) for p in paths)
         out = self.execute(*args)
         return json.loads(out.decode("utf-8", "replace")) if out else []
 
-    def get_metadata(self, path, tags=None, nums=True):
-        res = self.get_metadata_batch([path], tags=tags, nums=nums)
+    def get_metadata(self, path, tags=None):
+        res = self.get_metadata_batch([path], tags=tags)
         return res[0] if res else {}
 
-    def get_tag(self, path, tag, nums=True):
-        meta = self.get_metadata(path, tags=[tag], nums=nums)
+    def get_tag(self, path, tag):
+        meta = self.get_metadata(path, tags=[tag])
         for key, value in meta.items():
             if key.split(":")[-1] == tag:
                 return value

@@ -151,3 +151,22 @@ class TestRoundTrip:
             # the coordinate variable IS the dimension scale (no phony name)
             assert f["lat"].attrs["NAME"] == b"lat" or \
                 f["lat"].attrs["NAME"] == "lat"
+
+
+def test_almost_fully_masked_image_exports(tmp_path):
+    """Aggressively masked frames (single valid pixel) must still export
+    and round-trip. (A FULLY masked mapping is unconstructible through
+    the supported flows — maskedByElevation refuses it and the outline of
+    an empty footprint is undefined — but the exporters still guard the
+    actual_range attributes against ma.masked extrema as defense.)"""
+    m = synthetic_mapping(n=12)
+    keep = (0, 8)  # a center whose 4 corners are valid in the synthetic frame
+    m._center_mask_arr[:] = True
+    m._center_mask_arr[keep] = False
+    m._img[keep] = 200  # nonzero: the fill value must not masquerade as data
+    path = tmp_path / "onemask.nc"
+    export_netcdf.write(str(path), m)
+    m2 = read_mapping(str(path))
+    got = np.ma.getmaskarray(m2.img)
+    assert not got[keep].any()
+    assert (~got.any(axis=-1)).sum() == 1
