@@ -11,7 +11,6 @@ import argparse
 import fnmatch
 import os
 import sys
-from datetime import datetime
 
 
 def detect_source_type(folder):

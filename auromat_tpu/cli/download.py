@@ -6,7 +6,6 @@ themis (by date range).
 
 import argparse
 import sys
-from datetime import datetime
 
 
 from auromat_tpu.timeutil import parse_cli_date as _parse_date

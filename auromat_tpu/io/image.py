@@ -9,6 +9,8 @@ import numpy as np
 
 def load_image(path):
     """Load an image as (h, w, 3) uint8/uint16 RGB (alpha dropped)."""
+    import warnings
+
     from PIL import Image
 
     with Image.open(path) as im:
@@ -16,6 +18,13 @@ def load_image(path):
             arr = np.asarray(im)
             if arr.ndim == 2:
                 arr = np.repeat(arr[:, :, None], 3, 2)
+            if im.mode == "I" and (arr.min() < 0 or arr.max() > 65535):
+                # 32-bit integer source beyond uint16: a plain astype
+                # would wrap modulo 65536
+                warnings.warn(
+                    f"{path}: 32-bit pixel values outside uint16 range "
+                    "are clipped")
+                arr = np.clip(arr, 0, 65535)
             return arr.astype(np.uint16)
         if im.mode != "RGB":
             im = im.convert("RGB")
@@ -23,14 +32,17 @@ def load_image(path):
 
 
 def save_image(path, img):
-    """Save (h, w[, 3]) uint8 (or uint16 -> scaled to uint8) image data."""
+    """Save (h, w[, 3]) uint8 (or uint16 -> scaled to uint8) image data;
+    masked entries are written as 0."""
     from PIL import Image
 
+    if np.ma.isMaskedArray(img):
+        # before np.asarray: that would strip the mask and write the
+        # underlying buffer contents at masked pixels
+        img = img.filled(0)
     img = np.asarray(img)
     if img.dtype == np.uint16:
         img = (img.astype(np.float64) * (255 / 65535)).astype(np.uint8)
-    if np.ma.isMaskedArray(img):
-        img = img.filled(0)
     Image.fromarray(img).save(path)
 
 
@@ -69,13 +81,8 @@ def read_exif_time(path):
     raw = tags.get("DateTimeOriginal") or tags.get("DateTime")
     if raw is None:
         return None
-    t = datetime.strptime(str(raw), "%Y:%m:%d %H:%M:%S")
     sub = tags.get("SubsecTimeOriginal") or tags.get("SubsecTime")
-    if sub is not None:
-        frac = str(sub).strip()
-        if frac.isdigit():
-            t = t.replace(microsecond=int(float("0." + frac) * 1e6))
-    return t
+    return convert_exif_date(raw, sub)
 
 
 def read_focal_length_35mm(path):
@@ -130,10 +137,14 @@ def image_to_mpl(rgb):
 
 
 def image_to_cv(rgb):
-    """RGB image -> BGR uint8 for OpenCV (reference image2cv). Grayscale
+    """RGB image -> BGR uint8 for OpenCV (reference image2cv). Masked
+    pixels come out BLACK (a NaN->uint8 cast is undefined); grayscale
     passes through unchanged (the channel reversal applies to the color
     axis only — on a 2D array it would mirror the image)."""
-    rgb = np.require(_normalize_image(rgb), np.uint8, "C")
+    norm = _normalize_image(rgb)
+    if np.issubdtype(np.asarray(norm).dtype, np.floating):
+        norm = np.nan_to_num(norm, nan=0.0)
+    rgb = np.require(norm, np.uint8, "C")
     if rgb.ndim == 3 and rgb.shape[-1] == 3:
         return rgb[..., ::-1].copy()
     return rgb

@@ -92,6 +92,11 @@ def process_local_batch(global_batch_size):
     """
     n = jax.process_count()
     i = jax.process_index()
-    assert global_batch_size % n == 0, (global_batch_size, n)
+    if global_batch_size % n != 0:
+        # not an assert: stripped under python -O, frames would silently
+        # be dropped by the floor division below
+        raise ValueError(
+            f"global_batch_size {global_batch_size} not divisible by "
+            f"{n} processes")
     per = global_batch_size // n
     return i * per, per

@@ -127,12 +127,14 @@ def contains_leap_second(d1, d2):
     the listed UTC day (the 23:59:60 second). Naive datetimes are
     interpreted as UTC; tz-aware datetimes are converted.
     """
-    if d2 < d1:
-        d1, d2 = d2, d1
+    # normalize BEFORE comparing: mixed naive/aware operands cannot be
+    # ordered and would raise TypeError in the swap
     if d1.tzinfo is not None:
         d1 = d1.astimezone(timezone.utc).replace(tzinfo=None)
     if d2.tzinfo is not None:
         d2 = d2.astimezone(timezone.utc).replace(tzinfo=None)
+    if d2 < d1:
+        d1, d2 = d2, d1
     for y, m, d in _LEAP_SECOND_DAYS:
         # the inserted second is 23:59:60, i.e. the second ENDING at this
         # instant: a range starting exactly at the instant excludes it

@@ -140,17 +140,25 @@ LENS_DB = {}
 CAMERA_CROP = {}
 
 
-def register_lens(camera, lens, focal_mm, model, terms, crop_factor=1.0):
+def register_lens(camera, lens, focal_mm, model, terms, crop_factor=None):
     """Register distortion parameters for (camera, lens) at one focal
     length, REPLACING any existing entry at that focal length (so a
-    calibrated entry overrides the bundled approximate one)."""
+    calibrated entry overrides the bundled approximate one).
+
+    :param crop_factor: the CAMERA's crop factor; None keeps a previously
+        registered value (defaults to 1.0 for a new camera) — a defaulted
+        parameter must not silently reset another lens's registration
+    """
     key = (_norm(camera), _norm(lens))
     focal_mm = float(focal_mm)
     entries = [e for e in LENS_DB.get(key, []) if e[0] != focal_mm]
     entries.append((focal_mm, model, tuple(terms)))
     entries.sort(key=lambda e: e[0])
     LENS_DB[key] = entries
-    CAMERA_CROP[_norm(camera)] = float(crop_factor)
+    if crop_factor is not None:
+        CAMERA_CROP[_norm(camera)] = float(crop_factor)
+    else:
+        CAMERA_CROP.setdefault(_norm(camera), 1.0)
 
 
 # the ISS aurora imagery bodies/lenses (NASA EOL metadata); approximate

@@ -37,12 +37,20 @@ def create_movie(movie_path, frame_paths, fps=25, width=None, crf=None,
         filters = []
         if width:
             filters += ["-vf", f"scale={width}:trunc(ow/a/2)*2"]
+        else:
+            # libx264/yuv420p requires even dimensions; odd source frames
+            # would fail with 'width not divisible by 2'
+            filters += ["-vf", "scale=trunc(iw/2)*2:trunc(ih/2)*2"]
         cmd = [
             ffmpeg, "-y", "-framerate", str(fps),
             "-i", os.path.join(tmp, f"%08d{ext_in}"),
             *codec_args, *filters, movie_path,
         ]
-        subprocess.run(cmd, check=True, capture_output=True)
+        proc = subprocess.run(cmd, capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"ffmpeg failed ({proc.returncode}): "
+                + proc.stderr.decode(errors="replace")[-2000:])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return movie_path

@@ -287,3 +287,51 @@ def test_anchor_regex_rejects_classname(monkeypatch):
     assert seqs[0].url_anchor == "seq1"
     assert (seqs[0].mission, seqs[0].from_frame, seqs[0].to_frame) == (
         "ISS031", 10, 20)
+
+
+def test_save_image_masked_filled_black(tmp_path):
+    import numpy.ma as ma
+
+    from auromat_tpu.io.image import load_image, save_image
+
+    img = ma.masked_array(np.full((4, 4, 3), 137, dtype=np.uint8),
+                          mask=np.zeros((4, 4, 3), dtype=bool))
+    img.mask[0, 0] = True
+    p = tmp_path / "m.png"
+    save_image(str(p), img)
+    back = load_image(str(p))
+    assert (back[0, 0] == 0).all()  # masked pixel written as 0
+    assert (back[1, 1] == 137).all()
+
+
+def test_image_to_cv_masked_black():
+    import numpy.ma as ma
+
+    from auromat_tpu.io.image import image_to_cv
+
+    img = ma.masked_array(np.full((2, 2, 3), 99, dtype=np.uint8),
+                          mask=np.zeros((2, 2, 3), dtype=bool))
+    img.mask[0, 0] = True
+    out = image_to_cv(img)
+    assert (out[0, 0] == 0).all()  # NaN (masked) -> black, not junk
+    assert (out[1, 1] == 99).all()
+
+
+def test_contains_leap_second_mixed_tz():
+    from datetime import datetime, timezone
+
+    from auromat_tpu.timeutil import contains_leap_second
+
+    naive = datetime(2015, 6, 1)
+    aware = datetime(2015, 7, 15, tzinfo=timezone.utc)
+    assert contains_leap_second(naive, aware)  # 2015-06-30 23:59:60
+    assert contains_leap_second(aware, naive)  # reversed order too
+
+
+def test_register_lens_keeps_crop_factor():
+    from auromat_tpu.util import lensdistortion as ld
+
+    cam = "TESTCAM UNIQUE"
+    ld.register_lens(cam, "a", 24, "poly3", (-0.02,), crop_factor=1.5)
+    ld.register_lens(cam, "b", 50, "poly3", (-0.01,))  # defaulted
+    assert ld.CAMERA_CROP[cam.lower()] == 1.5
