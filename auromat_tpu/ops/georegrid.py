@@ -247,7 +247,7 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
                     vmem_limit_bytes=_VMEM_LIMIT),
                 interpret=interpret,
             )(_tile_bounds(iy_rel, ixp, nty, ntx, tile_h, tile_w, win_r,
-                           acc_rows // (n_win_c * win_r), n_win_c),
+                           n_win_r, n_win_c),
               iy_rel, ixp, imgp, elevp)
 
     multi_slab = n_lat_pad > slab_rows
@@ -292,9 +292,18 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     return count, sums
 
 
+def split_bin_indices(grid, flat, valid):
+    """(flat, valid) from bin_indices -> (iy, ix) int32 with the kernel's
+    -1 = invalid-sample sentinel (the bin_rgbelev_from_indices contract —
+    change it HERE, not at the call sites)."""
+    iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
+    ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
+    return iy, ix
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def bin_mean_rgbelev(grid: GridSpec, lats, lons, data, tiles=TILES,
-                     interpret=False):
+def _bin_mean_rgbelev_jit(grid: GridSpec, lats, lons, data, tiles,
+                          interpret):
     """Mean-bin (R, G, B, elevation) samples with the flagship kernel.
 
     The drop-in fast path for ``resample(method='mean')``'s standard
@@ -313,12 +322,20 @@ def bin_mean_rgbelev(grid: GridSpec, lats, lons, data, tiles=TILES,
     lats = jnp.asarray(lats, jnp.float32)
     lons = jnp.asarray(lons, jnp.float32)
     flat, valid = bin_indices(grid, lats, lons)
-    iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
-    ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
+    iy, ix = split_bin_indices(grid, flat, valid)
     img_chw = jnp.transpose(data[..., :3], (2, 0, 1))
     count, sums = bin_rgbelev_from_indices(grid, iy, ix, img_chw,
                                            data[..., 3], tiles, interpret)
     return count, finalize_mean(count, sums)
+
+
+def bin_mean_rgbelev(grid: GridSpec, lats, lons, data, tiles=TILES,
+                     interpret=False):
+    """See :func:`_bin_mean_rgbelev_jit`; normalizes ``tiles`` to a
+    hashable tuple for the static jit argument (georegrid_partial does
+    the same for its tiles parameter)."""
+    return _bin_mean_rgbelev_jit(grid, lats, lons, data, tuple(tiles),
+                                 bool(interpret))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
@@ -333,8 +350,7 @@ def _georegrid(grid: GridSpec, dyn: DynGeorefParams, img_chw, mask,
     flat, valid = bin_indices(grid, out["lat"], out["lon"])
     if mask is not None:
         valid &= ~mask
-    iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
-    ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
+    iy, ix = split_bin_indices(grid, flat, valid)
     return bin_rgbelev_from_indices(grid, iy, ix, img_chw, out["elevation"],
                                     tiles, interpret)
 

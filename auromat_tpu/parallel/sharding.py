@@ -16,7 +16,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from auromat_tpu.ops.georef import DynGeorefParams, georef_latlon_dyn
-from auromat_tpu.ops.regrid import GridSpec, bin_partial, finalize_mean
+from auromat_tpu.ops.regrid import (_BIN_METHODS, GridSpec, bin_indices,
+                                    bin_partial, finalize_mean, round_up)
 
 
 def make_mesh(devices=None, dp=None, sp=None):
@@ -51,6 +52,12 @@ def _local_pixel_grid(height, width, rows_per_shard, dtype):
     ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows_per_shard, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (rows_per_shard, width), 1)
     return xs.astype(dtype), ys.astype(dtype)
+
+
+def _dyn_dp_spec():
+    """P('dp') over every DynGeorefParams leaf (frames sharded over dp)."""
+    return jax.tree.map(lambda _: P("dp"), DynGeorefParams(
+        *[0.0] * len(DynGeorefParams._fields)))
 
 
 def make_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
@@ -90,8 +97,7 @@ def make_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         sums = jax.lax.psum(sums, ("dp", "sp"))
         return count, finalize_mean(count, sums)
 
-    dyn_spec = jax.tree.map(lambda _: P("dp"), DynGeorefParams(
-        *[0.0] * len(DynGeorefParams._fields)))
+    dyn_spec = _dyn_dp_spec()
     step = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -162,7 +168,6 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     n_dev = dp_n * sp_n
     assert height % sp_n == 0, (height, sp_n)
     rows_per_shard = height // sp_n
-    from auromat_tpu.ops.regrid import round_up
 
     n_lon = grid.n_lon
     band = round_up(-(-grid.n_lat // n_dev), 8)  # 8-aligned rows per device
@@ -171,8 +176,6 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     chunk_rows = min(chunk_rows, band)
     n_chunks = -(-band // chunk_rows)
     n_ch = channels + (1 if with_elevation else 0)
-    from auromat_tpu.ops.regrid import _BIN_METHODS, bin_indices
-
     if bin_method == "pallas":
         if channels != 3 or not with_elevation:
             raise ValueError(
@@ -212,10 +215,12 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             # psum_scatter routing (grid-sized slicing is cheap; the
             # per-chunk alternative would re-stream the samples n_chunks
             # times through the kernel)
-            from auromat_tpu.ops.georegrid import bin_rgbelev_from_indices
+            from auromat_tpu.ops.georegrid import (bin_rgbelev_from_indices,
+                                                   split_bin_indices)
 
-            iy2 = jnp.where(valid, iy, -1).reshape(-1, width)
-            ix2 = jnp.where(valid, ix, -1).reshape(-1, width)
+            iy2, ix2 = split_bin_indices(grid, flat_idx, valid)
+            iy2 = iy2.reshape(-1, width)
+            ix2 = ix2.reshape(-1, width)
             img2 = jnp.transpose(
                 data[..., :3].reshape(-1, width, 3), (2, 0, 1))
             elev2 = data[..., 3].reshape(-1, width)
@@ -297,8 +302,7 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             out_sums = out_sums.at[r0 : r0 + rows].set(sms[:rows])
         return out_count, finalize_mean(out_count, out_sums)
 
-    dyn_spec = jax.tree.map(lambda _: P("dp"), DynGeorefParams(
-        *[0.0] * len(DynGeorefParams._fields)))
+    dyn_spec = _dyn_dp_spec()
     step = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -306,7 +310,25 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         out_specs=(P(("dp", "sp")), P(("dp", "sp"))),
         check_vma=False,
     )
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def run(dyn_params, imgs):
+        # same up-front contract validation as make_sharded_mosaic_step —
+        # a violation otherwise surfaces as an opaque shard_map error
+        b = imgs.shape[0]
+        if b % dp_n != 0:
+            raise ValueError(f"batch {b} must divide by mesh dp={dp_n}")
+        if imgs.shape[1:] != (height, width, channels):
+            raise ValueError(
+                f"imgs shape {imgs.shape[1:]} != ({height}, {width}, "
+                f"{channels})")
+        return jitted(dyn_params, imgs)
+
+    # expose the jit AOT surface (config-5 tests/tools compile-inspect
+    # the step via .lower(...).compile())
+    run.lower = jitted.lower
+    run.jitted = jitted
+    return run
 
 
 def sharded_batch_georef(mesh: Mesh, height, width, dtype=jnp.float32,
@@ -329,8 +351,7 @@ def sharded_batch_georef(mesh: Mesh, height, width, dtype=jnp.float32,
                                         with_mlatmlt=with_mlatmlt)
         )(dyn_local)
 
-    dyn_spec = jax.tree.map(lambda _: P("dp"), DynGeorefParams(
-        *[0.0] * len(DynGeorefParams._fields)))
+    dyn_spec = _dyn_dp_spec()
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
