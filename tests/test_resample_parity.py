@@ -130,7 +130,8 @@ class TestSyntheticPaths:
     synthetic all-valid gnomonic cap. The golden stores the INPUT arrays,
     so both chains consume bit-identical mappings."""
 
-    @pytest.fixture(scope="class", params=["polar", "discont"])
+    @pytest.fixture(scope="class",
+                    params=["polar", "discont", "polar_masked"])
     def pair(self, request):
         from datetime import datetime
 

@@ -202,7 +202,36 @@ def _gnomonic_cap(lat0_deg, lon0_deg, half_deg, n):
     return lats, lons, lats_c, lons_c, elev, img
 
 
-def make_golden_synthetic(tag, lat0, lon0, half_deg, n, contains_pole):
+def _mask_wedge(lats, lons, lats_c, lons_c, elev, img):
+    """NaN-mask an azimuthal wedge + a corner blob of a cap (concave
+    remaining footprint: exercises outline-from-mask under rotation)."""
+    n = lats_c.shape[0]
+    yy, xx = np.mgrid[0:n, 0:n]
+    cy = cx = (n - 1) / 2.0
+    ang = np.degrees(np.arctan2(yy - cy, xx - cx))
+    wedge = (ang > 15) & (ang < 70)
+    blob = (yy - n * 0.15) ** 2 + (xx - n * 0.8) ** 2 < (n * 0.12) ** 2
+    cmask = wedge | blob
+    lats_c = lats_c.copy()
+    lons_c = lons_c.copy()
+    elev = elev.copy()
+    lats_c[cmask] = np.nan
+    lons_c[cmask] = np.nan
+    elev[cmask] = np.nan
+    # corners masked where ALL adjacent centers are masked (keeps the
+    # sanitize invariants constructible on both sides)
+    cpad = np.pad(cmask, 1, constant_values=True)
+    corner_dead = (cpad[:-1, :-1] & cpad[1:, :-1]
+                   & cpad[:-1, 1:] & cpad[1:, 1:])
+    lats = lats.copy()
+    lons = lons.copy()
+    lats[corner_dead] = np.nan
+    lons[corner_dead] = np.nan
+    return lats, lons, lats_c, lons_c, elev, img
+
+
+def make_golden_synthetic(tag, lat0, lon0, half_deg, n, contains_pole,
+                          masked=False):
     """Pole / 180-degree-discontinuity resample paths (reference
     resample.py:176-214 + 261-277: rotatePole outline+centers, shifted
     longitudes, rotated-back grids) on a synthetic gnomonic cap, executed
@@ -214,6 +243,9 @@ def make_golden_synthetic(tag, lat0, lon0, half_deg, n, contains_pole):
 
     lats, lons, lats_c, lons_c, elev, img = _gnomonic_cap(
         lat0, lon0, half_deg, n)
+    if masked:
+        lats, lons, lats_c, lons_c, elev, img = _mask_wedge(
+            lats, lons, lats_c, lons_c, elev, img)
     photo_time = dt.datetime(2012, 1, 25, 9, 27, 57)
     cam = np.array([0.0, 0.0, 6871.0])
     m = GenericMapping(lats.copy(), lons.copy(), lats_c.copy(),
@@ -446,6 +478,8 @@ if __name__ == "__main__":
                               contains_pole=True)
         make_golden_synthetic("discont", 60.0, 180.0, 8.0, 180,
                               contains_pole=False)
+        make_golden_synthetic("polar_masked", 90.0, 0.0, 12.0, 220,
+                              contains_pole=True, masked=True)
     if args.only in (None, "methods"):
         make_golden_methods()
     if args.only in (None, "polygons"):
