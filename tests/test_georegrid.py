@@ -147,3 +147,20 @@ def test_oversized_grid_slabs_bit_identically(setup):
     for a, b in zip(one, slabbed):
         assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True)
     assert float(one[0].sum()) == float(np.asarray(valid).sum())
+
+
+@pytest.mark.parametrize("tiles", [(8, 128, 8), (24, 256, 8)])
+def test_alternate_tile_shapes(setup, tiles):
+    """The kernel's tiling math (padding, window linearization, grid
+    steps) must be shape-generic, not just correct at the default TILES
+    (perf sweeps run other shapes on hardware)."""
+    _, dyn, img, grid = setup
+    count_d, means_d = georegrid_mean(grid, dyn, img, interpret=True)
+    count, means = georegrid_mean(grid, dyn, img, tiles=tiles,
+                                  interpret=True)
+    # same program family: tile shape must not change ANY result
+    assert np.array_equal(np.asarray(count), np.asarray(count_d))
+    m, md = np.asarray(means), np.asarray(means_d)
+    both = ~np.isnan(m) & ~np.isnan(md)
+    assert np.array_equal(np.isnan(m), np.isnan(md))
+    assert_allclose(m[both], md[both], rtol=0, atol=1e-5)
