@@ -415,17 +415,23 @@ def get_mappings(photo_time, l1_folder, l2_folder, altitude=110, maxTimeOffset=2
             pending.append(len(rows))
             rows.append((station, img, img_date, l2, None, None))
     if pending:
-        # one device call for every station's ray reconstruction; grids of
-        # one deployment share (h, w), so the batch axis is rectangular
-        l2s = [rows[i][3] for i in pending]
-        lats_b, lons_b = reproject_batch(
-            np.array([l2[0] for l2 in l2s], dtype=np.float64),
-            np.stack([l2[3][0] for l2 in l2s]),
-            np.stack([l2[4][0] for l2 in l2s]),
-            np.array([l2[5][0] for l2 in l2s], dtype=np.float64),
-            altitude)
-        for k, i in enumerate(pending):
-            rows[i] = rows[i][:4] + (lats_b[k], lons_b[k])
+        # one device call per GRID SHAPE: grids of one deployment usually
+        # share (h, w) so this is a single call, but a station with a
+        # different calibration resolution must not break the whole
+        # collection (np.stack would raise) — group by shape instead
+        by_shape = {}
+        for i in pending:
+            by_shape.setdefault(rows[i][3][3][0].shape, []).append(i)
+        for idx in by_shape.values():
+            l2s = [rows[i][3] for i in idx]
+            lats_b, lons_b = reproject_batch(
+                np.array([l2[0] for l2 in l2s], dtype=np.float64),
+                np.stack([l2[3][0] for l2 in l2s]),
+                np.stack([l2[4][0] for l2 in l2s]),
+                np.array([l2[5][0] for l2 in l2s], dtype=np.float64),
+                altitude)
+            for k, i in enumerate(idx):
+                rows[i] = rows[i][:4] + (lats_b[k], lons_b[k])
     mappings = [
         _build_mapping(st, img, d, l2[0], l2[2], lats, lons, altitude,
                        minBrightness, maxBrightness)

@@ -198,12 +198,20 @@ def div(x: DF, y: DF) -> DF:
 
 
 def sqrt(x: DF) -> DF:
-    """Newton-refined square root (Karp-Markstein style)."""
+    """Newton-refined square root (Karp-Markstein style).
+
+    Zero-safe: sqrt(DF(0,0)) = DF(0,0). Without the guard the Newton
+    correction divides 0/0 -> NaN, and atan2(y, NaN) then silently
+    returns 0 — this bit the df64 elevation/mlat chain at pixels whose
+    epsilon-negative clamp fired (|elevation| -> 90 deg exported as 0).
+    """
     s1 = jnp.sqrt(x.hi)
     # one df Newton step: s = s1 + (x - s1^2) / (2 s1)
     r = sub(x, mul(df(s1), df(s1)))
-    corr = r.hi / (2.0 * s1)
-    hi, lo = _quick_two_sum(s1, corr + r.lo / (2.0 * s1))
+    denom = 2.0 * s1
+    corr = jnp.where(s1 > 0.0, r.hi / denom, 0.0)
+    lo_corr = jnp.where(s1 > 0.0, r.lo / denom, 0.0)
+    hi, lo = _quick_two_sum(s1, corr + lo_corr)
     return DF(hi, lo)
 
 

@@ -119,8 +119,11 @@ def extract_aurora_sequences(url=AURORA_VIDEOS_URL):
     # — anchored like the reference's pattern (ref eol.py:91-94), so stray
     # photo.pl links elsewhere in a section can never be mis-paired into a
     # bogus frame range
+    # [^"&]* after frame=(digits): tolerate extra query parameters between
+    # frame= and the closing quote (photo.pl links sometimes carry trailing
+    # params) without letting the frame group swallow a later &frame=
     pair_re = re.compile(
-        link + r'"[^>]*>\s*(?:<nobr>)?[A-Z0-9-]*\s*</a>\s*to\s*<a\s[^>]*'
+        link + r'[^"]*"[^>]*>\s*(?:<nobr>)?[A-Z0-9-]*\s*</a>\s*to\s*<a\s[^>]*'
         + link, re.DOTALL | re.IGNORECASE)
     # legacy NASA HTML mixes attribute case/order (<A NAME=..>, id= before
     # name=): match any <a ...> tag carrying a name attribute
@@ -138,6 +141,12 @@ def extract_aurora_sequences(url=AURORA_VIDEOS_URL):
         section = html[m.end() : section_end]
         pair = pair_re.search(section)
         if pair is None:
+            # surface skipped sections (navigation anchors are expected;
+            # a real sequence section failing to parse should be visible)
+            import logging
+            logging.getLogger(__name__).info(
+                "aurora-videos: no frame-range pair under anchor %r; skipped",
+                m.group(1))
             continue
         mission_a, roll_a, frame_a, mission_b, roll_b, frame_b = pair.groups()
         if (mission_a, roll_a) != (mission_b, roll_b):

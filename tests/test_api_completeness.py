@@ -263,6 +263,24 @@ def test_frame_iter_raw_sidecar():
         list(eol.frame_iter({"mission": "x"}))
 
 
+def test_pair_regex_tolerates_trailing_query_params(monkeypatch):
+    """photo.pl links carrying extra query params after frame= must still
+    pair up (the regex used to require the closing quote immediately
+    after the digits, silently skipping the section)."""
+    from auromat_tpu.solving import eol
+    from auromat_tpu.util import url as url_mod
+
+    page = (
+        '<a name="seq1">Aurora</a>'
+        '<a href="photo.pl?mission=ISS030&roll=E&frame=5&photo=x">A</a> to '
+        '<a href="photo.pl?mission=ISS030&roll=E&frame=9&photo=y">B</a>'
+    )
+    monkeypatch.setattr(url_mod, "fetch_text", lambda u, timeout=60: page)
+    seqs = eol.extract_aurora_sequences("http://x")
+    assert len(seqs) == 1
+    assert (seqs[0].from_frame, seqs[0].to_frame) == (5, 9)
+
+
 def test_anchor_regex_rejects_classname(monkeypatch):
     from auromat_tpu.solving import eol
     from auromat_tpu.util import url as url_mod

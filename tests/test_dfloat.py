@@ -60,6 +60,20 @@ class TestBasicOps:
         s = dfl.to_f64(dfl.sqrt(dfl.from_f64(a)))
         np.testing.assert_allclose(s, np.sqrt(a), rtol=1e-13)
 
+    def test_sqrt_zero_safe(self):
+        """sqrt(DF(0,0)) must be exactly zero, not NaN (the Newton
+        correction used to divide 0/0), and atan2(y, sqrt(0)) must hit
+        +-pi/2 — the df64 georef clamps epsilon-negative s2 to exact df
+        zero at |elevation| -> 90 deg, which silently exported 0 deg."""
+        import numpy as np
+        z = dfl.sqrt(dfl.DF(np.float32(np.zeros(4)), np.float32(np.zeros(4))))
+        assert np.all(np.asarray(z.hi) == 0.0)
+        assert np.all(np.asarray(z.lo) == 0.0)
+        y = dfl.from_f64(np.array([1.0, -2.0, 3.0, -4.0]))
+        ang = dfl.to_f64(dfl.atan2(y, z))
+        np.testing.assert_allclose(
+            ang, np.array([1, -1, 1, -1]) * np.pi / 2, atol=5e-13)
+
     def test_dot3(self):
         v = rand(300, -7000, 7000, 8).reshape(100, 3)
         w = rand(300, -1, 1, 9).reshape(100, 3)

@@ -356,6 +356,26 @@ class TestThemisBatched:
             assert np.array_equal(
                 np.asarray(m.img.filled(0)), np.asarray(single.img.filled(0)))
 
+    def test_get_mappings_mixed_grid_shapes(self, tmp_path):
+        """Stations whose L2 calibration grids differ in resolution must
+        not break the whole collection: the batched reprojection groups
+        by grid shape (np.stack across shapes would raise ValueError)."""
+        date, _ = synth_themis_cdfs(str(tmp_path), station="gill", size=32)
+        synth_themis_cdfs(str(tmp_path), station="atha", size=16)
+        coll = themis.get_mappings(
+            date, str(tmp_path), str(tmp_path), altitude=100, offline=True,
+            stations=["gill", "atha"])
+        assert len(coll.mappings) == 2
+        for m in coll.mappings:
+            st = m.identifier.split(".")[0]
+            single = themis.mapping_single_asi(
+                st, date, str(tmp_path), str(tmp_path), altitude=100,
+                offline=True)
+            np.testing.assert_allclose(
+                np.asarray(m.lats.filled(np.nan)),
+                np.asarray(single.lats.filled(np.nan)),
+                rtol=0, atol=1e-9, equal_nan=True)
+
     def test_get_mappings_mixed_ref_and_reproject(self, tmp_path):
         """One station resolved from the calibration table (altitude=110 is
         a reference altitude), collection at a non-ref altitude batches."""
