@@ -96,6 +96,19 @@ class ZenithalWcs:
         self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
         self.rotmat = celestial_rotation_matrix(self.ra_ref, self.dec_ref, self.lonpole)
 
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native spherical (phi, theta)
+        radians; out-of-domain points yield NaN theta."""
+        r = jnp.sqrt(x * x + y * y)
+        phi = jnp.arctan2(x, -y)
+        return phi, _theta_from_r(self.projection, r)
+
+    def plane_from_native(self, phi, theta):
+        """Native spherical (rad) -> projection-plane (x, y) degrees;
+        unprojectable directions yield NaN."""
+        r = _r_from_theta(self.projection, theta)
+        return r * jnp.sin(phi), -r * jnp.cos(phi)
+
 
 class TanWcs(ZenithalWcs):
     """TAN-only WCS container — the contract of the fused georef fast path
@@ -112,6 +125,161 @@ class TanWcs(ZenithalWcs):
                 "(generic zenithal projections: use ZenithalWcs + pix2world)"
             )
         super().__init__(header)
+
+
+class CylindricalWcs:
+    """Host-side container for a cylindrical-projection WCS solution.
+
+    Covers the common cylindrical family — CAR (plate carree), CEA
+    (cylindrical equal area, PV2_1 = lambda), MER (Mercator) — which the
+    reference reaches only through its astropy fallback (reference
+    wcs.py:18-64). Exposes the same surface as :class:`ZenithalWcs`
+    (attrs + native_from_plane/plane_from_native), so :func:`pix2world`,
+    :func:`world2pix` and :func:`pix2world_cartesian` work unchanged.
+
+    Cylindrical projections have their fiducial point at native
+    (phi0, theta0) = (0, 0) — NOT at the native pole — so the native pole
+    (alpha_p, delta_p) must be solved from CRVAL + LONPOLE/LATPOLE
+    (FITS Paper II eqs. 8-10, specialized to theta0 = 0, phi0 = 0):
+
+        delta_p = t +- acos(sin(dec0) / |cos(phi_p)|),
+                  t = 0 if cos(phi_p) > 0 else pi
+        alpha_p = ra0 - atan2(sin(phi_p), -sin(delta_p) cos(phi_p))
+
+    with the +-branch chosen closest to LATPOLE (default +90). The
+    native->celestial rotation is then the same Euler z-x-z matrix as the
+    zenithal case, parameterized by (alpha_p, delta_p, LONPOLE).
+    """
+
+    SUPPORTED = ("CAR", "CEA", "MER")
+
+    def __init__(self, header):
+        c1 = header.get("CTYPE1") or ""
+        c2 = header.get("CTYPE2") or ""
+        code = c1[5:] if (
+            isinstance(c1, str) and isinstance(c2, str)
+            and c1.startswith("RA---") and c2.startswith("DEC--")
+            and c1[5:] == c2[5:]
+        ) else None
+        if code not in self.SUPPORTED:
+            raise ValueError(
+                f"only RA---/DEC-- cylindrical projections {self.SUPPORTED}"
+                f" are supported here; got {c1!r}/{c2!r}"
+            )
+        self.projection = code
+        self.ra_ref = float(header["CRVAL1"])
+        self.dec_ref = float(header["CRVAL2"])
+        self.px_ref = float(header["CRPIX1"])
+        self.py_ref = float(header["CRPIX2"])
+        # Paper II defaults for theta0 = 0: LONPOLE 0 if dec0 >= 0 else 180
+        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
+        self.lonpole = float(header.get("LONPOLE", default_lonpole))
+        self.latpole = float(header.get("LATPOLE", 90.0))
+        # CEA's lambda: PV2_1 (wcslib) with 1.0 (Lambert) default
+        self.cea_lambda = float(header.get("PV2_1", 1.0))
+        if code == "CEA" and not 0.0 < self.cea_lambda <= 1.0:
+            raise ValueError(f"CEA PV2_1 must be in (0, 1]; got "
+                             f"{self.cea_lambda}")
+        self.cd = np.array(
+            [
+                [float(header["CD1_1"]), float(header["CD1_2"])],
+                [float(header["CD2_1"]), float(header["CD2_2"])],
+            ]
+        )
+        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
+        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+
+        phip = np.deg2rad(self.lonpole)
+        d0 = np.deg2rad(self.dec_ref)
+        cosphip = np.cos(phip)
+        if abs(cosphip) < 1e-12:
+            # delta_p constraint degenerates: sin(dec0) must be 0
+            if abs(np.sin(d0)) > 1e-12:
+                raise ValueError(
+                    f"no native pole solution: LONPOLE={self.lonpole} with "
+                    f"CRVAL2={self.dec_ref} violates "
+                    "sin(dec0) = cos(delta_p) cos(lonpole)")
+            cands = [np.pi / 2, -np.pi / 2]
+        else:
+            arg = np.sin(d0) / abs(cosphip)
+            if abs(arg) > 1.0 + 1e-12:
+                raise ValueError(
+                    f"no native pole solution for LONPOLE={self.lonpole}, "
+                    f"CRVAL2={self.dec_ref} (|sin(dec0)/cos(lonpole)| > 1)")
+            c = np.arccos(np.clip(arg, -1.0, 1.0))
+            t = 0.0 if cosphip > 0 else np.pi
+            cands = [t + c, t - c]
+        # wrap into [-pi/2, pi/2] validity and pick the one closest to
+        # LATPOLE (Paper II: the LATPOLE card disambiguates the +-branch)
+        valid = [dp for dp in cands if abs(dp) <= np.pi / 2 + 1e-12]
+        if not valid:
+            raise ValueError(
+                f"no valid native pole latitude for LONPOLE={self.lonpole},"
+                f" CRVAL2={self.dec_ref}")
+        lp = np.deg2rad(self.latpole)
+        dp = min(valid, key=lambda v: abs(v - lp))
+        ap = np.deg2rad(self.ra_ref) - np.arctan2(
+            np.sin(phip), -np.sin(dp) * cosphip)
+        self.rotmat = celestial_rotation_matrix(
+            np.rad2deg(ap), np.rad2deg(dp), self.lonpole)
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta) radians
+        (FITS Paper II section 5.2)."""
+        phi = x * _RAD_PER_R
+        if self.projection == "CAR":
+            theta = y * _RAD_PER_R
+        elif self.projection == "CEA":
+            s = y * _RAD_PER_R * self.cea_lambda
+            theta = jnp.arcsin(s)  # |s| > 1 -> NaN (outside the map)
+        else:  # MER
+            theta = 2.0 * jnp.arctan(jnp.exp(y * _RAD_PER_R)) - jnp.pi / 2
+        return phi, theta
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y) degrees.
+
+        phi is wrapped into [-180, 180) so world2pix lands on the
+        principal map copy around CRPIX.
+        """
+        x = (jnp.rad2deg(phi) + 180.0) % 360.0 - 180.0
+        if self.projection == "CAR":
+            y = jnp.rad2deg(theta)
+        elif self.projection == "CEA":
+            y = jnp.rad2deg(jnp.sin(theta)) / self.cea_lambda
+        else:  # MER: y = (180/pi) ln tan(pi/4 + theta/2); poles -> +-inf
+            y = jnp.rad2deg(jnp.log(jnp.tan(jnp.pi / 4 + theta / 2.0)))
+        return x, y
+
+
+#: projection code -> WCS class, the dispatch table of :func:`make_wcs`
+_WCS_FAMILIES = {
+    **{c: ZenithalWcs for c in ZenithalWcs.SUPPORTED},
+    **{c: CylindricalWcs for c in CylindricalWcs.SUPPORTED},
+}
+
+
+def make_wcs(header):
+    """Build the right WCS container for a FITS header.
+
+    Dispatches on the CTYPE projection code: zenithal codes ->
+    :class:`ZenithalWcs`, cylindrical -> :class:`CylindricalWcs`. Any
+    other projection raises NotImplementedError naming the supported
+    families (the reference resolves arbitrary projections through its
+    astropy fallback, reference wcs.py:18-64 — conic/pseudo-cylindrical
+    headers are not reachable from astrometry.net output, which is
+    always TAN).
+    """
+    c1 = header.get("CTYPE1") or ""
+    code = c1[5:] if isinstance(c1, str) and len(c1) >= 8 else ""
+    cls = _WCS_FAMILIES.get(code)
+    if cls is None:
+        raise NotImplementedError(
+            f"projection {code!r} (CTYPE1={c1!r}) is not supported: "
+            f"first-party projections are the zenithal family "
+            f"{ZenithalWcs.SUPPORTED} and the cylindrical family "
+            f"{CylindricalWcs.SUPPORTED}")
+    return cls(header)
 
 
 def _theta_from_r(projection, r):
@@ -159,10 +327,11 @@ def _r_from_theta(projection, theta):
     raise NotImplementedError(projection)
 
 
-def pix2world_cartesian(wcs: ZenithalWcs, px, py, origin=0):
+def pix2world_cartesian(wcs, px, py, origin=0):
     """Pixel coordinates -> unit ICRS direction vectors for any supported
-    zenithal projection (generic counterpart of
-    :func:`tan_pix2world_cartesian`; the reference reaches these
+    projection — zenithal (:class:`ZenithalWcs`) or cylindrical
+    (:class:`CylindricalWcs`); generic counterpart of
+    :func:`tan_pix2world_cartesian` (the reference reaches non-TAN
     projections via its astropy fallback, reference wcs.py:18-64)."""
     dx = px - (wcs.px_ref - (1 - origin))
     dy = py - (wcs.py_ref - (1 - origin))
@@ -170,9 +339,7 @@ def pix2world_cartesian(wcs: ZenithalWcs, px, py, origin=0):
     x = cd[0, 0] * dx + cd[0, 1] * dy
     y = cd[1, 0] * dx + cd[1, 1] * dy
 
-    r = jnp.sqrt(x * x + y * y)
-    phi = jnp.arctan2(x, -y)
-    theta = _theta_from_r(wcs.projection, r)
+    phi, theta = wcs.native_from_plane(x, y)
 
     cos_t = jnp.cos(theta)
     l_ = cos_t * jnp.cos(phi)
@@ -185,9 +352,9 @@ def pix2world_cartesian(wcs: ZenithalWcs, px, py, origin=0):
     return jnp.stack([vx, vy, vz], axis=-1)
 
 
-def pix2world(wcs: ZenithalWcs, px, py, origin=0):
-    """Pixel coordinates -> (ra, dec) degrees for any supported zenithal
-    projection, ra wrapped into [0, 360)."""
+def pix2world(wcs, px, py, origin=0):
+    """Pixel coordinates -> (ra, dec) degrees for any supported
+    projection (zenithal or cylindrical), ra wrapped into [0, 360)."""
     v = pix2world_cartesian(wcs, px, py, origin)
     s = jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2)
     dec = jnp.rad2deg(jnp.arctan2(v[..., 2], s))
@@ -196,9 +363,10 @@ def pix2world(wcs: ZenithalWcs, px, py, origin=0):
     return ra, dec
 
 
-def world2pix(wcs: ZenithalWcs, ra_deg, dec_deg, origin=0):
+def world2pix(wcs, ra_deg, dec_deg, origin=0):
     """Celestial (ra, dec) degrees -> pixel coordinates for any supported
-    zenithal projection; unprojectable directions return NaN."""
+    projection (zenithal or cylindrical); unprojectable directions
+    return NaN."""
     ra = jnp.deg2rad(jnp.asarray(ra_deg))
     dec = jnp.deg2rad(jnp.asarray(dec_deg))
     cos_d = jnp.cos(dec)
@@ -208,9 +376,7 @@ def world2pix(wcs: ZenithalWcs, ra_deg, dec_deg, origin=0):
                    precision=jax.lax.Precision.HIGHEST)
     phi = jnp.arctan2(n[..., 1], n[..., 0])
     theta = jnp.arctan2(n[..., 2], jnp.hypot(n[..., 0], n[..., 1]))
-    r = _r_from_theta(wcs.projection, theta)
-    x = r * jnp.sin(phi)
-    y = -r * jnp.cos(phi)
+    x, y = wcs.plane_from_native(phi, theta)
     inv = np.linalg.inv(wcs.cd)
     dx = inv[0, 0] * x + inv[0, 1] * y
     dy = inv[1, 0] * x + inv[1, 1] * y

@@ -364,3 +364,170 @@ class TestZenithalProjections:
         hbad["LATPOLE"] = 17.0
         with pytest.raises(ValueError, match="LATPOLE"):
             ZenithalWcs(hbad)
+
+
+class TestCylindricalProjections:
+    """First-party cylindrical family (CAR/CEA/MER) — closes the last WCS
+    gap vs the reference's astropy fallback (reference wcs.py:18-64).
+    astropy is unavailable here, so the oracles are analytic: exact
+    fiducial anchoring, the trivial CAR lon/lat grid, native-graticule
+    great-circle distances, the closed-form y(theta) laws, round-trips,
+    and small-offset agreement with the validated TAN path."""
+
+    @staticmethod
+    def _header(code, scale=0.01, crval=(30.0, 45.0), **extra):
+        h = {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": crval[0], "CRVAL2": crval[1],
+            "CRPIX1": 100.5, "CRPIX2": 80.25,
+            "CD1_1": scale * 0.9, "CD1_2": scale * 0.3,
+            "CD2_1": -scale * 0.2, "CD2_2": scale * 1.1,
+            "IMAGEW": 200, "IMAGEH": 160,
+        }
+        h.update(extra)
+        return h
+
+    @pytest.mark.parametrize("code", ["CAR", "CEA", "MER"])
+    @pytest.mark.parametrize("crval", [(30.0, 45.0), (210.0, -37.5),
+                                       (0.0, 0.0)])
+    def test_roundtrip(self, code, crval):
+        from auromat_tpu.coordinates.wcs import (CylindricalWcs, pix2world,
+                                                 world2pix)
+
+        wcs = CylindricalWcs(self._header(code, crval=crval))
+        px, py = np.meshgrid(np.arange(0, 200, 13, dtype=np.float64),
+                             np.arange(0, 160, 11, dtype=np.float64))
+        ra, dec = pix2world(wcs, px, py)
+        bx, by = world2pix(wcs, ra, dec)
+        assert not np.isnan(np.asarray(bx)).any()
+        assert_allclose(np.asarray(bx), px, atol=1e-7)
+        assert_allclose(np.asarray(by), py, atol=1e-7)
+
+    @pytest.mark.parametrize("code", ["CAR", "CEA", "MER"])
+    @pytest.mark.parametrize("lonpole", [None, 30.0])
+    def test_fiducial_maps_to_crval(self, code, lonpole):
+        """CRPIX must land exactly on CRVAL — this pins the native-pole
+        (alpha_p, delta_p) solution, including non-default LONPOLE."""
+        from auromat_tpu.coordinates.wcs import CylindricalWcs, pix2world
+
+        extra = {} if lonpole is None else {"LONPOLE": lonpole}
+        wcs = CylindricalWcs(self._header(code, **extra))
+        ra, dec = pix2world(wcs, np.array([wcs.px_ref]),
+                            np.array([wcs.py_ref]), origin=1)
+        assert_allclose(float(ra[0]), wcs.ra_ref, atol=1e-9)
+        assert_allclose(float(dec[0]), wcs.dec_ref, atol=1e-9)
+
+    def test_car_trivial_grid(self):
+        """CAR at CRVAL=(0,0), CD=I, CRPIX=(1,1): world == pixel offsets —
+        the plate-carree identity every cylindrical stack must hit."""
+        from auromat_tpu.coordinates.wcs import CylindricalWcs, pix2world
+
+        h = {
+            "CTYPE1": "RA---CAR", "CTYPE2": "DEC--CAR",
+            "CRVAL1": 0.0, "CRVAL2": 0.0, "CRPIX1": 1.0, "CRPIX2": 1.0,
+            "CD1_1": 1.0, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 1.0,
+        }
+        wcs = CylindricalWcs(h)
+        px = np.array([0.0, 10.0, -20.0, 45.0])
+        py = np.array([0.0, 5.0, -30.0, 80.0])
+        ra, dec = pix2world(wcs, px, py, origin=0)
+        assert_allclose(np.asarray(ra), px % 360.0, atol=1e-9)
+        assert_allclose(np.asarray(dec), py, atol=1e-9)
+
+    @pytest.mark.parametrize("code", ["CEA", "MER"])
+    def test_y_law_analytic(self, code):
+        """The meridional y(theta) closed forms, computed independently
+        with plain numpy (FITS Paper II section 5.2): CEA
+        theta = asin(lambda y), MER theta = 2 atan(e^y) - pi/2."""
+        from auromat_tpu.coordinates.wcs import CylindricalWcs, pix2world
+
+        lam = 0.5 if code == "CEA" else 1.0
+        h = {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": 0.0, "CRVAL2": 0.0, "CRPIX1": 1.0, "CRPIX2": 1.0,
+            "CD1_1": 1.0, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 1.0,
+            "PV2_1": lam,
+        }
+        wcs = CylindricalWcs(h)
+        y = np.array([0.0, 10.0, -25.0, 60.0])
+        ra, dec = pix2world(wcs, np.zeros_like(y), y, origin=0)
+        yr = np.deg2rad(y)
+        if code == "CEA":
+            expect = np.rad2deg(np.arcsin(lam * yr))
+        else:
+            expect = np.rad2deg(2.0 * np.arctan(np.exp(yr)) - np.pi / 2)
+        assert_allclose(np.asarray(dec), expect, atol=1e-9)
+        assert_allclose(np.asarray(ra) % 360.0, 0.0, atol=1e-9)
+
+    def test_native_graticule_distances(self):
+        """Independent spherical oracle at a rotated CRVAL: pixels on one
+        native meridian are separated by exactly their Delta-theta, pixels
+        on the native equator by exactly Delta-phi (CAR is equidistant on
+        both) — gates that rotmat is a true rotation AND the scaling."""
+        from auromat_tpu.coordinates.wcs import (CylindricalWcs,
+                                                 pix2world_cartesian)
+
+        s = 0.05
+        h = {
+            "CTYPE1": "RA---CAR", "CTYPE2": "DEC--CAR",
+            "CRVAL1": 137.0, "CRVAL2": -52.0, "CRPIX1": 50.0,
+            "CRPIX2": 40.0, "CD1_1": s, "CD1_2": 0.0, "CD2_1": 0.0,
+            "CD2_2": s,
+        }
+        wcs = CylindricalWcs(h)
+        # same column -> same native phi; rows differ by dy
+        px = np.array([10.0, 10.0, 10.0, 80.0])
+        py = np.array([5.0, 25.0, 65.0, 5.0])
+        v = np.array(pix2world_cartesian(wcs, px, py))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        ang01 = np.rad2deg(np.arccos(np.clip(v[0] @ v[1], -1, 1)))
+        ang02 = np.rad2deg(np.arccos(np.clip(v[0] @ v[2], -1, 1)))
+        assert_allclose(ang01, 20.0 * s, atol=1e-9)
+        assert_allclose(ang02, 60.0 * s, atol=1e-9)
+        # same row at theta=0 (py where y=0: py such that CD2_2*(py-CRPIX2)
+        # = 0 -> py = CRPIX2 - 0... use origin-0 px grid at py giving y=0)
+        py0 = wcs.py_ref - 1.0  # origin=0 pixel row mapping to y = 0
+        pe = np.array([10.0, 80.0])
+        ve = np.array(pix2world_cartesian(
+            wcs, pe, np.full_like(pe, py0)))
+        ve /= np.linalg.norm(ve, axis=-1, keepdims=True)
+        ang = np.rad2deg(np.arccos(np.clip(ve[0] @ ve[1], -1, 1)))
+        assert_allclose(ang, 70.0 * s, atol=1e-9)
+
+    @pytest.mark.parametrize("code", ["CAR", "CEA", "MER"])
+    def test_small_offset_matches_tan(self, code):
+        """Near the fiducial every projection agrees with the tangent
+        plane to O(r^3): at r <= 0.05 deg the validated TAN path and the
+        cylindrical path must agree to ~4e-8 deg (gate 1e-6)."""
+        from auromat_tpu.coordinates.wcs import (CylindricalWcs, TanWcs,
+                                                 pix2world,
+                                                 tan_pix2world)
+
+        hc = self._header(code, scale=0.001)
+        ht = self._header("TAN", scale=0.001)
+        wc, wt = CylindricalWcs(hc), TanWcs(ht)
+        px, py = np.meshgrid(
+            np.linspace(80.0, 120.0, 9), np.linspace(60.0, 100.0, 9))
+        ra_c, dec_c = pix2world(wc, px, py)
+        ra_t, dec_t = tan_pix2world(wt, px, py)
+        dra = (np.asarray(ra_c) - np.asarray(ra_t) + 180.0) % 360.0 - 180.0
+        assert np.abs(dra * np.cos(np.deg2rad(np.asarray(dec_t)))).max() < 1e-6
+        assert np.abs(np.asarray(dec_c) - np.asarray(dec_t)).max() < 1e-6
+
+    def test_make_wcs_dispatch_and_actionable_error(self):
+        from auromat_tpu.coordinates.wcs import (CylindricalWcs,
+                                                 ZenithalWcs, make_wcs)
+
+        assert isinstance(make_wcs(
+            TestZenithalProjections._header("TAN")), ZenithalWcs)
+        assert isinstance(make_wcs(self._header("MER")), CylindricalWcs)
+        with pytest.raises(NotImplementedError) as ei:
+            make_wcs(TestZenithalProjections._header("AIT"))
+        msg = str(ei.value)
+        assert "TAN" in msg and "CAR" in msg and "AIT" in msg
+
+    def test_cea_lambda_validation(self):
+        from auromat_tpu.coordinates.wcs import CylindricalWcs
+
+        with pytest.raises(ValueError, match="PV2_1"):
+            CylindricalWcs(self._header("CEA", PV2_1=1.5))
