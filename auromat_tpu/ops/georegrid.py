@@ -139,6 +139,87 @@ def _kernel(bounds_ref, iy_ref, ix_ref, img_ref, elev_ref, acc_ref, *,
     jax.lax.fori_loop(c_min, c_max + np.int32(1), cbody, np.int32(0))
 
 
+def _kernel_i8(bounds_ref, iy_ref, ix_ref, img_ref, elev_ref, acc_ref, *,
+               n_win_c, tile_h, tile_w, win_r):
+    """int8-MXU variant of :func:`_kernel` (VERDICT r3 item 2 — the measured
+    experiment, not the assumption).
+
+    Everything rides the MXU's s8 x s8 -> s32 path: data channels are
+    offset by -128 so 0..255 values fit int8 (recovered exactly per bin as
+    ``sum(d) = int_sum + 128*count`` — int32 arithmetic, no rounding), the
+    one-hots are 0/1 int8, and the accumulator is int32 (exact to 2^31
+    where the f32 accumulator of the bf16 kernel starts rounding at 2^24).
+    The elevation fraction is carried as TWO base-256 digit limbs
+    (floor-quantized; per-sample error < 2^-16 — the same error class as
+    the bf16 kernel's rounded second sub-limb, just a floor instead of a
+    round). Count/R/G/B remain bit-exact vs the sorted path.
+    """
+    ti, tj = pl.program_id(0), pl.program_id(1)
+    p = tile_h * tile_w
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iy = iy_ref[:]
+    ix = ix_ref[:]
+    valid = iy >= np.int32(0)
+    imgv = img_ref[:]
+    imgv = jnp.where(imgv == imgv, imgv, 0.0)
+    eraw = elev_ref[:]
+    eraw = jnp.where(eraw == eraw, eraw, 0.0)
+    elev = jnp.where(valid, eraw + ELEV_OFFSET, 0.0)
+    el_hi = jnp.floor(elev)  # 0..180 integral
+    frac256 = (elev - el_hi) * 256.0
+    f1 = jnp.floor(frac256)  # 0..255 integral
+    f2 = jnp.floor((frac256 - f1) * 256.0)  # 0..255 integral
+    ones = valid.astype(jnp.float32)
+    imgz = jnp.where(valid[None], imgv, 0.0)
+    zero = jnp.zeros_like(elev)
+    # channels 1..6 offset by -128 into int8 range; invalid pixels match no
+    # one-hot row, so their (arbitrary in-range) values contribute nothing
+    d_stack = jnp.stack([ones, imgz[0] - 128.0, imgz[1] - 128.0,
+                         imgz[2] - 128.0, el_hi - 128.0, f1 - 128.0,
+                         f2 - 128.0, zero], axis=0)
+    d_all = d_stack.reshape(1, N_STACK, p).astype(jnp.int32) \
+                   .astype(jnp.int8)
+    iyf = iy.reshape(1, p)
+    ixf = ix.reshape(1, p)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (win_r, p), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, p), 0)
+
+    ntx = pl.num_programs(1)
+    boff = (ti * ntx + tj) * np.int32(4)
+    k_min = bounds_ref[boff]
+    k_max = bounds_ref[boff + np.int32(1)]
+    c_min = bounds_ref[boff + np.int32(2)]
+    c_max = bounds_ref[boff + np.int32(3)]
+
+    def cbody(cw, carry):
+        dc = ixf - cw * np.int32(128)
+        ext = (iota_c == dc).astype(jnp.int8)  # (128, p)
+
+        def kbody(k, inner):
+            dr = iyf - k * np.int32(win_r)
+            # select, not multiply: Mosaic has no i8 arith.muli lowering
+            ey = iota_r == dr  # (win_r, p) bool
+            a = jnp.where(ey[:, None, :], d_all,
+                          np.int8(0)).reshape(win_r * N_STACK, p)
+            s = jax.lax.dot_general(
+                a, ext, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(win_r, N_STACK, 128)
+            base = (k * np.int32(n_win_c) + cw) * np.int32(win_r)
+            acc_ref[pl.ds(base, win_r)] += s
+            return inner
+
+        jax.lax.fori_loop(k_min, k_max + np.int32(1), kbody, np.int32(0))
+        return carry
+
+    jax.lax.fori_loop(c_min, c_max + np.int32(1), cbody, np.int32(0))
+
+
 def _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r, n_win_r, n_win_c):
     """Per-tile (kmin, kmax, cmin, cmax) window bounds.
 
@@ -168,7 +249,7 @@ def _tile_bounds(iyp, ixp, nty, ntx, tile_h, tile_w, win_r, n_win_r, n_win_c):
 
 def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
                              tiles=TILES, interpret=False,
-                             slab_budget_bytes=None):
+                             slab_budget_bytes=None, compute="bf16"):
     """Bin (count, R, G, B, elevation) from precomputed bin indices with the
     flagship v5 kernel — the reusable binning half of the fused step.
 
@@ -190,6 +271,9 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     :param iy, ix: (h, w) int32 grid row/col per sample; -1 = invalid
     :param img_chw: (3, h, w) float, integer-valued 0..255 ('uint8' contract)
     :param elev: (h, w) float elevation; NaN (at valid coords) contributes 0
+    :param compute: 'bf16' (flagship kernel) or 'i8' (int8-MXU variant,
+        :func:`_kernel_i8`; count/R/G/B bit-exact vs bf16, elevation differs
+        below 2^-16 per sample)
     :returns: count (n_lat, n_lon), sums (n_lat, n_lon, 4) [R, G, B, elev]
     """
     tile_h, tile_w, win_r = tiles
@@ -218,7 +302,9 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     budget_rows = slab_budget_bytes // (N_STACK * n_lon_pad * 4)
     slab_rows = max(win_r, min(n_lat_pad, budget_rows // win_r * win_r))
 
-    kern = functools.partial(_kernel, n_win_c=n_win_c, tile_h=tile_h,
+    kern_fn = _kernel_i8 if compute == "i8" else _kernel
+    acc_dtype = jnp.int32 if compute == "i8" else jnp.float32
+    kern = functools.partial(kern_fn, n_win_c=n_win_c, tile_h=tile_h,
                              tile_w=tile_w, win_r=win_r)
 
     def slab_call(iy_rel, n_win_r, acc_rows):
@@ -242,7 +328,7 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
                         (acc_rows, N_STACK, 128), lambda i, j, bd: (0, 0, 0)),
                 ),
                 out_shape=jax.ShapeDtypeStruct(
-                    (acc_rows, N_STACK, 128), jnp.float32),
+                    (acc_rows, N_STACK, 128), acc_dtype),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=_VMEM_LIMIT),
                 interpret=interpret,
@@ -277,17 +363,29 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
             acc = jax.lax.cond(
                 (max_iy >= s0) & (min_iy < s0 + rows), run,
                 lambda acc_rows=acc_rows: jnp.zeros(
-                    (acc_rows, N_STACK, 128), jnp.float32))
+                    (acc_rows, N_STACK, 128), acc_dtype))
         acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
                  .transpose(0, 2, 3, 1, 4).reshape(rows, N_STACK, n_lon_pad)
         slabs.append(acc)
     acc = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
     count = acc[: grid.n_lat, 0, : grid.n_lon]
-    sums_k = jnp.transpose(acc[: grid.n_lat, 1:7, : grid.n_lon], (0, 2, 1))
-    # subtract the offset from the exact-integer limb sum FIRST so the
-    # fraction limbs are added at their own small magnitude
-    el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
-              + sums_k[..., 4] + sums_k[..., 5])
+    sums_k = acc[: grid.n_lat, 1:7, : grid.n_lon]
+    if compute == "i8":
+        # undo the -128 channel offset in exact int32 arithmetic, then
+        # convert (exact below 2^24 — the same class as the bf16 kernel's
+        # f32 accumulator, which starts rounding at the same magnitude)
+        sums_k = (sums_k + 128 * count[:, None, :]).astype(jnp.float32)
+        sums_k = jnp.transpose(sums_k, (0, 2, 1))
+        count = count.astype(jnp.float32)
+        el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
+                  + sums_k[..., 4] * (1.0 / 256.0)
+                  + sums_k[..., 5] * (1.0 / 65536.0))
+    else:
+        sums_k = jnp.transpose(sums_k, (0, 2, 1))
+        # subtract the offset from the exact-integer limb sum FIRST so the
+        # fraction limbs are added at their own small magnitude
+        el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
+                  + sums_k[..., 4] + sums_k[..., 5])
     sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]], axis=-1)
     return count, sums
 

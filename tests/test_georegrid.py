@@ -149,6 +149,40 @@ def test_oversized_grid_slabs_bit_identically(setup):
     assert float(one[0].sum()) == float(np.asarray(valid).sum())
 
 
+def test_i8_kernel_matches_bf16(setup):
+    """The int8-MXU kernel variant (compute='i8') must agree with the
+    flagship bf16 kernel: count/R/G/B bit-exact (the -128 offset is undone
+    in exact int32 arithmetic), elevation within the 2^-16-per-sample limb
+    quantization class.
+
+    Measured on v5e (tools/i8_kernel_bench.py, 12 MP bench workload,
+    interleaved A/B): i8 (16,256,8) = 8.98 ms vs bf16 8.52 ms; i8
+    (32,256,8) = 9.26; i8 (16,512,8) = 9.74. The int8 route is a NULL
+    result — the kernel is not MXU-bound, and the i8 select + packed
+    relayouts cost more than the halved MXU time saves. Kept as the
+    measured answer to the "int8 escape" hypothesis, not as a fast path.
+    """
+    _, dyn, img, grid = setup
+    h, w = img.shape[1:]
+    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    out = georef_latlon_dyn(dyn, px, py, dtype=jnp.float32,
+                            with_elevation=True)
+    flat, valid = bin_indices(grid, out["lat"], out["lon"])
+    iy = jnp.where(valid, (flat // grid.n_lon).astype(jnp.int32), -1)
+    ix = jnp.where(valid, (flat % grid.n_lon).astype(jnp.int32), -1)
+    cb, sb = bin_rgbelev_from_indices(grid, iy, ix, jnp.asarray(img),
+                                      out["elevation"], interpret=True)
+    ci, si = bin_rgbelev_from_indices(grid, iy, ix, jnp.asarray(img),
+                                      out["elevation"], interpret=True,
+                                      compute="i8")
+    cb, sb, ci, si = map(np.asarray, (cb, sb, ci, si))
+    assert np.array_equal(cb, ci)
+    assert np.array_equal(sb[..., :3], si[..., :3])
+    per_sample = np.abs(sb[..., 3] - si[..., 3]) / np.maximum(cb, 1)
+    assert per_sample.max() < 2 ** -14, per_sample.max()
+
+
 @pytest.mark.parametrize("tiles", [(8, 128, 8), (24, 256, 8)])
 def test_alternate_tile_shapes(setup, tiles):
     """The kernel's tiling math (padding, window linearization, grid
