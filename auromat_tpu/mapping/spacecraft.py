@@ -205,6 +205,63 @@ class SpacecraftMappingProvider(BaseMappingProvider):
             with_mlatmlt=with_mlatmlt, fast_center=self.fast_center,
         )
 
+    def iterParamBursts(self, dateBegin=None, dateEnd=None, batch=8):
+        """Yield (params_list, imgs) bursts for the sharded mosaic pipeline
+        (auromat_tpu.parallel.mosaic_sequence) — calibration + raw imagery
+        only, no per-pixel host arrays are ever materialized (the georef
+        runs inside the mosaic step's jit). Same date filtering and
+        shape-change burst splitting as :meth:`getSequenceBatched`.
+        """
+        entries = [e for e in self._build_index()
+                   if not (dateBegin is not None and (e["time"] is None
+                                                      or e["time"] < dateBegin))
+                   and not (dateEnd is not None and (e["time"] is None
+                                                     or e["time"] > dateEnd))]
+
+        def load(chunk):
+            params, imgs = [], []
+            for e in chunk:
+                img, p = _load_frame_calibration(
+                    e["image"], e["wcs"], self.altitude, self.tle_path)
+                params.append(p)
+                imgs.append(np.asarray(img, dtype=np.float32))
+            return params, np.stack(imgs)
+
+        chunk = []
+        for e in entries:
+            if chunk and e.get("shape") != chunk[-1].get("shape"):
+                yield load(chunk)
+                chunk = []
+            chunk.append(e)
+            if len(chunk) == batch:
+                yield load(chunk)
+                chunk = []
+        if chunk:
+            yield load(chunk)
+
+
+def _load_frame_calibration(image_path, wcs_path, altitude=110.0,
+                            tle_path=None, full=False):
+    """Load one frame's imagery + device calibration (no per-pixel work).
+
+    :returns: (img, GeorefParams) — or with ``full=True`` additionally
+        (header, photo_time, camera_pos, FrameMatrices) for callers that
+        construct Mapping objects.
+    """
+    from auromat_tpu.coordinates.frames import FrameMatrices
+    from auromat_tpu.coordinates.wcs import TanWcs
+    from auromat_tpu.ops.georef import GeorefParams
+
+    header = fits.read_header(wcs_path)
+    pos, photo_time, _ = resolve_camera_position(header, tle_path)
+    img = load_image(image_path)
+    fm = FrameMatrices(photo_time)
+    p = GeorefParams.from_wcs(TanWcs(header), pos, photo_time, altitude, fm)
+    assert (img.shape[1], img.shape[0]) == (p.width, p.height)
+    if full:
+        return img, p, header, photo_time, pos, fm
+    return img, p
+
 
 @functools.lru_cache(maxsize=8)
 def _batched_georef_fn(width, height, fast_center, with_mlatmlt):
@@ -241,19 +298,13 @@ def get_mapping_batch(image_wcs_pairs, altitude=110.0, tle_path=None,
     import jax.numpy as jnp
     import numpy.ma as ma
 
-    from auromat_tpu.coordinates.frames import FrameMatrices
-    from auromat_tpu.coordinates.wcs import TanWcs
     from auromat_tpu.mapping.astrometry import AstrometryMapping
-    from auromat_tpu.ops.georef import DynGeorefParams, GeorefParams
+    from auromat_tpu.ops.georef import DynGeorefParams
 
     headers, imgs, params, times, poss, fms = [], [], [], [], [], []
     for image_path, wcs_path in image_wcs_pairs:
-        header = fits.read_header(wcs_path)
-        pos, photo_time, _ = resolve_camera_position(header, tle_path)
-        img = load_image(image_path)
-        fm = FrameMatrices(photo_time)
-        p = GeorefParams.from_wcs(TanWcs(header), pos, photo_time, altitude, fm)
-        assert (img.shape[1], img.shape[0]) == (p.width, p.height)
+        img, p, header, photo_time, pos, fm = _load_frame_calibration(
+            image_path, wcs_path, altitude, tle_path, full=True)
         headers.append(header)
         imgs.append(img)
         params.append(p)

@@ -14,6 +14,10 @@ from auromat_tpu.parallel.distributed import (  # noqa: F401
     initialize,
     is_multi_process,
 )
+from auromat_tpu.parallel.mosaic import (  # noqa: F401
+    mosaic_sequence,
+    null_georef_params,
+)
 from auromat_tpu.parallel.sharding import (  # noqa: F401
     make_grid_sharded_mosaic_step,
     make_mesh,

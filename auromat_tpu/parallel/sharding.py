@@ -126,7 +126,7 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                                   channels=3, dtype=jnp.float32,
                                   with_elevation=True, bin_method="sorted",
                                   chunk_rows=None, interpret=False,
-                                  slab_budget_bytes=None):
+                                  slab_budget_bytes=None, finalize=True):
     """Mission-scale mosaic step: the GRID is sharded, not just the samples.
 
     ``make_sharded_mosaic_step`` psums dense full-grid partials onto every
@@ -158,6 +158,11 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     (band * n_dev, n_lon[, C]) sharded row-wise over the mesh (each device
     holds only its band; rows >= n_lat are padding). Slice [:n_lat] on the
     host, or keep sharded for downstream sharded consumers.
+
+    ``finalize=False`` returns (count, sums) partials instead of
+    (count, means) — counts and sums are LINEAR, so multi-burst sequences
+    accumulate partials across step calls (same sharding) and finalize
+    once at the end (:func:`mosaic_sequence`).
 
     Reference scale anchor: auromat's convert pipeline writes one sequence
     = 172 GB (docs/userguide/index.rst:66-78); the hot loop this keeps fast
@@ -247,7 +252,8 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                 rows = min(chunk_rows, band - r0)
                 out_count = out_count.at[r0 : r0 + rows].set(cnt[:rows])
                 out_sums = out_sums.at[r0 : r0 + rows].set(sms[:rows])
-            return out_count, finalize_mean(out_count, out_sums)
+            return out_count, (finalize_mean(out_count, out_sums)
+                               if finalize else out_sums)
 
         band_id = iy // band
         rib = iy - band_id * band  # row inside the destination band
@@ -300,7 +306,8 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             rows = min(chunk_rows, band - r0)
             out_count = out_count.at[r0 : r0 + rows].set(cnt[:rows])
             out_sums = out_sums.at[r0 : r0 + rows].set(sms[:rows])
-        return out_count, finalize_mean(out_count, out_sums)
+        return out_count, (finalize_mean(out_count, out_sums)
+                           if finalize else out_sums)
 
     dyn_spec = _dyn_dp_spec()
     step = jax.shard_map(

@@ -235,6 +235,35 @@ def main():
             print(f"burst bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # the UNIFIED config-4 path (VERDICT r3 item 4): the same B=8 burst
+    # through the grid-sharded mosaic step on a 1-device mesh — the code
+    # path production uses (provider iterParamBursts -> parallel.
+    # mosaic_sequence), vs the hand-rolled fused-step loop above
+    burst8_sharded_ms = None
+    if method == "georegrid_pallas":
+        try:
+            from jax.sharding import Mesh
+            from auromat_tpu.parallel import make_grid_sharded_mosaic_step
+
+            NB = int(os.environ.get("BENCH_BURST", 8))
+            mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                         axis_names=("dp", "sp"))
+            gstep8 = make_grid_sharded_mosaic_step(
+                mesh1, grid, h, w, channels=3, dtype=dtype,
+                bin_method="pallas")
+            dyn8 = DynGeorefParams.stack([params] * NB, dtype=dtype)
+            imgs8 = jax.device_put(
+                np.broadcast_to(img[None], (NB, h, w, 3)).copy())
+            dt8, _ = time_amortized(lambda: gstep8(dyn8, imgs8),
+                                    lambda o: o[0][0, 0],
+                                    max(per_batch // 2, 2))
+            burst8_sharded_ms = round(dt8 * 1e3 / NB, 2)
+            print(f"sharded mosaic step burst ({NB} frames, 1-device "
+                  f"mesh): {burst8_sharded_ms} ms/frame", file=sys.stderr)
+        except Exception as e:
+            print(f"sharded burst bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # BASELINE config 5 at real scale: the 12 MP frame binned into the
     # 0.05 deg GLOBAL mosaic grid (3599 x 7199) through the grid-sharded
     # step on a 1-device mesh (pallas per-shard binning + empty-lat-slab
@@ -325,6 +354,7 @@ def main():
                 "df64_full_ms": df64_full_ms,
                 "sharded_1dev_pallas_ms": sharded_ms,
                 "burst8_mpix_s": burst_mpix_s,
+                "burst8_sharded_ms": burst8_sharded_ms,
                 "config5_ms": config5_ms,
             }
         )

@@ -402,3 +402,168 @@ class TestConfig5Scale:
         m = np.asarray(means)[: grid.n_lat]
         c = np.asarray(count)[: grid.n_lat]
         assert np.isfinite(m[c > 0]).all()
+
+    def test_global_005deg_mosaic_pallas(self):
+        """Config-5 scale x Pallas per-shard binning COMBINED (VERDICT r3
+        item 3): the production configuration — the 0.05 deg global grid
+        through make_grid_sharded_mosaic_step(bin_method='pallas') — on the
+        8-device mesh, gated against the sorted path at the same full
+        3599x7199 grid shape, plus the documented memory trade-off
+        (parallel/sharding.py: the pallas branch's per-device binning
+        accumulator is ~the full padded grid rather than ~1/n_dev of it).
+
+        Reduced frame size keeps interpret-mode cost sane; the grid — the
+        thing whose scale is under test — is full size.
+        """
+        from auromat_tpu.parallel import make_grid_sharded_mosaic_step
+
+        B, h, w = 4, 64, 256
+        params = _burst(B, h, w)
+        imgs = np.random.default_rng(12).integers(
+            0, 256, (B, h, w, 3)).astype(np.float32)
+        mesh = make_mesh(dp=4, sp=2)
+        grid = fixed_grid(20, -89.999, 89.999, -179.999, 179.999)
+        assert (grid.n_lat, grid.n_lon) == (3599, 7199)
+        dyn = DynGeorefParams.stack(params, dtype=np.float32)
+
+        step_p = make_grid_sharded_mosaic_step(
+            mesh, grid, h, w, channels=3, dtype=np.float32,
+            bin_method="pallas", interpret=True)
+        compiled = step_p.lower(dyn, imgs).compile()
+        ma = compiled.memory_analysis()
+        full_grid_bytes = grid.n_lat * grid.n_lon * 5 * 4  # count+RGB+elev
+        # documented trade-off: the natural-grid binning accumulator is
+        # ~full-grid-sized per device (vs the sorted path's < 1 full grid
+        # across ALL 8 shards) — and bounded: a runaway (e.g. the full
+        # accumulator materialized per chunk) would blow past 8 shards x
+        # a few grid-sized temps
+        assert ma.temp_size_in_bytes > full_grid_bytes, (
+            ma.temp_size_in_bytes, full_grid_bytes)
+        assert ma.temp_size_in_bytes < 8 * 4 * full_grid_bytes, (
+            ma.temp_size_in_bytes, full_grid_bytes)
+
+        count_p, means_p = jax.block_until_ready(compiled(dyn, imgs))
+
+        step_s = make_grid_sharded_mosaic_step(
+            mesh, grid, h, w, channels=3, dtype=np.float32,
+            bin_method="sorted")
+        count_s, means_s = jax.block_until_ready(step_s(dyn, imgs))
+
+        cp, cs = np.asarray(count_p), np.asarray(count_s)
+        mp, ms = np.asarray(means_p), np.asarray(means_s)
+        assert np.array_equal(cp, cs)
+        assert np.array_equal(np.isnan(mp), np.isnan(ms))
+        occ = cp > 0
+        # counts + uint8 RGB means bit-exact; elevation within the sorted
+        # path's own f32 prefix-sum error class (see CLAUDE.md r2 notes:
+        # the kernel limb-split is the MORE accurate side)
+        assert np.array_equal(mp[occ][:, :3], ms[occ][:, :3])
+        assert_allclose(mp[occ][:, 3], ms[occ][:, 3], rtol=0, atol=5e-2)
+
+
+class TestMosaicSequence:
+    """Provider burst -> sharded mosaic unification (VERDICT r3 item 4):
+    one code path from a frame sequence to the grid-sharded step, with
+    exact remainder padding and linear cross-burst accumulation."""
+
+    def test_null_frame_contributes_nothing(self):
+        from auromat_tpu.parallel import null_georef_params
+
+        p = _burst(1, 32, 64)[0]
+        null = null_georef_params(p)
+        d = DynGeorefParams.from_static(null, dtype=jnp.float64)
+        px, py = np.meshgrid(np.arange(64, dtype=np.float64),
+                             np.arange(32, dtype=np.float64))
+        out = georef_latlon_dyn(d, jnp.asarray(px), jnp.asarray(py),
+                                dtype=jnp.float64, with_elevation=True)
+        assert np.isnan(np.asarray(out["lat"])).all()
+        assert np.isnan(np.asarray(out["lon"])).all()
+
+    def test_chunking_invariant_and_exact_padding(self):
+        """5 frames through batch=2 (chunks 2+2+1pad) and batch=4 (4+1pad3):
+        counts must agree bit-for-bit (integer — padding frames contribute
+        exactly zero samples); means only to summation-order jitter (the
+        two chunkings sum the same f64 partials in different groupings)."""
+        from auromat_tpu.parallel import make_mesh, mosaic_sequence
+
+        B, h, w = 5, 64, 128
+        params = _burst(B, h, w)
+        imgs = np.random.default_rng(3).integers(
+            0, 256, (B, h, w, 3)).astype(np.float64)
+        grid = fixed_grid(2, 30.0, 75.0, -140.0, -60.0)
+        mesh = make_mesh(dp=2, sp=4)
+
+        c2, m2 = mosaic_sequence(mesh, grid, [(params, imgs)], batch=2,
+                                 bin_method="sorted", dtype=jnp.float64)
+        c4, m4 = mosaic_sequence(mesh, grid, [(params, imgs)], batch=4,
+                                 bin_method="sorted", dtype=jnp.float64)
+        assert np.array_equal(np.asarray(c2), np.asarray(c4))
+        a, b = np.asarray(m2), np.asarray(m4)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        ok = ~np.isnan(a)
+        assert_allclose(a[ok], b[ok], rtol=1e-11)
+
+        # vs the unsharded oracle (same class as
+        # test_mosaic_step_matches_unsharded)
+        px, py = np.meshgrid(np.arange(w, dtype=np.float64),
+                             np.arange(h, dtype=np.float64))
+        lats, lons, data = [], [], []
+        for i, p in enumerate(params):
+            d = DynGeorefParams.from_static(p, dtype=jnp.float64)
+            out = georef_latlon_dyn(d, jnp.asarray(px), jnp.asarray(py),
+                                    dtype=jnp.float64, with_elevation=True)
+            lats.append(np.asarray(out["lat"]))
+            lons.append(np.asarray(out["lon"]))
+            data.append(np.concatenate(
+                [imgs[i], np.asarray(out["elevation"])[..., None]], axis=-1))
+        count_ref, means_ref = bin_mean(grid, np.stack(lats), np.stack(lons),
+                                        np.stack(data))
+        c = np.asarray(c2)[: grid.n_lat]
+        m = np.asarray(m2)[: grid.n_lat]
+        assert np.array_equal(c, np.asarray(count_ref))
+        both = ~np.isnan(m) & ~np.isnan(np.asarray(means_ref))
+        assert np.array_equal(np.isnan(m), np.isnan(np.asarray(means_ref)))
+        assert_allclose(m[both], np.asarray(means_ref)[both],
+                        rtol=0, atol=1e-9)
+
+    def test_multi_burst_accumulation_matches_single(self):
+        """Two separate bursts == one concatenated burst (linearity of the
+        (count, sums) partials across step calls)."""
+        from auromat_tpu.parallel import make_mesh, mosaic_sequence
+
+        B, h, w = 4, 64, 128
+        params = _burst(B, h, w)
+        imgs = np.random.default_rng(4).integers(
+            0, 256, (B, h, w, 3)).astype(np.float64)
+        grid = fixed_grid(2, 30.0, 75.0, -140.0, -60.0)
+        mesh = make_mesh(dp=2, sp=4)
+        one = mosaic_sequence(mesh, grid, [(params, imgs)], batch=2,
+                              bin_method="sorted", dtype=jnp.float64)
+        two = mosaic_sequence(
+            mesh, grid,
+            [(params[:2], imgs[:2]), (params[2:], imgs[2:])],
+            batch=2, bin_method="sorted", dtype=jnp.float64)
+        for a, b in zip(one, two):
+            assert np.array_equal(np.asarray(a), np.asarray(b),
+                                  equal_nan=True)
+
+    def test_pallas_binning_small_grid(self):
+        """The production bin_method='pallas' through mosaic_sequence
+        (interpret mode on the CPU mesh), padding included."""
+        from auromat_tpu.parallel import make_mesh, mosaic_sequence
+
+        B, h, w = 3, 64, 128
+        params = _burst(B, h, w)
+        imgs = np.random.default_rng(5).integers(
+            0, 256, (B, h, w, 3)).astype(np.float32)
+        grid = fixed_grid(2, 30.0, 75.0, -140.0, -60.0)
+        mesh = make_mesh(dp=2, sp=4)
+        cp, mp = mosaic_sequence(mesh, grid, [(params, imgs)], batch=2,
+                                 bin_method="pallas", interpret=True)
+        cs, ms = mosaic_sequence(mesh, grid, [(params, imgs)], batch=2,
+                                 bin_method="sorted")
+        cp, cs, mp, ms = map(np.asarray, (cp, cs, mp, ms))
+        assert np.array_equal(cp, cs)
+        occ = cp > 0
+        assert np.array_equal(mp[occ][:, :3], ms[occ][:, :3])
+        assert_allclose(mp[occ][:, 3], ms[occ][:, 3], rtol=0, atol=5e-2)
