@@ -18,6 +18,7 @@ import numpy as np
 _RES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "resources")
 _cache = None
 _city_cache = None
+_ring_cache = None
 
 
 def coastline_latlon():
@@ -29,6 +30,22 @@ def coastline_latlon():
         with np.load(os.path.join(_RES, "coastlines_coarse.npz")) as d:
             _cache = np.stack([d["lats"], d["lons"]], axis=-1)
     return _cache
+
+
+def land_rings():
+    """Closed land polygons for the filled land/sea map background
+    (reference draw.py:345 ``drawlsmask``): list of (n, 2) float32
+    [lat, lon] rings (first vertex == last). Same fidelity caveats as
+    :func:`coastline_latlon`; the open Eurasia coast polylines are
+    stitched into one closed ring by the builder."""
+    global _ring_cache
+    if _ring_cache is None:
+        with np.load(os.path.join(_RES, "coastlines_coarse.npz")) as d:
+            flat = np.stack([d["ring_lats"], d["ring_lons"]], axis=-1)
+        brk = np.flatnonzero(np.isnan(flat[:, 0]))
+        _ring_cache = [r for r in np.split(flat, brk)
+                       for r in [r[~np.isnan(r[:, 0])]] if len(r)]
+    return _ring_cache
 
 
 def city_points():

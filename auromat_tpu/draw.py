@@ -123,8 +123,37 @@ def _draw_cities(ax, lat0, lon0, color="red", alpha=0.6, min_natscale=0.0):
     return s
 
 
+def _draw_lsmask(ax, lat0, lon0, ocean_color="0.8", land_color="0.6",
+                 min_cos=0.05):
+    """Filled land/sea background (reference draw.py:345 ``drawlsmask``,
+    same ocean_color='0.8'/land_color='0.6'): an ocean disk covering the
+    plotted near hemisphere, with the bundled closed land rings
+    (auromat_tpu.coastlines.land_rings) filled on top. Rings are clipped
+    to the near hemisphere by dropping far-side vertices — an approximate
+    clip consistent with the coastline-polyline masking and the bundled
+    dataset's coarse fidelity."""
+    import matplotlib.patches as mpatches
+
+    from auromat_tpu.coastlines import land_rings, near_hemisphere
+
+    # stereographic radius of the near-hemisphere cap (cos c = min_cos):
+    # r = 2 R tan(c/2) = 2 R sin(c) / (1 + cos(c))
+    r_cap = 2.0 * 6371.0 * np.sqrt(1.0 - min_cos**2) / (1.0 + min_cos)
+    ax.add_patch(mpatches.Circle((0.0, 0.0), r_cap, facecolor=ocean_color,
+                                 edgecolor="none", zorder=0.4))
+    for ring in land_rings():
+        near = near_hemisphere(ring[:, 0], ring[:, 1], lat0, lon0,
+                               min_cos=min_cos)
+        if not near.any():
+            continue
+        x, y = stereographic_project(ring[near, 0], ring[near, 1],
+                                     lat0, lon0)
+        ax.fill(x, y, facecolor=land_color, edgecolor="none", zorder=0.5)
+
+
 def draw_stereographic(mapping_or_collection, mlatmlt=False, *,
-                       coastlines="default", cities=False, figsize=(10, 10),
+                       coastlines="default", cities=False, lsmask=False,
+                       figsize=(10, 10),
                        bgcolor="black", bounding_box=None):
     """Stereographic plot centred on the data (reference draw.py:140-222).
 
@@ -142,6 +171,11 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False, *,
         to disable. Geographic plots only (skipped under mlatmlt).
     :param cities: scatter the bundled Natural Earth populated places
         (reference draw.py:403-420); geographic plots only.
+    :param lsmask: fill a land/sea background (reference draw.py:345
+        ``drawlsmask``, ocean '0.8' / land '0.6') from the bundled closed
+        land rings; geographic plots only. Off by default (the reference's
+        Basemap raster default predates black-background aurora plots —
+        filled gray land under a black figure is an explicit opt-in here).
     """
     verts, colors = polygons_from_mapping_or_collection(
         mapping_or_collection, mlatmlt=mlatmlt
@@ -169,6 +203,8 @@ def draw_stereographic(mapping_or_collection, mlatmlt=False, *,
 
     fig, ax = _new_axes(figsize, facecolor=bgcolor)
     ax.set_facecolor(bgcolor)
+    if lsmask and not mlatmlt:
+        _draw_lsmask(ax, lat0, lon0)
     _graticule(ax, lat0, lon0, size.width, size.height)
     if mlatmlt:
         # geographic polylines (bundled OR caller-supplied) are meaningless

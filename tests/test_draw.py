@@ -507,6 +507,45 @@ class TestMapBackgrounds:
         out = save_fig(str(tmp_path / "stereo_cities.png"), fig)
         assert os.path.getsize(out) > 5000
 
+    def test_land_rings_closed(self):
+        from auromat_tpu.coastlines import land_rings
+
+        rings = land_rings()
+        assert len(rings) >= 20
+        for r in rings:
+            assert r.ndim == 2 and r.shape[1] == 2 and len(r) >= 4
+            assert np.array_equal(r[0], r[-1]), "ring not closed"
+            assert np.abs(r[:, 0]).max() <= 90
+            assert np.abs(r[:, 1]).max() <= 180
+        # the stitched Eurasia ring exists: one ring spanning Iberia to
+        # the Russian Pacific coast (the open coast polylines closed)
+        spans = [(r[:, 1].min(), r[:, 1].max()) for r in rings]
+        assert any(w < -5 and e > 150 for w, e in spans), spans
+
+    def test_stereographic_lsmask(self, resampled, tmp_path):
+        """Filled land/sea background (reference draw.py:345 drawlsmask):
+        lsmask=True adds the ocean disk + land fills under the data."""
+        import matplotlib.patches as mpatches
+
+        fig = draw.draw_stereographic(resampled, lsmask=True)
+        ax = fig.axes[0]
+        oceans = [p for p in ax.patches if isinstance(p, mpatches.Circle)]
+        assert len(oceans) == 1
+        lands = [p for p in ax.patches
+                 if isinstance(p, mpatches.Polygon)]
+        assert len(lands) >= 3  # N America + arctic islands in view
+        # land fills sit below the graticule (zorder 1) and data
+        assert all(p.get_zorder() < 1 for p in lands + oceans)
+        # the frame is over Canada: a big land polygon crosses the view
+        half_w = ax.get_xlim()[1]
+        assert any(np.abs(np.asarray(p.get_xy())).max() > half_w / 4
+                   for p in lands)
+        out = save_fig(str(tmp_path / "stereo_lsmask.png"), fig)
+        assert os.path.getsize(out) > 5000
+        # default: off (black-background aurora plots)
+        fig2 = draw.draw_stereographic(resampled)
+        assert not fig2.axes[0].patches
+
     def test_city_resource_content(self):
         path = os.path.join(os.path.dirname(draw.__file__), "resources",
                             "cities_ne50m.npz")
