@@ -62,9 +62,15 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
 
     :param px_per_deg: scalar or (lat, lon) pixels per degree
     :param arcsec_per_px: spherical resolution (overrides px_per_deg)
-    :param method: 'mean' (device binning) | 'nearest' (host scipy KD-tree)
+    :param method: 'mean' (device binning) | 'nearest' (host scipy KD-tree
+        on CPU; ON TPU this auto-routes to the device path below — the
+        reference's recommended production method (reference
+        resample.py:323-329) should not fall back to a host KD-tree when a
+        device is present. Pass 'nearest_host' to force scipy anywhere)
         | 'nearest_device' (TPU jump-flood Voronoi, ops.regrid.bin_nearest;
-        same outline masking, near-identical output) | 'linear' (host scipy
+        same outline masking; ~2% of cells may pick a
+        different-but-equidistant/nearby sample than the KD-tree — see the
+        bin_nearest docstring) | 'linear' (host scipy
         Delaunay) | 'linear_device' (TPU Newton mesh inversion + bilinear,
         ops.regrid.interp_linear_structured; quad-bilinear rather than
         triangle-linear weights — identical on locally-affine data) |
@@ -107,6 +113,16 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     img = mapping.img
     img_dtype = img.dtype
     img_is_int = np.issubdtype(img_dtype, np.integer)
+    if method == "nearest":
+        # production default: the device jump-flood path on TPU, host
+        # scipy KD-tree elsewhere (the forced-CPU parity suite keeps
+        # exercising scipy). 'nearest_host' forces scipy on any backend.
+        import jax
+
+        if jax.default_backend() == "tpu":
+            method = "nearest_device"
+    elif method == "nearest_host":
+        method = "nearest"
     if bin_method == "auto" and method == "mean":
         # only the 'mean' path bins on device; probing the backend here
         # for interpolation methods would needlessly initialize jax (a
