@@ -252,10 +252,231 @@ class CylindricalWcs:
         return x, y
 
 
+def _native_pole(ra0_deg, dec0_deg, lonpole_deg, latpole_deg, theta0_deg):
+    """Celestial coordinates of the native pole for a projection whose
+    fiducial native point is (phi0, theta0) = (0, theta0) — the general
+    FITS Paper II eqs. 8-10 (host-side float64).
+
+        delta_p = atan2(sin th0, cos th0 cos phi_p)
+                  +- acos[ sin dec0 / sqrt(1 - cos^2 th0 sin^2 phi_p) ]
+        alpha_p = ra0 - atan2(sin phi_p cos th0,
+                              sin th0 cos delta_p
+                              - cos th0 sin delta_p cos phi_p)
+
+    (the alpha_p pair comes from evaluating the native->celestial
+    spherical triangle at the fiducial:
+    cos dec0 sin(ra0 - alpha_p) = cos th0 sin phi_p and
+    cos dec0 cos(ra0 - alpha_p) = sin th0 cos delta_p
+                                  - cos th0 sin delta_p cos phi_p)
+
+    with the +- branch closest to LATPOLE. Specializes to the zenithal
+    identity (theta0 = 90 -> pole = CRVAL) and to
+    :class:`CylindricalWcs`'s theta0 = 0 solution.
+
+    :returns: (alpha_p_deg, delta_p_deg)
+    """
+    th0 = np.deg2rad(theta0_deg)
+    d0 = np.deg2rad(dec0_deg)
+    phip = np.deg2rad(lonpole_deg)
+    den = np.sqrt(max(1.0 - np.cos(th0) ** 2 * np.sin(phip) ** 2, 0.0))
+    if den < 1e-12:
+        raise ValueError(
+            f"degenerate native-pole geometry: theta0={theta0_deg}, "
+            f"LONPOLE={lonpole_deg}")
+    arg = np.sin(d0) / den
+    if abs(arg) > 1.0 + 1e-12:
+        raise ValueError(
+            f"no native pole solution: CRVAL2={dec0_deg} with "
+            f"LONPOLE={lonpole_deg}, theta0={theta0_deg} "
+            "(|sin dec0| exceeds the reachable range)")
+    c = np.arccos(np.clip(arg, -1.0, 1.0))
+    t = np.arctan2(np.sin(th0), np.cos(th0) * np.cos(phip))
+    cands = [dp for dp in (t + c, t - c) if abs(dp) <= np.pi / 2 + 1e-12]
+    if not cands:
+        raise ValueError(
+            f"no valid native pole latitude: CRVAL2={dec0_deg}, "
+            f"LONPOLE={lonpole_deg}, theta0={theta0_deg}")
+    lp = np.deg2rad(latpole_deg)
+    dp = min(cands, key=lambda v: abs(v - lp))
+    ap = np.deg2rad(ra0_deg) - np.arctan2(
+        np.sin(phip) * np.cos(th0),
+        np.sin(th0) * np.cos(dp) - np.cos(th0) * np.sin(dp) * np.cos(phip))
+    return np.rad2deg(ap), np.rad2deg(dp)
+
+
+class ConicWcs:
+    """Host-side container for a conic-projection WCS solution.
+
+    Covers the FITS conic family (Paper II section 5.3) — COP (conic
+    perspective), COE (conic equal area / Albers), COD (conic
+    equidistant), COO (conic orthomorphic / Lambert conformal) — which
+    the reference reaches only through its astropy fallback (reference
+    wcs.py:18-64). Same surface as :class:`ZenithalWcs`
+    (native_from_plane / plane_from_native), so :func:`pix2world`,
+    :func:`world2pix` and :func:`pix2world_cartesian` work unchanged.
+
+    All four share the conic form about the cone constant C:
+
+        x = R(theta) sin(C phi),  y = -R(theta) cos(C phi) + Y0
+
+    with Y0 = R(theta_a) so the fiducial native point (0, theta_a) lands
+    on the origin; theta_a = PV2_1 (required), eta = PV2_2 (default 0)
+    give standard parallels theta_a -+ eta. The fiducial has
+    theta0 = theta_a != 90, so the native pole comes from the general
+    Paper II eqs. 8-10 (:func:`_native_pole`).
+    """
+
+    SUPPORTED = ("COP", "COE", "COD", "COO")
+
+    def __init__(self, header):
+        c1 = header.get("CTYPE1") or ""
+        c2 = header.get("CTYPE2") or ""
+        code = c1[5:] if (
+            isinstance(c1, str) and isinstance(c2, str)
+            and c1.startswith("RA---") and c2.startswith("DEC--")
+            and c1[5:] == c2[5:]
+        ) else None
+        if code not in self.SUPPORTED:
+            raise ValueError(
+                f"only RA---/DEC-- conic projections {self.SUPPORTED} "
+                f"are supported here; got {c1!r}/{c2!r}")
+        if "PV2_1" not in header:
+            raise ValueError(
+                f"conic projection {code} requires PV2_1 (theta_a, the "
+                "midpoint of the standard parallels)")
+        self.projection = code
+        self.theta_a = float(header["PV2_1"])
+        self.eta = float(header.get("PV2_2", 0.0))
+        if not 0.0 < abs(self.theta_a) <= 90.0:
+            raise ValueError(f"conic PV2_1 must be in (0, 90]; got "
+                             f"{self.theta_a} (theta_a = 0 degenerates "
+                             "the cone into a cylinder — use CAR/CEA/MER)")
+        th1, th2 = self.theta_a - self.eta, self.theta_a + self.eta
+        if not (-90.0 <= th1 <= 90.0 and -90.0 <= th2 <= 90.0):
+            raise ValueError(
+                f"standard parallels theta_a -+ eta = {th1}, {th2} out of "
+                "[-90, 90]")
+        self.ra_ref = float(header["CRVAL1"])
+        self.dec_ref = float(header["CRVAL2"])
+        self.px_ref = float(header["CRPIX1"])
+        self.py_ref = float(header["CRPIX2"])
+        # Paper II default for theta0 = theta_a:
+        # LONPOLE 0 if dec0 >= theta_a else 180
+        default_lonpole = 0.0 if self.dec_ref >= self.theta_a else 180.0
+        self.lonpole = float(header.get("LONPOLE", default_lonpole))
+        self.latpole = float(header.get("LATPOLE", 90.0))
+        self.cd = np.array(
+            [
+                [float(header["CD1_1"]), float(header["CD1_2"])],
+                [float(header["CD2_1"]), float(header["CD2_2"])],
+            ]
+        )
+        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
+        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+
+        # cone constants (host float64, radians internally)
+        ta, e = np.deg2rad(self.theta_a), np.deg2rad(self.eta)
+        t1, t2 = ta - e, ta + e
+        deg = 180.0 / np.pi
+        if code == "COP":
+            if abs(self.eta) >= 90.0:
+                raise ValueError(f"COP PV2_2 must satisfy |eta| < 90; got "
+                                 f"{self.eta}")
+            self.C = np.sin(ta)
+            self._cope = np.cos(e)
+            self.Y0 = deg * self._cope / np.tan(ta)
+        elif code == "COE":
+            self.C = (np.sin(t1) + np.sin(t2)) / 2.0
+            self._s1s2 = np.sin(t1) * np.sin(t2)
+            self.Y0 = (deg / self.C) * np.sqrt(
+                1.0 + self._s1s2 - 2.0 * self.C * np.sin(ta))
+        elif code == "COD":
+            if abs(self.eta) > 1e-12:
+                self.C = np.sin(ta) * np.sin(e) / e
+                self.Y0 = deg * e / np.tan(e) / np.tan(ta)
+            else:
+                self.C = np.sin(ta)
+                self.Y0 = deg / np.tan(ta)
+        else:  # COO: Lambert conformal; R = psi * tan((90-theta)/2)^C
+            tau1 = np.tan((np.pi / 2 - t1) / 2.0)
+            tau2 = np.tan((np.pi / 2 - t2) / 2.0)
+            if abs(self.eta) > 1e-12:
+                if not (abs(th1) < 90.0 - 1e-9 and abs(th2) < 90.0 - 1e-9):
+                    raise ValueError(
+                        "COO with two standard parallels requires both "
+                        f"strictly inside (-90, 90); got {th1}, {th2}")
+                self.C = (np.log(np.cos(t2) / np.cos(t1))
+                          / np.log(tau2 / tau1))
+            else:
+                self.C = np.sin(ta)
+            if abs(self.eta) <= 1e-12 and tau1 < 1e-12:
+                # theta_1 = 90: cos(t1)/tan((90-t1)/2) -> 2, C -> 1 — the
+                # exact STG (stereographic) limit of the conformal cone
+                self._psi = 2.0 * deg
+            else:
+                self._psi = deg * np.cos(t1) / (self.C * tau1 ** self.C)
+            self.Y0 = self._psi * np.tan((np.pi / 2 - ta) / 2.0) ** self.C
+        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
+                              self.latpole, self.theta_a)
+        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+
+    def _r_from_theta(self, theta):
+        """Conic R(theta) in projection-plane degrees (theta radians)."""
+        ta = jnp.deg2rad(self.theta_a)
+        deg = 180.0 / jnp.pi
+        if self.projection == "COP":
+            # perspective from the sphere centre onto the secant cone:
+            # valid only within a quarter turn of theta_a
+            d = theta - ta
+            r = deg * self._cope * (1.0 / jnp.tan(ta) - jnp.tan(d))
+            return jnp.where(jnp.abs(d) < jnp.pi / 2, r, jnp.nan)
+        if self.projection == "COE":
+            s = 1.0 + self._s1s2 - 2.0 * self.C * jnp.sin(theta)
+            return (deg / self.C) * jnp.sqrt(jnp.maximum(s, 0.0))
+        if self.projection == "COD":
+            return self.Y0 + (self.theta_a - jnp.rad2deg(theta))
+        # COO
+        return self._psi * jnp.tan((jnp.pi / 2 - theta) / 2.0) ** self.C
+
+    def _theta_from_r(self, r):
+        """Inverse of :meth:`_r_from_theta` (r degrees -> theta radians);
+        out-of-domain radii yield NaN."""
+        ta = jnp.deg2rad(self.theta_a)
+        rad = jnp.pi / 180.0
+        if self.projection == "COP":
+            th = ta + jnp.arctan(1.0 / jnp.tan(ta) - r * rad / self._cope)
+            return jnp.where(jnp.abs(th) <= jnp.pi / 2, th, jnp.nan)
+        if self.projection == "COE":
+            s = (1.0 + self._s1s2 - (self.C * r * rad) ** 2) / (2.0 * self.C)
+            return jnp.arcsin(s)  # |s| > 1 -> NaN (outside the map)
+        if self.projection == "COD":
+            th = jnp.deg2rad(self.theta_a + self.Y0 - r)
+            return jnp.where(jnp.abs(th) <= jnp.pi / 2, th, jnp.nan)
+        # COO: R = psi tau^C, tau = tan((90-theta)/2) >= 0
+        tau = (r / self._psi) ** (1.0 / self.C)
+        return jnp.pi / 2 - 2.0 * jnp.arctan(tau)
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta) radians
+        (FITS Paper II section 5.3); off-cone points yield NaN."""
+        dy = self.Y0 - y
+        r = jnp.sign(self.theta_a) * jnp.hypot(x, dy)
+        # r == 0 is the cone apex: phi undefined, keep theta if exact
+        phi = jnp.arctan2(x / r, dy / r) / self.C
+        return phi, self._theta_from_r(r)
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y) degrees."""
+        r = self._r_from_theta(theta)
+        a = self.C * phi
+        return r * jnp.sin(a), self.Y0 - r * jnp.cos(a)
+
+
 #: projection code -> WCS class, the dispatch table of :func:`make_wcs`
 _WCS_FAMILIES = {
     **{c: ZenithalWcs for c in ZenithalWcs.SUPPORTED},
     **{c: CylindricalWcs for c in CylindricalWcs.SUPPORTED},
+    **{c: ConicWcs for c in ConicWcs.SUPPORTED},
 }
 
 
@@ -263,12 +484,12 @@ def make_wcs(header):
     """Build the right WCS container for a FITS header.
 
     Dispatches on the CTYPE projection code: zenithal codes ->
-    :class:`ZenithalWcs`, cylindrical -> :class:`CylindricalWcs`. Any
-    other projection raises NotImplementedError naming the supported
-    families (the reference resolves arbitrary projections through its
-    astropy fallback, reference wcs.py:18-64 — conic/pseudo-cylindrical
-    headers are not reachable from astrometry.net output, which is
-    always TAN).
+    :class:`ZenithalWcs`, cylindrical -> :class:`CylindricalWcs`, conic
+    -> :class:`ConicWcs`. Any other projection raises
+    NotImplementedError naming the supported families (the reference
+    resolves arbitrary projections through its astropy fallback,
+    reference wcs.py:18-64 — exotic pseudo-cylindrical/polyconic headers
+    are not reachable from astrometry.net output, which is always TAN).
     """
     c1 = header.get("CTYPE1") or ""
     code = c1[5:] if isinstance(c1, str) and len(c1) >= 8 else ""
@@ -277,8 +498,9 @@ def make_wcs(header):
         raise NotImplementedError(
             f"projection {code!r} (CTYPE1={c1!r}) is not supported: "
             f"first-party projections are the zenithal family "
-            f"{ZenithalWcs.SUPPORTED} and the cylindrical family "
-            f"{CylindricalWcs.SUPPORTED}")
+            f"{ZenithalWcs.SUPPORTED}, the cylindrical family "
+            f"{CylindricalWcs.SUPPORTED} and the conic family "
+            f"{ConicWcs.SUPPORTED}")
     return cls(header)
 
 

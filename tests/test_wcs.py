@@ -531,3 +531,212 @@ class TestCylindricalProjections:
 
         with pytest.raises(ValueError, match="PV2_1"):
             CylindricalWcs(self._header("CEA", PV2_1=1.5))
+
+
+class TestConicProjections:
+    """First-party conic family (COP/COE/COD/COO — FITS Paper II section
+    5.3), the last projection family the reference reaches only via its
+    astropy fallback (reference wcs.py:18-64). astropy is unavailable, so
+    the oracles are analytic and mutually independent: the zenithal-limit
+    equivalences (theta_a = 90, eta = 0 collapses each cone onto a
+    validated azimuthal projection), true scale on BOTH standard
+    parallels, equidistant meridians for COD as great-circle distances,
+    local conformality for COO, constant area ratio for COE, exact
+    fiducial anchoring (pins the general native-pole eqs. 8-10), and
+    round-trips."""
+
+    CODES = ["COP", "COE", "COD", "COO"]
+    #: theta_a = 90, eta = 0 collapses each cone onto this azimuthal code
+    ZENITHAL_LIMIT = {"COP": "TAN", "COE": "ZEA", "COD": "ARC",
+                      "COO": "STG"}
+
+    @staticmethod
+    def _header(code, scale=0.01, crval=(30.0, 45.0), theta_a=45.0,
+                eta=0.0, **extra):
+        h = {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": crval[0], "CRVAL2": crval[1],
+            "CRPIX1": 100.5, "CRPIX2": 80.25,
+            "CD1_1": scale * 0.9, "CD1_2": scale * 0.3,
+            "CD2_1": -scale * 0.2, "CD2_2": scale * 1.1,
+            "IMAGEW": 200, "IMAGEH": 160,
+            "PV2_1": theta_a, "PV2_2": eta,
+        }
+        h.update(extra)
+        return h
+
+    @pytest.mark.parametrize("code", CODES)
+    @pytest.mark.parametrize("theta_a,eta,crval", [
+        (45.0, 0.0, (30.0, 45.0)),
+        (45.0, 15.0, (210.0, 30.0)),
+        (-52.0, 10.0, (100.0, -40.0)),  # southern cone
+    ])
+    def test_roundtrip(self, code, theta_a, eta, crval):
+        from auromat_tpu.coordinates.wcs import (ConicWcs, pix2world,
+                                                 world2pix)
+
+        wcs = ConicWcs(self._header(code, crval=crval, theta_a=theta_a,
+                                    eta=eta))
+        px, py = np.meshgrid(np.arange(0, 200, 13, dtype=np.float64),
+                             np.arange(0, 160, 11, dtype=np.float64))
+        ra, dec = pix2world(wcs, px, py)
+        bx, by = world2pix(wcs, ra, dec)
+        assert not np.isnan(np.asarray(bx)).any()
+        assert_allclose(np.asarray(bx), px, atol=1e-7)
+        assert_allclose(np.asarray(by), py, atol=1e-7)
+
+    @pytest.mark.parametrize("code", CODES)
+    @pytest.mark.parametrize("lonpole", [None, 30.0])
+    def test_fiducial_maps_to_crval(self, code, lonpole):
+        """CRPIX must land exactly on CRVAL — for conics theta0 = theta_a
+        != 0, 90, so this pins the GENERAL native-pole solution
+        (_native_pole, Paper II eqs. 8-10) including non-default
+        LONPOLE."""
+        from auromat_tpu.coordinates.wcs import ConicWcs, pix2world
+
+        extra = {} if lonpole is None else {"LONPOLE": lonpole}
+        wcs = ConicWcs(self._header(code, eta=10.0, **extra))
+        ra, dec = pix2world(wcs, np.array([wcs.px_ref]),
+                            np.array([wcs.py_ref]), origin=1)
+        assert_allclose(float(ra[0]), wcs.ra_ref, atol=1e-9)
+        assert_allclose(float(dec[0]), wcs.dec_ref, atol=1e-9)
+
+    @pytest.mark.parametrize("code", CODES)
+    def test_zenithal_limit(self, code):
+        """theta_a = 90, eta = 0 degenerates the cone onto an azimuthal
+        projection: COP=TAN, COE=ZEA, COD=ARC, COO=STG. Full pix2world
+        comparison against the independently validated ZenithalWcs gates
+        all four R(theta) laws and the native-pole solve at once."""
+        from auromat_tpu.coordinates.wcs import (ConicWcs, ZenithalWcs,
+                                                 pix2world)
+
+        zcode = self.ZENITHAL_LIMIT[code]
+        hc = self._header(code, theta_a=90.0, eta=0.0, crval=(30.0, 45.0),
+                          LONPOLE=180.0)
+        hz = TestZenithalProjections._header(zcode)
+        hz.update({k: hc[k] for k in
+                   ("CRVAL1", "CRVAL2", "CRPIX1", "CRPIX2", "CD1_1",
+                    "CD1_2", "CD2_1", "CD2_2")})
+        wc, wz = ConicWcs(hc), ZenithalWcs(hz)
+        px, py = np.meshgrid(np.linspace(0, 200, 9),
+                             np.linspace(0, 160, 9))
+        ra_c, dec_c = map(np.asarray, pix2world(wc, px, py))
+        ra_z, dec_z = map(np.asarray, pix2world(wz, px, py))
+        dra = (ra_c - ra_z + 180.0) % 360.0 - 180.0
+        assert np.abs(dra * np.cos(np.deg2rad(dec_z))).max() < 1e-9
+        assert np.abs(dec_c - dec_z).max() < 1e-9
+
+    @pytest.mark.parametrize("code", CODES)
+    @pytest.mark.parametrize("theta_a,eta", [(45.0, 15.0), (-60.0, 8.0)])
+    def test_standard_parallels_true_scale(self, code, theta_a, eta):
+        """By construction every conic is true along BOTH standard
+        parallels: the plane arc length R(theta_i) * C * dphi must equal
+        the small-circle length cos(theta_i) * dphi. Uses only
+        plane_from_native — independent of the pixel/inverse path."""
+        from auromat_tpu.coordinates.wcs import ConicWcs
+
+        wcs = ConicWcs(self._header(code, theta_a=theta_a, eta=eta))
+        for th in (theta_a - eta, theta_a + eta):
+            r = np.abs(float(wcs._r_from_theta(np.deg2rad(th))))
+            assert_allclose(abs(wcs.C) * r * np.pi / 180.0,
+                            np.cos(np.deg2rad(th)), rtol=1e-12)
+
+    def test_cod_equidistant_meridians(self):
+        """COD: great-circle distance between two pixels on the central
+        native meridian equals their Delta-y exactly (independent
+        spherical oracle via pix2world_cartesian, same class as the
+        cylindrical graticule test)."""
+        from auromat_tpu.coordinates.wcs import (ConicWcs,
+                                                 pix2world_cartesian)
+
+        s = 0.05
+        h = {
+            "CTYPE1": "RA---COD", "CTYPE2": "DEC--COD",
+            "CRVAL1": 137.0, "CRVAL2": -52.0, "CRPIX1": 50.0,
+            "CRPIX2": 40.0, "CD1_1": s, "CD1_2": 0.0, "CD2_1": 0.0,
+            "CD2_2": s, "PV2_1": -52.0, "PV2_2": 12.0,
+        }
+        wcs = ConicWcs(h)
+        px = np.full(3, wcs.px_ref - 1.0)  # x = 0: the native meridian
+        py = np.array([5.0, 25.0, 65.0])
+        v = np.array(pix2world_cartesian(wcs, px, py))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        ang01 = np.rad2deg(np.arccos(np.clip(v[0] @ v[1], -1, 1)))
+        ang02 = np.rad2deg(np.arccos(np.clip(v[0] @ v[2], -1, 1)))
+        assert_allclose(ang01, 20.0 * s, atol=1e-9)
+        assert_allclose(ang02, 60.0 * s, atol=1e-9)
+
+    def test_coe_equal_area(self):
+        """COE: the plane-to-sphere area ratio is the same at every
+        latitude (finite-difference Jacobian of plane_from_native vs the
+        spherical area element cos(theta))."""
+        from auromat_tpu.coordinates.wcs import ConicWcs
+
+        wcs = ConicWcs(self._header("COE", theta_a=45.0, eta=20.0))
+        d = 1e-5
+        ratios = []
+        for th_deg in (-40.0, 0.0, 30.0, 60.0, 80.0):
+            th = np.deg2rad(th_deg)
+            x0, y0 = map(float, wcs.plane_from_native(0.1, th))
+            x1, y1 = map(float, wcs.plane_from_native(0.1 + d, th))
+            x2, y2 = map(float, wcs.plane_from_native(0.1, th + d))
+            jac = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+            ratios.append(jac / (np.cos(th) * d * d))
+        assert_allclose(ratios, ratios[0], rtol=1e-4)
+
+    def test_coo_conformal(self):
+        """COO (Lambert conformal): an orthonormal native frame maps to
+        equal-length perpendicular plane vectors at every latitude."""
+        from auromat_tpu.coordinates.wcs import ConicWcs
+
+        wcs = ConicWcs(self._header("COO", theta_a=45.0, eta=20.0))
+        d = 1e-6
+        for th_deg in (-30.0, 10.0, 45.0, 75.0):
+            th = np.deg2rad(th_deg)
+            x0, y0 = map(float, wcs.plane_from_native(0.2, th))
+            # native orthonormal step: (d/cos th) in phi ~ d in theta
+            x1, y1 = map(float, wcs.plane_from_native(0.2 + d / np.cos(th),
+                                                      th))
+            x2, y2 = map(float, wcs.plane_from_native(0.2, th + d))
+            u = np.array([x1 - x0, y1 - y0])
+            w = np.array([x2 - x0, y2 - y0])
+            assert_allclose(np.linalg.norm(u), np.linalg.norm(w),
+                            rtol=1e-4)
+            assert abs(u @ w) < 1e-4 * (u @ u)
+
+    @pytest.mark.parametrize("code", CODES)
+    def test_small_offset_matches_tan(self, code):
+        """Near the fiducial of a TANGENT cone (eta = 0, scale true at
+        theta_a) every conic agrees with the tangent plane to O(r^2);
+        at r <= 0.005 deg the validated TAN path and the conic path must
+        agree to ~1e-8 deg (gate 1e-6)."""
+        from auromat_tpu.coordinates.wcs import (ConicWcs, TanWcs,
+                                                 pix2world, tan_pix2world)
+
+        hc = self._header(code, scale=0.0001, crval=(30.0, 45.0),
+                          theta_a=45.0, eta=0.0)
+        ht = TestCylindricalProjections._header("TAN", scale=0.0001)
+        wc, wt = ConicWcs(hc), TanWcs(ht)
+        px, py = np.meshgrid(
+            np.linspace(80.0, 120.0, 9), np.linspace(60.0, 100.0, 9))
+        ra_c, dec_c = pix2world(wc, px, py)
+        ra_t, dec_t = tan_pix2world(wt, px, py)
+        dra = (np.asarray(ra_c) - np.asarray(ra_t) + 180.0) % 360.0 - 180.0
+        assert np.abs(dra * np.cos(np.deg2rad(np.asarray(dec_t)))).max() < 1e-6
+        assert np.abs(np.asarray(dec_c) - np.asarray(dec_t)).max() < 1e-6
+
+    def test_make_wcs_dispatch_and_validation(self):
+        from auromat_tpu.coordinates.wcs import ConicWcs, make_wcs
+
+        assert isinstance(make_wcs(self._header("COO", eta=5.0)), ConicWcs)
+        msg = None
+        with pytest.raises(ValueError, match="PV2_1") as ei:
+            h = self._header("COP")
+            del h["PV2_1"], h["PV2_2"]
+            ConicWcs(h)
+        msg = str(ei.value)
+        assert "theta_a" in msg
+        with pytest.raises(ValueError, match="cylinder"):
+            ConicWcs(self._header("COD", theta_a=0.0))
+        with pytest.raises(ValueError, match="standard parallels"):
+            ConicWcs(self._header("COE", theta_a=80.0, eta=20.0))
