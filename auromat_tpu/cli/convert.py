@@ -76,6 +76,17 @@ def build_parser():
                       help="georeference N frames per device call (the "
                            "batched vmap pipeline; f32 device precision — "
                            "spacecraft sources only; 0 = per-frame float64)")
+    proc.add_argument("--mosaic", type=float, default=None, metavar="DEG",
+                      help="mosaic the WHOLE sequence into one plate-"
+                           "carree grid at DEG degrees/cell (e.g. 0.05 = "
+                           "the global production grid) and write a single "
+                           "file: provider bursts stream through the grid-"
+                           "sharded device mosaic (parallel.mosaic_"
+                           "sequence); spacecraft sources only")
+    proc.add_argument("--mosaic-extent", type=float, nargs=4, default=None,
+                      metavar=("S", "N", "W", "E"),
+                      help="restrict the --mosaic grid to this lat/lon box "
+                           "(default: global)")
     proc.add_argument("--platform", choices=["cpu", "tpu", "default"],
                       default="cpu",
                       help="jax backend; cpu (default) runs the float64 "
@@ -123,6 +134,81 @@ def convert_mapping(mapping, args, out_folder):
     return out_path
 
 
+def convert_mosaic(provider, args, out_folder):
+    """Stream the whole sequence through the grid-sharded device mosaic
+    (parallel.mosaic_sequence) and write ONE file.
+
+    The reference's convert loop writes one file per frame
+    (auromat/cli/convert.py:176-218); a sequence-level mosaic product has
+    no reference counterpart — it exists here because the sharded step
+    makes it a single device pipeline (BASELINE config 5 at the CLI).
+    """
+    import numpy as np
+
+    from auromat_tpu.mapping.mapping import Mapping
+    from auromat_tpu.ops.regrid import fixed_grid
+    from auromat_tpu.parallel import make_mesh, mosaic_sequence
+    from auromat_tpu.resample import _finalize_int_image
+
+    if not hasattr(provider, "iterParamBursts"):
+        print("error: --mosaic needs a spacecraft source (image+wcs pairs)",
+              file=sys.stderr)
+        return None
+    if args.mosaic_extent is not None:
+        s, n, w, e = args.mosaic_extent
+    else:
+        # global; epsilon keeps the inclusive +-90/+-180 edges out of the
+        # open-ended last bin (same shape as the config-5 grid)
+        s, n, w, e = -89.999, 89.999, -179.999, 179.999
+    grid = fixed_grid(1.0 / args.mosaic, s, n, w, e)
+    # frames data-parallel over every device; the GRID is row-band sharded
+    # over the whole mesh either way, so sp=1 keeps arbitrary frame
+    # heights shardable
+    mesh = make_mesh(sp=1)
+    dp = mesh.shape["dp"]
+    batch = max(args.batched or 8, dp)
+    batch = -(-batch // dp) * dp
+    import jax
+
+    # the flagship Pallas binning on TPU; the exact sorted path elsewhere
+    # (Mosaic kernels only run compiled on TPU hardware)
+    bin_method = "pallas" if jax.default_backend() == "tpu" else "sorted"
+    print(f"mosaicking onto a {grid.n_lat} x {grid.n_lon} grid "
+          f"({args.mosaic} deg/cell), {dp}-device mesh, burst size {batch}, "
+          f"{bin_method} binning")
+    count, means = mosaic_sequence(
+        mesh, grid, provider.iterParamBursts(args.start, args.end,
+                                             batch=batch), batch=batch,
+        bin_method=bin_method)
+    count = np.asarray(count)[: grid.n_lat]
+    means = np.asarray(means, dtype=np.float64)[: grid.n_lat]
+    img_r = _finalize_int_image(means[..., :3], np.uint8)
+    elev_r = means[..., 3]
+    lat_grid, lon_grid = grid.corner_grids()
+    lat_grid_c, lon_grid_c = grid.center_grids()
+    first, _ = provider.range
+    identifier = (os.path.basename(os.path.normpath(args.folder))
+                  + ".mosaic")
+    mapping = Mapping(lat_grid, lon_grid, lat_grid_c, lon_grid_c, elev_r,
+                      provider.altitude, img_r, np.full(3, np.nan), first,
+                      identifier)
+    if args.min_elevation is not None:
+        mapping = mapping.maskedByElevation(args.min_elevation)
+    ext = ".cdf" if args.format == "cdf" else ".nc"
+    out_path = os.path.join(out_folder, f"{identifier}{ext}")
+    if os.path.exists(out_path) and not args.overwrite:
+        print(f"skipping {out_path} (exists)")
+        return out_path
+    if args.format == "cdf":
+        from auromat_tpu.export import cdf as writer
+    else:
+        from auromat_tpu.export import netcdf as writer
+    writer.write(out_path, mapping, includeBounds=not args.without_bounds,
+                 includeMagCoords=not args.without_mag)
+    print(f"wrote {out_path} ({int((count > 0).sum())} occupied cells)")
+    return out_path
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform != "default":
@@ -148,6 +234,9 @@ def main(argv=None):
         provider.dtype = jnp.float32
     out_folder = args.out or args.folder
     os.makedirs(out_folder, exist_ok=True)
+
+    if args.mosaic is not None:
+        return 0 if convert_mosaic(provider, args, out_folder) else 1
 
     if args.batched and hasattr(provider, "getSequenceBatched"):
         seq = provider.getSequenceBatched(args.start, args.end,

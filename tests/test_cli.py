@@ -158,6 +158,57 @@ class TestBatchedPipeline:
         c = count[: grid.n_lat]
         assert np.isfinite(m[c > 0]).all()
 
+    def test_convert_mosaic(self, spacecraft_folder2, tmp_path):
+        """--mosaic: the whole sequence into ONE plate-carree file via the
+        grid-sharded device pipeline (config-5 at the CLI). Gates the
+        written product against a direct mosaic_sequence run."""
+        import numpy as np
+
+        out = tmp_path / "outm"
+        rc = convert.main([
+            spacecraft_folder2, "--mosaic", "0.25",
+            "--mosaic-extent", "47", "62", "-112", "-91",
+            "--format", "netcdf", "--out", str(out),
+        ])
+        assert rc == 0
+        from auromat_tpu.mapping.netcdf import read_mapping
+
+        path = str(out / "data2.mosaic.nc")
+        m = read_mapping(path)
+        m.checkPlateCarree()
+        m.checkGuarantees()
+        occupied = (~m.center_mask).sum()
+        assert occupied > 500
+
+        # oracle: the same bursts through mosaic_sequence directly
+        from auromat_tpu.mapping.spacecraft import SpacecraftMappingProvider
+        from auromat_tpu.ops.regrid import fixed_grid
+        from auromat_tpu.parallel import make_mesh, mosaic_sequence
+
+        prov = SpacecraftMappingProvider(spacecraft_folder2)
+        grid = fixed_grid(4.0, 47.0, 62.0, -112.0, -91.0)
+        assert (grid.n_lat, grid.n_lon) == m.img.shape[:2]
+        count, means = mosaic_sequence(
+            make_mesh(sp=1), grid, prov.iterParamBursts(batch=8), batch=8,
+            bin_method="sorted")
+        count = np.asarray(count)[: grid.n_lat]
+        means = np.asarray(means, np.float64)[: grid.n_lat]
+        assert occupied == (count > 0).sum()
+        got = np.asarray(m.img.filled(0), dtype=np.float64)
+        want = np.clip(np.round(means[..., :3]), 0, 255)
+        want[count == 0] = 0.0
+        assert np.array_equal(got, want)
+
+        # skip-if-exists, and non-spacecraft sources are refused
+        assert convert.main([
+            spacecraft_folder2, "--mosaic", "0.25",
+            "--mosaic-extent", "47", "62", "-112", "-91",
+            "--format", "netcdf", "--out", str(out),
+        ]) == 0
+        args = convert.build_parser().parse_args(
+            [spacecraft_folder2, "--mosaic", "0.25"])
+        assert convert.convert_mosaic(object(), args, str(out)) is None
+
     def test_convert_batched(self, spacecraft_folder2, tmp_path):
         out = tmp_path / "outb"
         rc = convert.main([
