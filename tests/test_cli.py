@@ -46,6 +46,7 @@ class TestConvert:
         ])
         assert rc == 0
 
+    @pytest.mark.slow
     def test_convert_to_netcdf(self, spacecraft_folder, tmp_path):
         out = tmp_path / "out"
         rc = convert.main([
@@ -115,6 +116,7 @@ class TestBatchedPipeline:
         assert np.isfinite(np.asarray(mlat_b.filled(np.nan))[both]).all()
         b.checkGuarantees()
 
+    @pytest.mark.slow
     def test_iter_param_bursts_to_sharded_mosaic(self, spacecraft_folder2):
         """Provider burst -> grid-sharded mosaic, one code path (VERDICT r3
         item 4): iterParamBursts yields calibration+imagery bursts that
@@ -158,6 +160,7 @@ class TestBatchedPipeline:
         c = count[: grid.n_lat]
         assert np.isfinite(m[c > 0]).all()
 
+    @pytest.mark.slow
     def test_convert_mosaic(self, spacecraft_folder2, tmp_path):
         """--mosaic: the whole sequence into ONE plate-carree file via the
         grid-sharded device pipeline (config-5 at the CLI). Gates the
@@ -209,6 +212,7 @@ class TestBatchedPipeline:
             [spacecraft_folder2, "--mosaic", "0.25"])
         assert convert.convert_mosaic(object(), args, str(out)) is None
 
+    @pytest.mark.slow
     def test_convert_batched(self, spacecraft_folder2, tmp_path):
         out = tmp_path / "outb"
         rc = convert.main([

@@ -316,6 +316,7 @@ class TestSequenceDiagnostics:
             save_fig(str(tmp_path / f"az_{name}.png"), fig)
             assert (tmp_path / f"az_{name}.png").stat().st_size > 0
 
+    @pytest.mark.slow
     def test_scanlines_map_coroutine(self, resampled, tmp_path):
         from datetime import timedelta
 
@@ -441,6 +442,7 @@ class TestCatalogStars:
         assert (tmp_path / "cat_stars.png").stat().st_size > 0
 
 
+@pytest.mark.slow
 def test_scanlines_map_mlatmlt(resampled, tmp_path):
     from datetime import timedelta
 

@@ -116,6 +116,7 @@ def test_float32_chain_accuracy():
     assert np.median(err) < 0.05  # f32 is coarse; parity requires f64/df64
 
 
+@pytest.mark.slow
 def test_create_mapping_df64_full_precision():
     """dtype='df64' builds a full-precision PRODUCTION mapping through the
     double-float chain — the TPU-resident export path (on TPUs plain f64

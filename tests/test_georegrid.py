@@ -124,6 +124,7 @@ class TestGeoregrid:
         assert (np.asarray(v64) != np.asarray(v32)).mean() < 5e-3
 
 
+@pytest.mark.slow
 def test_oversized_grid_slabs_bit_identically(setup):
     """Grids whose accumulator exceeds the VMEM budget run as a lat-slab
     loop; the slabbed result must be bit-identical to the single-call path

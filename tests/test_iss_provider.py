@@ -40,6 +40,7 @@ def cache(tmp_path):
 
 
 class TestISSProvider:
+    @pytest.mark.slow
     def test_offline_get(self, cache):
         prov = ISSMappingProvider(cache, offline=True, fastCenterCalculation=True)
         t0, t1 = prov.range

@@ -200,6 +200,7 @@ class TestRealFrame:
         # (docs/userguide/index.rst:133)
         assert 3 < scale.width.median < 12
 
+    @pytest.mark.slow
     def test_masked_by_elevation_real(self):
         m = get_mapping(
             os.path.join(RES, "ISS030-E-102170_dc.jpg"),

@@ -285,6 +285,7 @@ def test_window_tiled_elevation_f32_accurate():
         assert dev < 1e-3, (fn.__name__, dev)
 
 
+@pytest.mark.slow
 class TestBinNearest:
     """Device nearest-sample resampling (seeding + jump-flood Voronoi) vs
     the scipy KD-tree oracle."""
@@ -382,6 +383,7 @@ class TestBinTakeBest:
         assert np.isnan(best[iy, ix, 0]) and best[iy, ix, 1] == 7.0
 
 
+@pytest.mark.slow
 class TestInterpLinearStructured:
     """Device linear interpolation by Newton mesh inversion + bilinear
     sampling (the TPU replacement for scipy.griddata 'linear')."""
@@ -460,6 +462,7 @@ class TestInterpLinearStructured:
         np.testing.assert_allclose(out[ok], (cy + cx)[ok], atol=1e-9)
 
 
+@pytest.mark.slow
 class TestInterpCubicStructured:
     def test_reproduces_affine_fields_exactly(self):
         """Catmull-Rom has linear precision: affine data on an affine mesh

@@ -87,6 +87,7 @@ class TestResample:
         m.checkPlateCarree()
         m.checkGuarantees()
 
+    @pytest.mark.slow
     def test_nearest_device_matches_scipy(self):
         """The TPU jump-flood nearest path (ops.regrid.bin_nearest) against
         the host scipy KD-tree path: identical masks, near-identical cells
@@ -135,6 +136,7 @@ class TestResample:
         assert not calls
         assert m_host.img_unmasked.shape == m_dev.img_unmasked.shape
 
+    @pytest.mark.slow
     def test_linear_device_matches_scipy_shape(self):
         """The TPU linear path (Newton mesh inversion + bilinear sampling,
         ops.regrid.interp_linear_structured) against the host scipy
@@ -161,6 +163,7 @@ class TestResample:
         # interpolated values stay inside the sample range
         assert np.nanmin(a) >= 0 and np.nanmax(a) <= 255
 
+    @pytest.mark.slow
     def test_cubic_device(self):
         """Device cubic (mesh inversion + Catmull-Rom): invariants hold and
         no cells are fabricated outside the scipy-cubic hull; the full
@@ -217,6 +220,7 @@ class TestResample:
         m = resample(m0, arcsec_per_px=3600.0, method="mean")
         m.checkPlateCarree()
 
+    @pytest.mark.slow
     def test_real_frame_resample(self):
         mapping = get_mapping(
             os.path.join(RES, "ISS030-E-102170_dc.jpg"),

@@ -248,6 +248,7 @@ class TestGridShardedMosaic:
         el_ok = ~np.isnan(ms[..., 3])
         assert_allclose(mp[..., 3][el_ok], ms[..., 3][el_ok], atol=0.01)
 
+    @pytest.mark.slow
     def test_pallas_multi_slab_matches_single_call(self):
         """A slab budget small enough to force the lat-slab loop (with its
         runtime empty-slab skipping via lax.cond) inside shard_map must
@@ -314,6 +315,7 @@ class TestDistributed:
         assert (start, count) == (0, 16)
 
 
+@pytest.mark.slow
 def test_multihost_two_process_mosaic():
     """TRUE multi-host run: two processes x 4 virtual devices, coordinator
     + Gloo collectives via parallel.distributed.initialize, the grid-banded
@@ -338,6 +340,7 @@ def test_multihost_two_process_mosaic():
     assert "multi-host grid-banded mosaic OK" in outs[1]
 
 
+@pytest.mark.slow
 class TestConfig5Scale:
     """BASELINE config 5 at FULL grid scale: the 0.05 deg global mosaic
     (3599 x 7199 cells) on the 8-device mesh — proves the banding/chunking
