@@ -472,11 +472,142 @@ class ConicWcs:
         return r * jnp.sin(a), self.Y0 - r * jnp.cos(a)
 
 
+class PseudoCylindricalWcs:
+    """Host-side container for a pseudo-cylindrical-projection WCS.
+
+    Covers the FITS pseudo-cylindrical family (Paper II section 5.4) —
+    SFL (Sanson-Flamsteed/sinusoidal), PAR (parabolic/Craster), MOL
+    (Mollweide), AIT (Hammer-Aitoff) — the all-sky equal-area projections
+    the reference reaches only through its astropy fallback (reference
+    wcs.py:18-64). Same surface as :class:`ZenithalWcs`
+    (native_from_plane / plane_from_native), so :func:`pix2world`,
+    :func:`world2pix` and :func:`pix2world_cartesian` work unchanged.
+
+    Like the cylindrical family these have their fiducial at native
+    (phi0, theta0) = (0, 0), so the native pole comes from the general
+    Paper II eqs. 8-10 solve (:func:`_native_pole` at theta0 = 0); x
+    additionally depends on theta (the meridians converge).
+
+    MOL's forward y(theta) requires solving the transcendental
+    2 gamma + sin 2 gamma = pi sin theta — done with a fixed-iteration
+    Newton (init gamma = theta; the derivative 2 + 2 cos 2 gamma only
+    vanishes at the poles, where the init is already the root).
+    """
+
+    SUPPORTED = ("SFL", "PAR", "MOL", "AIT")
+
+    def __init__(self, header):
+        c1 = header.get("CTYPE1") or ""
+        c2 = header.get("CTYPE2") or ""
+        code = c1[5:] if (
+            isinstance(c1, str) and isinstance(c2, str)
+            and c1.startswith("RA---") and c2.startswith("DEC--")
+            and c1[5:] == c2[5:]
+        ) else None
+        if code not in self.SUPPORTED:
+            raise ValueError(
+                f"only RA---/DEC-- pseudo-cylindrical projections "
+                f"{self.SUPPORTED} are supported here; got {c1!r}/{c2!r}")
+        self.projection = code
+        self.ra_ref = float(header["CRVAL1"])
+        self.dec_ref = float(header["CRVAL2"])
+        self.px_ref = float(header["CRPIX1"])
+        self.py_ref = float(header["CRPIX2"])
+        # Paper II defaults for theta0 = 0: LONPOLE 0 if dec0 >= 0 else 180
+        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
+        self.lonpole = float(header.get("LONPOLE", default_lonpole))
+        self.latpole = float(header.get("LATPOLE", 90.0))
+        self.cd = np.array(
+            [
+                [float(header["CD1_1"]), float(header["CD1_2"])],
+                [float(header["CD2_1"]), float(header["CD2_2"])],
+            ]
+        )
+        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
+        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
+                              self.latpole, 0.0)
+        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta) radians
+        (FITS Paper II section 5.4); out-of-map points yield NaN."""
+        if self.projection == "SFL":
+            theta = y * _RAD_PER_R
+            theta = jnp.where(jnp.abs(theta) <= jnp.pi / 2, theta, jnp.nan)
+            phi = x * _RAD_PER_R / jnp.cos(theta)
+            return phi, theta
+        if self.projection == "PAR":
+            theta = 3.0 * jnp.arcsin(y / 180.0)
+            theta = jnp.where(jnp.abs(theta) <= jnp.pi / 2, theta, jnp.nan)
+            phi = x * _RAD_PER_R / (2.0 * jnp.cos(2.0 * theta / 3.0) - 1.0)
+            return phi, theta
+        if self.projection == "MOL":
+            sg = y * jnp.pi / (180.0 * np.sqrt(2.0))
+            g = jnp.arcsin(sg)  # |y| beyond the map rim -> NaN
+            theta = jnp.arcsin((2.0 * g + jnp.sin(2.0 * g)) / jnp.pi)
+            phi = x * _RAD_PER_R * jnp.pi / (2.0 * np.sqrt(2.0)
+                                             * jnp.cos(g))
+            return phi, theta
+        # AIT (Paper II eqs. 105-107, radian plane coordinates)
+        X = x * _RAD_PER_R
+        Y = y * _RAD_PER_R
+        z2 = 1.0 - (X / 4.0) ** 2 - (Y / 2.0) ** 2
+        # principal ellipse: Z^2 >= 1/2 (outside lies no valid (phi, theta))
+        z2 = jnp.where(z2 >= 0.5, z2, jnp.nan)
+        z = jnp.sqrt(z2)
+        theta = jnp.arcsin(Y * z)
+        phi = 2.0 * jnp.arctan2(z * X / 2.0, 2.0 * z2 - 1.0)
+        return phi, theta
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y) degrees.
+
+        phi is wrapped into [-pi, pi) so world2pix lands on the principal
+        map copy around CRPIX.
+        """
+        phi = (phi + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        deg = 180.0 / jnp.pi
+        if self.projection == "SFL":
+            return deg * phi * jnp.cos(theta), deg * theta
+        if self.projection == "PAR":
+            return (deg * phi * (2.0 * jnp.cos(2.0 * theta / 3.0) - 1.0),
+                    180.0 * jnp.sin(theta / 3.0))
+        if self.projection == "MOL":
+            g = _mol_gamma(theta)
+            x = (2.0 * np.sqrt(2.0) / jnp.pi) * deg * phi * jnp.cos(g)
+            y = np.sqrt(2.0) * deg * jnp.sin(g)
+            return x, y
+        # AIT
+        gf = jnp.sqrt(2.0 / (1.0 + jnp.cos(theta) * jnp.cos(phi / 2.0)))
+        x = 2.0 * deg * gf * jnp.cos(theta) * jnp.sin(phi / 2.0)
+        y = deg * gf * jnp.sin(theta)
+        return x, y
+
+
+def _mol_gamma(theta, iters=12):
+    """Solve Mollweide's 2g + sin 2g = pi sin(theta) for g by Newton.
+
+    Init g = theta; the derivative 2 + 2 cos 2g vanishes only at the
+    poles, where g = theta is already the exact root (guarded divisor
+    keeps the iteration a no-op there). 12 iterations reach f64
+    round-off over the whole open interval.
+    """
+    target = jnp.pi * jnp.sin(theta)
+    g = theta
+    for _ in range(iters):
+        f = 2.0 * g + jnp.sin(2.0 * g) - target
+        df = 2.0 + 2.0 * jnp.cos(2.0 * g)
+        g = g - f / jnp.maximum(df, 1e-14)
+    return g
+
+
 #: projection code -> WCS class, the dispatch table of :func:`make_wcs`
 _WCS_FAMILIES = {
     **{c: ZenithalWcs for c in ZenithalWcs.SUPPORTED},
     **{c: CylindricalWcs for c in CylindricalWcs.SUPPORTED},
     **{c: ConicWcs for c in ConicWcs.SUPPORTED},
+    **{c: PseudoCylindricalWcs for c in PseudoCylindricalWcs.SUPPORTED},
 }
 
 
@@ -485,11 +616,12 @@ def make_wcs(header):
 
     Dispatches on the CTYPE projection code: zenithal codes ->
     :class:`ZenithalWcs`, cylindrical -> :class:`CylindricalWcs`, conic
-    -> :class:`ConicWcs`. Any other projection raises
+    -> :class:`ConicWcs`, pseudo-cylindrical ->
+    :class:`PseudoCylindricalWcs`. Any other projection raises
     NotImplementedError naming the supported families (the reference
     resolves arbitrary projections through its astropy fallback,
-    reference wcs.py:18-64 — exotic pseudo-cylindrical/polyconic headers
-    are not reachable from astrometry.net output, which is always TAN).
+    reference wcs.py:18-64 — exotic polyconic/quad-cube headers are not
+    reachable from astrometry.net output, which is always TAN).
     """
     c1 = header.get("CTYPE1") or ""
     code = c1[5:] if isinstance(c1, str) and len(c1) >= 8 else ""
@@ -499,8 +631,9 @@ def make_wcs(header):
             f"projection {code!r} (CTYPE1={c1!r}) is not supported: "
             f"first-party projections are the zenithal family "
             f"{ZenithalWcs.SUPPORTED}, the cylindrical family "
-            f"{CylindricalWcs.SUPPORTED} and the conic family "
-            f"{ConicWcs.SUPPORTED}")
+            f"{CylindricalWcs.SUPPORTED}, the conic family "
+            f"{ConicWcs.SUPPORTED} and the pseudo-cylindrical family "
+            f"{PseudoCylindricalWcs.SUPPORTED}")
     return cls(header)
 
 

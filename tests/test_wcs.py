@@ -522,9 +522,9 @@ class TestCylindricalProjections:
             TestZenithalProjections._header("TAN")), ZenithalWcs)
         assert isinstance(make_wcs(self._header("MER")), CylindricalWcs)
         with pytest.raises(NotImplementedError) as ei:
-            make_wcs(TestZenithalProjections._header("AIT"))
+            make_wcs(TestZenithalProjections._header("TSC"))
         msg = str(ei.value)
-        assert "TAN" in msg and "CAR" in msg and "AIT" in msg
+        assert "TAN" in msg and "CAR" in msg and "TSC" in msg
 
     def test_cea_lambda_validation(self):
         from auromat_tpu.coordinates.wcs import CylindricalWcs
@@ -740,3 +740,197 @@ class TestConicProjections:
             ConicWcs(self._header("COD", theta_a=0.0))
         with pytest.raises(ValueError, match="standard parallels"):
             ConicWcs(self._header("COE", theta_a=80.0, eta=20.0))
+
+
+class TestPseudoCylindricalProjections:
+    """First-party pseudo-cylindrical family (SFL/PAR/MOL/AIT) — the
+    all-sky projections the reference reaches via its astropy fallback
+    (reference wcs.py:18-64). astropy is unavailable here; oracles are
+    analytic: exact fiducial anchoring, closed-form meridional laws
+    computed independently in plain numpy, the equal-area property (the
+    defining invariant of all four), round-trips over the full map, and
+    small-offset agreement with the validated TAN path."""
+
+    CODES = ["SFL", "PAR", "MOL", "AIT"]
+
+    @staticmethod
+    def _header(code, scale=0.01, crval=(30.0, 45.0), **extra):
+        h = {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": crval[0], "CRVAL2": crval[1],
+            "CRPIX1": 100.5, "CRPIX2": 80.25,
+            "CD1_1": scale * 0.9, "CD1_2": scale * 0.3,
+            "CD2_1": -scale * 0.2, "CD2_2": scale * 1.1,
+            "IMAGEW": 200, "IMAGEH": 160,
+        }
+        h.update(extra)
+        return h
+
+    @pytest.mark.parametrize("code", CODES)
+    @pytest.mark.parametrize("crval", [(30.0, 45.0), (210.0, -37.5),
+                                       (0.0, 0.0)])
+    def test_roundtrip(self, code, crval):
+        from auromat_tpu.coordinates.wcs import (PseudoCylindricalWcs,
+                                                 pix2world, world2pix)
+
+        wcs = PseudoCylindricalWcs(self._header(code, crval=crval))
+        px, py = np.meshgrid(np.arange(0, 200, 13, dtype=np.float64),
+                             np.arange(0, 160, 11, dtype=np.float64))
+        ra, dec = pix2world(wcs, px, py)
+        bx, by = world2pix(wcs, ra, dec)
+        assert not np.isnan(np.asarray(bx)).any()
+        assert_allclose(np.asarray(bx), px, atol=1e-7)
+        assert_allclose(np.asarray(by), py, atol=1e-7)
+
+    @pytest.mark.parametrize("code", CODES)
+    @pytest.mark.parametrize("lonpole", [None, 30.0])
+    def test_fiducial_maps_to_crval(self, code, lonpole):
+        from auromat_tpu.coordinates.wcs import (PseudoCylindricalWcs,
+                                                 pix2world)
+
+        extra = {} if lonpole is None else {"LONPOLE": lonpole}
+        wcs = PseudoCylindricalWcs(self._header(code, **extra))
+        ra, dec = pix2world(wcs, np.array([wcs.px_ref]),
+                            np.array([wcs.py_ref]), origin=1)
+        assert_allclose(float(ra[0]), wcs.ra_ref, atol=1e-9)
+        assert_allclose(float(dec[0]), wcs.dec_ref, atol=1e-9)
+
+    @pytest.mark.parametrize("code", CODES)
+    def test_meridional_law_analytic(self, code):
+        """theta(y) along the central meridian (x = 0), computed
+        independently with plain numpy (FITS Paper II section 5.4):
+        SFL theta = y; PAR theta = 3 asin(y/180); MOL y = sqrt(2) (180/pi)
+        sin(gamma) with 2 gamma + sin 2 gamma = pi sin theta (verified in
+        the forward direction through the transcendental residual);
+        AIT theta = asin(Y Z) at X = 0."""
+        from auromat_tpu.coordinates.wcs import (PseudoCylindricalWcs,
+                                                 pix2world)
+
+        h = {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": 0.0, "CRVAL2": 0.0, "CRPIX1": 1.0, "CRPIX2": 1.0,
+            "CD1_1": 1.0, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 1.0,
+        }
+        wcs = PseudoCylindricalWcs(h)
+        y = np.array([0.0, 10.0, -25.0, 60.0])
+        ra, dec = pix2world(wcs, np.zeros_like(y), y, origin=0)
+        dec = np.asarray(dec)
+        yr = np.deg2rad(y)
+        if code == "SFL":
+            assert_allclose(dec, y, atol=1e-9)
+        elif code == "PAR":
+            assert_allclose(dec, np.rad2deg(3 * np.arcsin(y / 180.0)),
+                            atol=1e-9)
+        elif code == "MOL":
+            g = np.arcsin(y * np.pi / (180.0 * np.sqrt(2.0)))
+            assert_allclose(np.pi * np.sin(np.deg2rad(dec)),
+                            2 * g + np.sin(2 * g), atol=1e-12)
+        else:  # AIT
+            z = np.sqrt(1.0 - (yr / 2.0) ** 2)
+            assert_allclose(dec, np.rad2deg(np.arcsin(yr * z)), atol=1e-9)
+        assert_allclose(np.asarray(ra) % 360.0, 0.0, atol=1e-9)
+
+    @pytest.mark.parametrize("code", CODES)
+    def test_equal_area(self, code):
+        """All four are equal-area (SFL/PAR/MOL exactly; AIT is Hammer,
+        also exact): the plane-area/sphere-area Jacobian ratio
+        |J| / cos(theta) must be the SAME constant (180/pi)^2 everywhere
+        on the map — a non-circular oracle computed by finite differences
+        on the forward map."""
+        from auromat_tpu.coordinates.wcs import PseudoCylindricalWcs
+
+        wcs = PseudoCylindricalWcs(self._header(code))
+        rng = np.random.default_rng(42)
+        phi = rng.uniform(-0.9 * np.pi, 0.9 * np.pi, 300)
+        th = rng.uniform(-1.45, 1.45, 300)
+        e = 1e-6
+        x0, y0 = (np.asarray(a) for a in wcs.plane_from_native(phi, th))
+        x1, y1 = (np.asarray(a) for a in wcs.plane_from_native(phi + e, th))
+        x2, y2 = (np.asarray(a) for a in wcs.plane_from_native(phi, th + e))
+        jac = np.abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / e**2
+        ratio = jac / np.cos(th)
+        # SFL/MOL/AIT have unit area scale, (180/pi)^2 per steradian; the
+        # FITS PAR definition (y = 180 sin(theta/3)) carries an extra
+        # meridional pi/3 (its fiducial y-scale is 60 deg/rad, not 180/pi)
+        expect = (180.0 / np.pi) ** 2 if code != "PAR" else (180.0 / np.pi) * 60.0
+        assert_allclose(ratio, expect, rtol=5e-4)
+
+    @pytest.mark.parametrize("code", ["SFL", "AIT"])
+    def test_small_offset_matches_tan(self, code):
+        """SFL and AIT have a unit, isotropic scale at the fiducial, so
+        near it they agree with the tangent plane to O(r^3) (gate 1e-6
+        deg at r <= 0.05 deg). PAR/MOL are equal-area with ANISOTROPIC
+        fiducial scales (PAR y: pi/3; MOL x: 2 sqrt(2)/pi, y: pi
+        sqrt(2)/4) and are pinned by test_fiducial_scale instead."""
+        from auromat_tpu.coordinates.wcs import (PseudoCylindricalWcs,
+                                                 TanWcs, pix2world,
+                                                 tan_pix2world)
+
+        hp = self._header(code, scale=0.001)
+        ht = self._header("TAN", scale=0.001)
+        wp, wt = PseudoCylindricalWcs(hp), TanWcs(ht)
+        px, py = np.meshgrid(
+            np.linspace(80.0, 120.0, 9), np.linspace(60.0, 100.0, 9))
+        ra_p, dec_p = pix2world(wp, px, py)
+        ra_t, dec_t = tan_pix2world(wt, px, py)
+        dra = (np.asarray(ra_p) - np.asarray(ra_t) + 180.0) % 360.0 - 180.0
+        assert np.abs(dra * np.cos(np.deg2rad(np.asarray(dec_t)))).max() < 1e-6
+        assert np.abs(np.asarray(dec_p) - np.asarray(dec_t)).max() < 1e-6
+
+    @pytest.mark.parametrize("code,sx,sy", [
+        ("SFL", 1.0, 1.0),
+        ("PAR", 1.0, np.pi / 3.0),
+        ("MOL", 2.0 * np.sqrt(2.0) / np.pi, np.pi * np.sqrt(2.0) / 4.0),
+        ("AIT", 1.0, 1.0),
+    ])
+    def test_fiducial_scale(self, code, sx, sy):
+        """The local linearization at the fiducial is diag(sx, sy) in
+        (phi, theta) — the documented Paper II scales (sx*sy = 1 for the
+        equal-area members; PAR's meridional pi/3 comes straight from
+        y = 180 sin(theta/3))."""
+        from auromat_tpu.coordinates.wcs import PseudoCylindricalWcs
+
+        h = {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": 0.0, "CRVAL2": 0.0, "CRPIX1": 1.0, "CRPIX2": 1.0,
+            "CD1_1": 1.0, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 1.0,
+        }
+        wcs = PseudoCylindricalWcs(h)
+        e = 1e-7
+        x0, y0 = (float(np.asarray(a))
+                  for a in wcs.plane_from_native(0.0, 0.0))
+        x1, y1 = (float(np.asarray(a))
+                  for a in wcs.plane_from_native(e, 0.0))
+        x2, y2 = (float(np.asarray(a))
+                  for a in wcs.plane_from_native(0.0, e))
+        deg = 180.0 / np.pi
+        assert_allclose((x1 - x0) / e / deg, sx, atol=1e-6)
+        assert_allclose((y2 - y0) / e / deg, sy, atol=1e-6)
+        assert abs(x2 - x0) < 1e-12 and abs(y1 - y0) < 1e-12
+
+    def test_out_of_map_is_nan(self):
+        """Points outside the map boundary must come back NaN, not
+        mirrored: MOL beyond the rim ellipse, AIT outside the principal
+        ellipse, SFL/PAR beyond |theta| = 90."""
+        from auromat_tpu.coordinates.wcs import PseudoCylindricalWcs
+
+        h = {
+            "CTYPE1": "RA---MOL", "CTYPE2": "DEC--MOL",
+            "CRVAL1": 0.0, "CRVAL2": 0.0, "CRPIX1": 1.0, "CRPIX2": 1.0,
+            "CD1_1": 1.0, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 1.0,
+        }
+        for code, x, y in [("MOL", 0.0, 115.0), ("AIT", 250.0, 0.0),
+                           ("SFL", 0.0, 95.0), ("PAR", 0.0, 95.0)]:
+            h2 = {**h, "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}"}
+            wcs = PseudoCylindricalWcs(h2)
+            phi, theta = wcs.native_from_plane(np.array([x]), np.array([y]))
+            assert np.isnan(np.asarray(theta)).all(), (code, theta)
+
+    def test_make_wcs_dispatch(self):
+        from auromat_tpu.coordinates.wcs import (PseudoCylindricalWcs,
+                                                 make_wcs)
+
+        assert isinstance(make_wcs(self._header("AIT")),
+                          PseudoCylindricalWcs)
+        with pytest.raises(NotImplementedError, match="SFL"):
+            make_wcs(self._header("ZPN"))
