@@ -1,12 +1,16 @@
-"""FITS WCS zenithal projections as pure jax.numpy device code.
+"""FITS WCS celestial projections as pure jax.numpy device code.
 
 The reference implements a fast custom TAN unprojection
 (auromat/coordinates/wcs.py:66-157, ~2x faster than astropy on CPU) and
 falls back to astropy for anything else (reference wcs.py:18-64). Here the
-common zenithal family (TAN, SIN, ZEA, ARC, STG) is first-party math —
-:class:`ZenithalWcs` + :func:`pix2world` cover the astropy-fallback role;
-the flagship fused georef path stays TAN-only (astrometry.net always emits
-RA---TAN/DEC--TAN solutions).
+full FITS Paper II projection catalogue is first-party math — zenithal
+(TAN/SIN/ZEA/ARC/STG + AZP/SZP/ZPN/AIR), cylindrical (CAR/CEA/MER/CYP),
+conic (COP/COE/COD/COO), pseudo-cylindrical (SFL/PAR/MOL/AIT),
+pseudo-conic (BON/PCO), quad-cube (TSC/QSC) and HEALPix (HPX) — built by
+:func:`make_wcs` and driven through :func:`pix2world`/:func:`world2pix`;
+only CSC (a third-party polynomial coefficient table, not math) is
+excluded. The flagship fused georef path stays TAN-only (astrometry.net
+always emits RA---TAN/DEC--TAN solutions).
 
 Math (FITS Paper II, Calabretta & Greisen 2002):
   pixel offsets -> CD matrix -> projection-plane (x, y) in degrees
@@ -151,7 +155,7 @@ class CylindricalWcs:
     zenithal case, parameterized by (alpha_p, delta_p, LONPOLE).
     """
 
-    SUPPORTED = ("CAR", "CEA", "MER")
+    SUPPORTED = ("CAR", "CEA", "MER", "CYP")
 
     def __init__(self, header):
         c1 = header.get("CTYPE1") or ""
@@ -180,6 +184,22 @@ class CylindricalWcs:
         if code == "CEA" and not 0.0 < self.cea_lambda <= 1.0:
             raise ValueError(f"CEA PV2_1 must be in (0, 1]; got "
                              f"{self.cea_lambda}")
+        # CYP (cylindrical perspective, Paper II section 5.2.1):
+        # PV2_1 = mu (projection point at -mu radii on the axis),
+        # PV2_2 = lambda (cylinder radius in spherical radii); both
+        # default 1 (Gall's stereographic is mu=1, lambda=sqrt(2)/2)
+        self.cyp_mu = float(header.get("PV2_1", 1.0)) if code == "CYP" \
+            else None
+        self.cyp_lambda = float(header.get("PV2_2", 1.0)) if code == "CYP" \
+            else None
+        if code == "CYP":
+            if self.cyp_lambda <= 0.0:
+                raise ValueError(f"CYP PV2_2 (lambda) must be positive; "
+                                 f"got {self.cyp_lambda}")
+            if abs(self.cyp_mu + self.cyp_lambda) < 1e-12:
+                raise ValueError(
+                    f"CYP PV2_1 (mu) = -PV2_2 (lambda) = {self.cyp_mu} "
+                    "puts the projection point on the cylinder")
         self.cd = np.array(
             [
                 [float(header["CD1_1"]), float(header["CD1_2"])],
@@ -226,6 +246,14 @@ class CylindricalWcs:
     def native_from_plane(self, x, y):
         """Projection-plane (x, y) degrees -> native (phi, theta) radians
         (FITS Paper II section 5.2)."""
+        if self.projection == "CYP":
+            phi = (x / self.cyp_lambda) * _RAD_PER_R
+            eta = y * _RAD_PER_R / (self.cyp_mu + self.cyp_lambda)
+            s = eta * self.cyp_mu / jnp.sqrt(eta * eta + 1.0)
+            # |s| > 1 -> NaN (off the map for |mu| > 1)
+            theta = jnp.arctan2(eta, 1.0) + jnp.arcsin(
+                jnp.where(jnp.abs(s) <= 1.0, s, jnp.nan))
+            return phi, theta
         phi = x * _RAD_PER_R
         if self.projection == "CAR":
             theta = y * _RAD_PER_R
@@ -247,6 +275,11 @@ class CylindricalWcs:
             y = jnp.rad2deg(theta)
         elif self.projection == "CEA":
             y = jnp.rad2deg(jnp.sin(theta)) / self.cea_lambda
+        elif self.projection == "CYP":
+            den = self.cyp_mu + jnp.cos(theta)
+            y = ((180.0 / jnp.pi) * (self.cyp_mu + self.cyp_lambda)
+                 * jnp.sin(theta) / jnp.where(den > 0.0, den, jnp.nan))
+            return x * self.cyp_lambda, y
         else:  # MER: y = (180/pi) ln tan(pi/4 + theta/2); poles -> +-inf
             y = jnp.rad2deg(jnp.log(jnp.tan(jnp.pi / 4 + theta / 2.0)))
         return x, y
@@ -585,6 +618,249 @@ class PseudoCylindricalWcs:
         return x, y
 
 
+class GeneralZenithalWcs(ZenithalWcs):
+    """The remaining zenithal projections — AZP (zenithal perspective,
+    tilted), SZP (slant zenithal perspective), ZPN (zenithal polynomial),
+    AIR (Airy) — completing the zenithal family of FITS Paper II section
+    5.1 (the reference reaches these only through its astropy fallback,
+    reference wcs.py:18-64).
+
+    All four share the zenithal fiducial (phi0, theta0) = (0, 90), so the
+    native pole is CRVAL and the celestial rotation is identical to
+    :class:`ZenithalWcs`; only the plane <-> native maps differ. AZP and
+    SZP are not radially symmetric (the tilt/slant breaks it), so they
+    override the full maps rather than the radial law:
+
+    AZP (PV2_1 = mu >= 0 distance of the projection point behind the
+    sphere centre in radii, PV2_2 = gamma tilt of the plane in degrees):
+        R = (180/pi) (mu+1) cos(theta)
+            / (mu + sin(theta) + cos(theta) cos(phi) tan(gamma))
+        x = R sin(phi), y = -R cos(phi)/cos(gamma)
+    inverted through rho = R' / ((180/pi)(mu+1) + y sin(gamma)),
+    psi = arg(rho, 1), omega = asin(rho mu / sqrt(rho^2+1)),
+    theta = psi - omega (the solution nearer the pole; the second branch
+    psi + omega - 180 is used when the first leaves [-90, 90]).
+    mu = 0 is exactly TAN, mu = 1 exactly STG, mu -> inf approaches SIN.
+
+    SZP (PV2_1 = mu, PV2_2 = phi_c, PV2_3 = theta_c): projection from the
+    point P = -mu * unit(phi_c, theta_c) onto the plane z = 1 (native
+    cartesian x = cos th sin phi, y = -cos th cos phi, z = sin th).
+    Implemented geometrically: the forward map is the ray-plane
+    intersection, the inverse the ray-sphere quadratic with the
+    more-poleward root. theta_c = 90 reduces exactly to AZP(mu, gamma=0).
+
+    ZPN (PV2_0..PV2_20 = polynomial coefficients P_m):
+        R = (180/pi) * sum_m P_m * zeta^m,  zeta = (90 - theta) in rad
+    valid out to the first stationary point of the polynomial (computed
+    host-side; beyond it the law is not invertible). The inverse is a
+    grid-seeded Newton solve (:func:`_invert_monotone_radial`).
+    P_1 = 1 with all others zero is exactly ARC.
+
+    AIR (PV2_1 = theta_b, default 90):
+        R = -2 (180/pi) [ ln(cos xi)/tan(xi)
+                          + (ln(cos xi_b)/tan^2(xi_b)) tan(xi) ],
+        xi = (90 - theta)/2, with the xi_b -> 0 limit coefficient -1/2.
+    Inverse by the same grid-seeded Newton.
+    """
+
+    SUPPORTED = ("AZP", "SZP", "ZPN", "AIR")
+
+    def __init__(self, header):
+        super().__init__(header)
+        code = self.projection
+        if code == "AZP":
+            self.mu = float(header.get("PV2_1", 0.0))
+            self.gamma = float(header.get("PV2_2", 0.0))
+            if self.mu == -1.0:
+                raise ValueError("AZP PV2_1 (mu) = -1 puts the projection "
+                                 "point on the plane")
+            if not abs(self.gamma) < 90.0:
+                raise ValueError(f"AZP PV2_2 (gamma) must satisfy "
+                                 f"|gamma| < 90; got {self.gamma}")
+        elif code == "SZP":
+            self.mu = float(header.get("PV2_1", 0.0))
+            self.phi_c = float(header.get("PV2_2", 0.0))
+            self.theta_c = float(header.get("PV2_3", 90.0))
+            tc = np.deg2rad(self.theta_c)
+            pc = np.deg2rad(self.phi_c)
+            # projection point P = -mu * unit(phi_c, theta_c); zp is the
+            # Paper II card-level constant 1 - P_z
+            self.xp = -self.mu * np.cos(tc) * np.sin(pc)
+            self.yp = self.mu * np.cos(tc) * np.cos(pc)
+            self.zp = self.mu * np.sin(tc) + 1.0
+            if abs(self.zp) < 1e-12:
+                raise ValueError(
+                    f"SZP projection point lies in the projection plane "
+                    f"(mu={self.mu}, theta_c={self.theta_c})")
+        elif code == "ZPN":
+            coeffs = [float(header.get(f"PV2_{m}", 0.0)) for m in range(21)]
+            while len(coeffs) > 1 and coeffs[-1] == 0.0:
+                coeffs.pop()
+            if not any(c != 0.0 for c in coeffs[1:]):
+                raise ValueError("ZPN needs at least one nonzero PV2_m "
+                                 "coefficient with m >= 1")
+            self.poly = np.asarray(coeffs, dtype=np.float64)
+            self._dpoly = self.poly[1:] * np.arange(1, len(self.poly))
+            # monotone validity range: out to the derivative's first
+            # nonpositive point on (0, pi] (host-side dense scan)
+            zs = np.linspace(0.0, np.pi, 8193)
+            dv = np.polyval(self._dpoly[::-1], zs)
+            if dv[1] <= 0.0:
+                raise ValueError(
+                    f"ZPN polynomial {coeffs} is not increasing at the "
+                    "pole — not an invertible radial law")
+            bad = np.nonzero(dv <= 0.0)[0]
+            bad = bad[bad > 0]
+            self.zeta_max = float(zs[bad[0] - 1]) if bad.size else np.pi
+        else:  # AIR
+            self.theta_b = float(header.get("PV2_1", 90.0))
+            if not -90.0 < self.theta_b <= 90.0:
+                raise ValueError(f"AIR PV2_1 (theta_b) must be in "
+                                 f"(-90, 90]; got {self.theta_b}")
+            xib = np.deg2rad(90.0 - self.theta_b) / 2.0
+            self.air_c = (np.log(np.cos(xib)) / np.tan(xib) ** 2
+                          if xib > 1e-6 else -0.5)
+            # monotone validity range of R(xi) on [0, pi/2)
+            xs = np.linspace(0.0, np.pi / 2 - 1e-6, 8193)[1:]
+            dr = (-2.0) * (-1.0 - np.log(np.cos(xs)) / np.sin(xs) ** 2
+                           + self.air_c / np.cos(xs) ** 2)
+            bad = np.nonzero(dr <= 0.0)[0]
+            self.xi_max = float(xs[bad[0] - 1]) if bad.size else float(xs[-1])
+
+    # -- AIR / ZPN radial laws (zeta-or-xi in radians -> R in degrees) --
+
+    def _zpn_r(self, zeta):
+        return (180.0 / jnp.pi) * jnp.polyval(
+            jnp.asarray(self.poly[::-1]), zeta)
+
+    def _zpn_dr(self, zeta):
+        return (180.0 / jnp.pi) * jnp.polyval(
+            jnp.asarray(self._dpoly[::-1]), zeta)
+
+    def _air_r(self, xi):
+        t = jnp.tan(xi)
+        term = jnp.where(xi > 1e-6,
+                         jnp.log(jnp.cos(jnp.where(xi > 1e-6, xi, 0.0))) /
+                         jnp.where(xi > 1e-6, t, 1.0),
+                         -xi / 2.0)
+        return -2.0 * (180.0 / jnp.pi) * (term + self.air_c * t)
+
+    def _air_dr(self, xi):
+        s2 = jnp.sin(xi) ** 2
+        term = jnp.where(xi > 1e-6,
+                         jnp.log(jnp.cos(jnp.where(xi > 1e-6, xi, 0.0))) /
+                         jnp.where(xi > 1e-6, s2, 1.0),
+                         -0.5)
+        return -2.0 * (180.0 / jnp.pi) * (
+            -1.0 - term + self.air_c / jnp.cos(xi) ** 2)
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta) radians
+        (FITS Paper II section 5.1); out-of-domain points yield NaN."""
+        code = self.projection
+        deg = 180.0 / jnp.pi
+        if code == "AZP":
+            g = np.deg2rad(self.gamma)
+            phi = jnp.arctan2(x, -y * np.cos(g))
+            rr = jnp.hypot(x, y * np.cos(g))
+            rho = rr / (deg * (self.mu + 1.0) + y * np.sin(g))
+            psi = jnp.arctan2(1.0, rho)
+            s = rho * self.mu / jnp.sqrt(rho * rho + 1.0)
+            om = jnp.arcsin(jnp.where(jnp.abs(s) <= 1.0, s, jnp.nan))
+            t1 = psi - om
+            t2 = psi + om - jnp.pi
+            hp = jnp.pi / 2 + 1e-12
+            theta = jnp.where(jnp.abs(t1) <= hp, t1,
+                              jnp.where(jnp.abs(t2) <= hp, t2, jnp.nan))
+            return phi, jnp.clip(theta, -jnp.pi / 2, jnp.pi / 2)
+        if code == "SZP":
+            X = x * _RAD_PER_R
+            Y = y * _RAD_PER_R
+            pz = 1.0 - self.zp
+            dx = X - self.xp
+            dy = Y - self.yp
+            dz = self.zp  # 1 - pz
+            a = dx * dx + dy * dy + dz * dz
+            b = self.xp * dx + self.yp * dy + pz * dz
+            c = self.xp ** 2 + self.yp ** 2 + pz ** 2 - 1.0
+            disc = b * b - a * c
+            root = jnp.sqrt(jnp.where(disc >= 0.0, disc, jnp.nan))
+            u = (-b + np.sign(dz) * root) / a  # more-poleward intersection
+            sx = self.xp + u * dx
+            sy = self.yp + u * dy
+            sz = pz + u * dz
+            phi = jnp.arctan2(sx, -sy)
+            theta = jnp.arcsin(jnp.clip(sz, -1.0, 1.0))
+            return phi, jnp.where(jnp.isnan(root), jnp.nan, theta)
+        phi = jnp.arctan2(x, -y)
+        rr = jnp.hypot(x, y)
+        if code == "ZPN":
+            zeta = _invert_monotone_radial(
+                self._zpn_r, self._zpn_dr, rr, self.zeta_max)
+            return phi, jnp.pi / 2 - zeta
+        xi = _invert_monotone_radial(
+            self._air_r, self._air_dr, rr, self.xi_max)
+        return phi, jnp.pi / 2 - 2.0 * xi
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y) degrees;
+        invisible/unprojectable directions yield NaN."""
+        code = self.projection
+        deg = 180.0 / jnp.pi
+        if code == "AZP":
+            g = np.deg2rad(self.gamma)
+            den = (self.mu + jnp.sin(theta)
+                   + jnp.cos(theta) * jnp.cos(phi) * np.tan(g))
+            rr = deg * (self.mu + 1.0) * jnp.cos(theta) / den
+            vis = den > 0.0
+            if abs(self.mu) > 1.0:
+                # the horizon seen from the projection point: the far cap
+                # around the native pole is the mapped side
+                vis &= jnp.sin(theta) >= -1.0 / self.mu
+            rr = jnp.where(vis, rr, jnp.nan)
+            return rr * jnp.sin(phi), -rr * jnp.cos(phi) / np.cos(g)
+        if code == "SZP":
+            sx = jnp.cos(theta) * jnp.sin(phi)
+            sy = -jnp.cos(theta) * jnp.cos(phi)
+            sz = jnp.sin(theta)
+            pz = 1.0 - self.zp
+            den = sz - pz
+            t = self.zp / den
+            vis = t > 0.0
+            qx = jnp.where(vis, self.xp + t * (sx - self.xp), jnp.nan)
+            qy = jnp.where(vis, self.yp + t * (sy - self.yp), jnp.nan)
+            return deg * qx, deg * qy
+        if code == "ZPN":
+            zeta = jnp.pi / 2 - theta
+            rr = jnp.where(zeta <= self.zeta_max + 1e-12,
+                           self._zpn_r(zeta), jnp.nan)
+        else:  # AIR
+            xi = (jnp.pi / 2 - theta) / 2.0
+            rr = jnp.where(xi <= self.xi_max + 1e-12,
+                           self._air_r(xi), jnp.nan)
+        return rr * jnp.sin(phi), -rr * jnp.cos(phi)
+
+
+def _invert_monotone_radial(f, df, target, x_max, n_grid=256, n_newton=4):
+    """Invert a monotone-increasing radial law f on [0, x_max].
+
+    Seeds by inverse linear interpolation on a fixed grid, then polishes
+    with Newton steps (f and df must be jnp-traceable). Targets outside
+    [f(0), f(x_max)] return NaN. Used by the ZPN/AIR/PCO inverses where
+    FITS Paper II gives no closed form.
+    """
+    xs = jnp.linspace(0.0, x_max, n_grid)
+    fx = f(xs)
+    x = jnp.interp(target, fx, xs)
+    for _ in range(n_newton):
+        d = df(x)
+        step = jnp.where(jnp.abs(d) > 1e-14, (f(x) - target) / d, 0.0)
+        x = jnp.clip(x - step, 0.0, x_max)
+    eps = 1e-9 * (jnp.abs(fx[-1]) + 1.0)
+    ok = (target >= fx[0] - eps) & (target <= fx[-1] + eps)
+    return jnp.where(ok, x, jnp.nan)
+
+
 def _mol_gamma(theta, iters=12):
     """Solve Mollweide's 2g + sin 2g = pi sin(theta) for g by Newton.
 
@@ -602,38 +878,476 @@ def _mol_gamma(theta, iters=12):
     return g
 
 
+class PseudoConicWcs:
+    """Host-side container for the FITS pseudo-conic projections — BON
+    (Bonne equal area, PV2_1 = theta_1 != 0) and PCO (polyconic) — FITS
+    Paper II section 5.5 (the reference reaches these only through its
+    astropy fallback, reference wcs.py:18-64). Same surface as
+    :class:`ZenithalWcs`, so :func:`pix2world`/:func:`world2pix` work
+    unchanged.
+
+    Both have their fiducial at native (phi0, theta0) = (0, 0), so the
+    native pole comes from the general Paper II eqs. 8-10
+    (:func:`_native_pole`).
+
+    BON: R = Y0 - theta_deg with Y0 = (180/pi) cot(theta_1) + theta_1_deg;
+    A = (180/pi) phi cos(theta) / R; (x, y) = (R sin A, Y0 - R cos A).
+    theta_1 = +-90 is Werner's projection; theta_1 -> 0 degenerates to
+    SFL (use SFL — theta_1 = 0 is refused).
+
+    PCO: x = (180/pi) cot(theta) sin(E), y = (180/pi) (theta +
+    cot(theta) (1 - cos E)), E = phi sin(theta); each parallel is a
+    circular arc of radius cot(theta) centred on (0, theta + cot theta),
+    true-scale along the central meridian. The inverse solves
+    tan(theta) (X^2 + (Y-theta)^2) = 2 (Y-theta) by grid-seeded Newton.
+    """
+
+    SUPPORTED = ("BON", "PCO")
+
+    def __init__(self, header):
+        c1 = header.get("CTYPE1") or ""
+        c2 = header.get("CTYPE2") or ""
+        code = c1[5:] if (
+            isinstance(c1, str) and isinstance(c2, str)
+            and c1.startswith("RA---") and c2.startswith("DEC--")
+            and c1[5:] == c2[5:]
+        ) else None
+        if code not in self.SUPPORTED:
+            raise ValueError(
+                f"only RA---/DEC-- pseudo-conic projections "
+                f"{self.SUPPORTED} are supported here; got {c1!r}/{c2!r}")
+        self.projection = code
+        if code == "BON":
+            if "PV2_1" not in header:
+                raise ValueError("BON requires PV2_1 (theta_1, the "
+                                 "standard parallel)")
+            self.theta_1 = float(header["PV2_1"])
+            if not 0.0 < abs(self.theta_1) <= 90.0:
+                raise ValueError(
+                    f"BON PV2_1 must be in (0, 90]; got {self.theta_1} "
+                    "(theta_1 = 0 degenerates to the sinusoidal — "
+                    "use SFL)")
+            t1 = np.deg2rad(self.theta_1)
+            self.Y0 = (180.0 / np.pi) * np.cos(t1) / np.sin(t1) \
+                + self.theta_1
+        self.ra_ref = float(header["CRVAL1"])
+        self.dec_ref = float(header["CRVAL2"])
+        self.px_ref = float(header["CRPIX1"])
+        self.py_ref = float(header["CRPIX2"])
+        # Paper II defaults for theta0 = 0: LONPOLE 0 if dec0 >= 0 else 180
+        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
+        self.lonpole = float(header.get("LONPOLE", default_lonpole))
+        self.latpole = float(header.get("LATPOLE", 90.0))
+        self.cd = np.array(
+            [
+                [float(header["CD1_1"]), float(header["CD1_2"])],
+                [float(header["CD2_1"]), float(header["CD2_2"])],
+            ]
+        )
+        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
+        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
+                              self.latpole, 0.0)
+        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta) radians
+        (FITS Paper II section 5.5); out-of-domain points yield NaN."""
+        deg = 180.0 / jnp.pi
+        if self.projection == "BON":
+            s = np.sign(self.theta_1)
+            rr = s * jnp.hypot(x, self.Y0 - y)
+            theta = jnp.deg2rad(self.Y0 - rr)
+            theta = jnp.where(jnp.abs(theta) <= jnp.pi / 2 + 1e-12,
+                              theta, jnp.nan)
+            a = jnp.arctan2(x / rr, (self.Y0 - y) / rr)  # radians
+            ct = jnp.cos(theta)
+            phi = jnp.where(ct > 1e-12, a * rr / (deg * ct), 0.0)
+            return phi, theta
+        # PCO
+        X = x * _RAD_PER_R
+        Y = y * _RAD_PER_R
+        # solve tan(th) (X^2 + (Y-th)^2) = 2 (Y-th) for th; the root has
+        # the sign of Y, so scan the matching half-range
+        lim = jnp.pi / 2 - 1e-6
+        ths = jnp.linspace(-lim, lim, 512)
+
+        def f(th):
+            d = Y[..., None] - th
+            return jnp.tan(th) * (X[..., None] ** 2 + d * d) - 2.0 * d
+
+        fv = f(ths)
+        idx = jnp.argmin(jnp.abs(fv), axis=-1)
+        th = ths[idx]
+        for _ in range(6):
+            d = Y - th
+            g = jnp.tan(th) * (X * X + d * d) - 2.0 * d
+            dg = (X * X + d * d) / jnp.cos(th) ** 2 \
+                - 2.0 * jnp.tan(th) * d + 2.0
+            th = jnp.clip(th - g / dg, -lim, lim)
+        tanth = jnp.tan(th)
+        e = jnp.arctan2(X * tanth, 1.0 - (Y - th) * tanth)
+        small = jnp.abs(Y) < 1e-9
+        phi = jnp.where(small, X,
+                        e / jnp.where(small, 1.0, jnp.sin(th)))
+        theta = jnp.where(small, 0.0, th)
+        return phi, theta
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y) degrees.
+
+        phi is wrapped into [-pi, pi) so world2pix lands on the principal
+        map copy around CRPIX.
+        """
+        phi = (phi + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        deg = 180.0 / jnp.pi
+        if self.projection == "BON":
+            rr = self.Y0 - jnp.rad2deg(theta)
+            # the arc angle E = phi cos(theta) / rho with rho = rr in
+            # radians, i.e. (180/pi) phi cos(theta) / rr — already radians
+            e = deg * phi * jnp.cos(theta) / rr
+            return rr * jnp.sin(e), self.Y0 - rr * jnp.cos(e)
+        # PCO
+        st = jnp.sin(theta)
+        safe = jnp.abs(st) > 1e-9
+        cot = jnp.cos(theta) / jnp.where(safe, st, 1.0)
+        e = phi * st
+        x = jnp.where(safe, cot * jnp.sin(e), phi)
+        y = jnp.where(safe, theta + cot * (1.0 - jnp.cos(e)), 0.0)
+        return deg * x, deg * y
+
+
+class QuadCubeWcs:
+    """Host-side container for the closed-form quad-cube projections —
+    TSC (tangential spherical cube: gnomonic per face) and QSC
+    (quadrilateralized spherical cube: the exactly equal-area O'Neill &
+    Laubscher closed form) — FITS Paper II section 5.6 (the reference
+    reaches these only through its astropy fallback, reference
+    wcs.py:18-64). CSC, the COBE polynomial *approximation* of the same
+    cube, is deliberately unsupported: its defining coefficient tables
+    are not first-party math (see :func:`make_wcs`), and QSC/TSC cover
+    the family exactly.
+
+    Cube layout (Paper II fig. 32): six 90x90-degree faces unfolded as a
+    sideways cross — face 1 (centred on native (0, 0)) at plane (0, 0),
+    faces 2, 3, 4 (centres at native longitude 90, 180, 270) at x = 90,
+    180, 270, face 0 (north) at (0, +90), face 5 (south) at (0, -90).
+    On the inverse path x is normalized into [-45, 315) so a header that
+    draws face 4 at x = -90 still decodes. Face-local direction cosines
+    (xi, eta, zeta) with zeta toward the face centre:
+
+        face 0: (m, -l, n)   face k=1..4 (centre phi_k): rotate l, m by
+        face 5: (m,  l, -n)  phi_k: (cos th sin(phi-phi_k), sin th, ...)
+
+    chosen so every unfolded edge (0-1, 1-2, 2-3, 3-4, 5-1) is
+    continuous. Fiducial (phi0, theta0) = (0, 0), native pole via the
+    general Paper II eqs. 8-10.
+
+    QSC forward on a face (|xi| >= |eta| branch; the other is symmetric):
+
+        omega = eta / xi
+        u = sgn(xi) 45 sqrt( (1 - zeta) / (1 - 1/sqrt(2 + omega^2)) )
+        v = u (12/pi) [ atan(omega) - asin( omega / sqrt(2 (1+omega^2)) ) ]
+
+    inverted in closed form via omega = sin(psi) / (cos(psi) - 1/sqrt 2),
+    psi = (pi/12)(v/u), then zeta = 1 - (u/45)^2 (1 - 1/sqrt(2+omega^2)).
+    """
+
+    SUPPORTED = ("TSC", "QSC")
+
+    #: plane offsets of face centres (degrees), faces 0..5
+    _X0 = np.array([0.0, 0.0, 90.0, 180.0, 270.0, 0.0])
+    _Y0 = np.array([90.0, 0.0, 0.0, 0.0, 0.0, -90.0])
+
+    def __init__(self, header):
+        c1 = header.get("CTYPE1") or ""
+        c2 = header.get("CTYPE2") or ""
+        code = c1[5:] if (
+            isinstance(c1, str) and isinstance(c2, str)
+            and c1.startswith("RA---") and c2.startswith("DEC--")
+            and c1[5:] == c2[5:]
+        ) else None
+        if code not in self.SUPPORTED:
+            raise ValueError(
+                f"only RA---/DEC-- quad-cube projections {self.SUPPORTED} "
+                f"are supported here; got {c1!r}/{c2!r}")
+        self.projection = code
+        self.ra_ref = float(header["CRVAL1"])
+        self.dec_ref = float(header["CRVAL2"])
+        self.px_ref = float(header["CRPIX1"])
+        self.py_ref = float(header["CRPIX2"])
+        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
+        self.lonpole = float(header.get("LONPOLE", default_lonpole))
+        self.latpole = float(header.get("LATPOLE", 90.0))
+        self.cd = np.array(
+            [
+                [float(header["CD1_1"]), float(header["CD1_2"])],
+                [float(header["CD2_1"]), float(header["CD2_2"])],
+            ]
+        )
+        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
+        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
+                              self.latpole, 0.0)
+        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+
+    @staticmethod
+    def _face_locals(phi, theta):
+        """Direction -> (face index, xi, eta, zeta) arrays."""
+        l_ = jnp.cos(theta) * jnp.cos(phi)
+        m_ = jnp.cos(theta) * jnp.sin(phi)
+        n_ = jnp.sin(theta)
+        # candidates in face order 0..5: the face normal components
+        zetas = jnp.stack([n_, l_, m_, -l_, -m_, -n_], axis=-1)
+        face = jnp.argmax(zetas, axis=-1)
+        zeta = jnp.take_along_axis(zetas, face[..., None], -1)[..., 0]
+        xis = jnp.stack([m_, m_, -l_, -m_, l_, m_], axis=-1)
+        etas = jnp.stack([-l_, n_, n_, n_, n_, l_], axis=-1)
+        xi = jnp.take_along_axis(xis, face[..., None], -1)[..., 0]
+        eta = jnp.take_along_axis(etas, face[..., None], -1)[..., 0]
+        return face, xi, eta, zeta
+
+    @staticmethod
+    def _direction_from_locals(face, xi, eta, zeta):
+        """(face, xi, eta, zeta) -> native (phi, theta)."""
+        ls = jnp.stack([-eta, zeta, -xi, -zeta, xi, eta], axis=-1)
+        ms = jnp.stack([xi, xi, zeta, -xi, -zeta, xi], axis=-1)
+        ns = jnp.stack([zeta, eta, eta, eta, eta, -zeta], axis=-1)
+        l_ = jnp.take_along_axis(ls, face[..., None], -1)[..., 0]
+        m_ = jnp.take_along_axis(ms, face[..., None], -1)[..., 0]
+        n_ = jnp.take_along_axis(ns, face[..., None], -1)[..., 0]
+        phi = jnp.arctan2(m_, l_)
+        theta = jnp.arcsin(jnp.clip(n_, -1.0, 1.0))
+        return phi, theta
+
+    def _qsc_forward(self, xi, eta, zeta):
+        """Face-local cosines -> face-local (u, v) degrees (QSC law)."""
+        major = jnp.where(jnp.abs(xi) >= jnp.abs(eta), xi, eta)
+        minor = jnp.where(jnp.abs(xi) >= jnp.abs(eta), eta, xi)
+        cen = jnp.abs(major) < 1e-15  # face centre: u = v = 0
+        om = minor / jnp.where(cen, 1.0, major)
+        t = 1.0 - 1.0 / jnp.sqrt(2.0 + om * om)
+        u = jnp.sign(major) * 45.0 * jnp.sqrt(
+            jnp.maximum(1.0 - zeta, 0.0) / t)
+        v = u * (12.0 / jnp.pi) * (
+            jnp.arctan(om) - jnp.arcsin(om / jnp.sqrt(2.0 + 2.0 * om * om)))
+        u = jnp.where(cen, 0.0, u)
+        v = jnp.where(cen, 0.0, v)
+        swap = jnp.abs(xi) < jnp.abs(eta)
+        return jnp.where(swap, v, u), jnp.where(swap, u, v)
+
+    @staticmethod
+    def _qsc_inverse(xl, yl):
+        """Face-local (x, y) degrees -> face-local cosines (xi, eta,
+        zeta) (closed-form QSC inverse)."""
+        major = jnp.where(jnp.abs(xl) >= jnp.abs(yl), xl, yl)
+        minor = jnp.where(jnp.abs(xl) >= jnp.abs(yl), yl, xl)
+        cen = jnp.abs(major) < 1e-15
+        psi = (jnp.pi / 12.0) * minor / jnp.where(cen, 1.0, major)
+        om = jnp.sin(psi) / (jnp.cos(psi) - 1.0 / jnp.sqrt(2.0))
+        zeta = 1.0 - (major / 45.0) ** 2 * (
+            1.0 - 1.0 / jnp.sqrt(2.0 + om * om))
+        zeta = jnp.where(cen, 1.0, zeta)
+        s2 = jnp.maximum(1.0 - zeta * zeta, 0.0)
+        a = jnp.sign(major) * jnp.sqrt(s2 / (1.0 + om * om))
+        b = om * a
+        swap = jnp.abs(xl) < jnp.abs(yl)
+        xi = jnp.where(cen, 0.0, jnp.where(swap, b, a))
+        eta = jnp.where(cen, 0.0, jnp.where(swap, a, b))
+        return xi, eta, zeta
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta)
+        radians; points outside the unfolded cross yield NaN."""
+        xn = (x + 45.0) % 360.0 - 45.0
+        on_eq = jnp.abs(y) <= 45.0 + 1e-12
+        kk = jnp.clip(jnp.floor((xn + 45.0) / 90.0).astype(jnp.int32),
+                      0, 3)
+        polar_ok = jnp.abs(xn) <= 45.0 + 1e-12
+        face = jnp.where(on_eq, kk + 1, jnp.where(y > 0, 0, 5))
+        ok = on_eq | polar_ok
+        xl = jnp.where(on_eq, xn - kk * 90.0, xn)
+        yl = jnp.where(on_eq, y, y - jnp.where(y > 0, 90.0, -90.0))
+        ok &= (jnp.abs(xl) <= 45.0 + 1e-12) & (jnp.abs(yl) <= 45.0 + 1e-12)
+        if self.projection == "TSC":
+            xi = xl / 45.0
+            eta = yl / 45.0
+            norm = jnp.sqrt(xi * xi + eta * eta + 1.0)
+            xi, eta, zeta = xi / norm, eta / norm, 1.0 / norm
+        else:
+            xi, eta, zeta = self._qsc_inverse(xl, yl)
+        phi, theta = self._direction_from_locals(face, xi, eta, zeta)
+        bad = ~ok
+        return (jnp.where(bad, jnp.nan, phi),
+                jnp.where(bad, jnp.nan, theta))
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y)
+        degrees on the unfolded cross."""
+        face, xi, eta, zeta = self._face_locals(phi, theta)
+        if self.projection == "TSC":
+            xl = 45.0 * xi / zeta
+            yl = 45.0 * eta / zeta
+        else:
+            xl, yl = self._qsc_forward(xi, eta, zeta)
+        x0 = jnp.asarray(self._X0)[face]
+        y0 = jnp.asarray(self._Y0)[face]
+        return x0 + xl, y0 + yl
+
+
+class HealpixWcs:
+    """Host-side container for the HPX (HEALPix) projection — Calabretta
+    & Roukema 2007 / wcslib; PV2_1 = H (longitude facets, default 4),
+    PV2_2 = K (latitude rows, default 3). The reference reaches HPX only
+    through its astropy fallback (reference wcs.py:18-64). Same surface
+    as :class:`ZenithalWcs`, so :func:`pix2world`/:func:`world2pix` work
+    unchanged.
+
+    With z = sin(theta): the equatorial zone |z| <= (K-1)/K maps as
+    x = phi, y = (90 K / H) z; the polar zones map each facet onto a
+    triangle: sigma = sqrt(K (1 - |z|)), x = phi_c + (phi - phi_c) sigma,
+    y = sign(theta) (90/H) (K + 1 - 2 sigma), where phi_c is the centre
+    of the polar facet containing phi. Fiducial (phi0, theta0) = (0, 0).
+    """
+
+    SUPPORTED = ("HPX",)
+
+    def __init__(self, header):
+        c1 = header.get("CTYPE1") or ""
+        c2 = header.get("CTYPE2") or ""
+        code = c1[5:] if (
+            isinstance(c1, str) and isinstance(c2, str)
+            and c1.startswith("RA---") and c2.startswith("DEC--")
+            and c1[5:] == c2[5:]
+        ) else None
+        if code not in self.SUPPORTED:
+            raise ValueError(
+                f"only RA---/DEC-- HPX is supported here; got "
+                f"{c1!r}/{c2!r}")
+        self.projection = code
+        self.H = float(header.get("PV2_1", 4.0))
+        self.K = float(header.get("PV2_2", 3.0))
+        if self.H <= 0.0 or self.K <= 0.0:
+            raise ValueError(f"HPX PV2_1 (H) and PV2_2 (K) must be "
+                             f"positive; got H={self.H}, K={self.K}")
+        self.ra_ref = float(header["CRVAL1"])
+        self.dec_ref = float(header["CRVAL2"])
+        self.px_ref = float(header["CRPIX1"])
+        self.py_ref = float(header["CRPIX2"])
+        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
+        self.lonpole = float(header.get("LONPOLE", default_lonpole))
+        self.latpole = float(header.get("LATPOLE", 90.0))
+        self.cd = np.array(
+            [
+                [float(header["CD1_1"]), float(header["CD1_2"])],
+                [float(header["CD2_1"]), float(header["CD2_2"])],
+            ]
+        )
+        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
+        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
+                              self.latpole, 0.0)
+        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+
+    def _facet_centre(self, xdeg):
+        """Longitude of the polar-facet centre containing xdeg."""
+        h = self.H
+        return -180.0 + (2.0 * jnp.floor((xdeg + 180.0) * h / 360.0)
+                         + 1.0) * 180.0 / h
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta)
+        radians; the polar gores outside the facets yield NaN."""
+        h, k = self.H, self.K
+        y_eq = 90.0 * (k - 1.0) / h  # |y| at the zone boundary
+        eq = jnp.abs(y) <= y_eq + 1e-12
+        # equatorial zone
+        z_e = y * h / (90.0 * k)
+        # polar zones
+        sig = ((k + 1.0) - jnp.abs(y) * h / 90.0) / 2.0
+        ok_p = (sig >= -1e-12) & (sig <= 1.0 + 1e-12)
+        sig_c = jnp.clip(sig, 0.0, 1.0)
+        z_p = jnp.sign(y) * (1.0 - sig_c * sig_c / k)
+        xc = self._facet_centre(x)
+        pole = sig_c < 1e-12
+        phi_p = jnp.where(pole, xc, xc + (x - xc) / jnp.where(pole, 1.0,
+                                                              sig_c))
+        ok_p &= jnp.abs(x - xc) <= 180.0 * sig_c / h + 1e-9
+        z = jnp.where(eq, z_e, z_p)
+        phi = jnp.deg2rad(jnp.where(eq, x, phi_p))
+        ok = eq | ok_p
+        theta = jnp.arcsin(jnp.clip(z, -1.0, 1.0))
+        bad = ~ok
+        return (jnp.where(bad, jnp.nan, phi),
+                jnp.where(bad, jnp.nan, theta))
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y)
+        degrees; phi wrapped into [-180, 180)."""
+        h, k = self.H, self.K
+        pd = (jnp.rad2deg(phi) + 180.0) % 360.0 - 180.0
+        z = jnp.sin(theta)
+        eq = jnp.abs(z) <= (k - 1.0) / k
+        y_e = (90.0 * k / h) * z
+        sig = jnp.sqrt(jnp.maximum(k * (1.0 - jnp.abs(z)), 0.0))
+        xc = self._facet_centre(pd)
+        x_p = xc + (pd - xc) * sig
+        y_p = jnp.sign(theta) * (90.0 / h) * (k + 1.0 - 2.0 * sig)
+        return (jnp.where(eq, pd, x_p), jnp.where(eq, y_e, y_p))
+
+
 #: projection code -> WCS class, the dispatch table of :func:`make_wcs`
 _WCS_FAMILIES = {
     **{c: ZenithalWcs for c in ZenithalWcs.SUPPORTED},
+    **{c: GeneralZenithalWcs for c in GeneralZenithalWcs.SUPPORTED},
     **{c: CylindricalWcs for c in CylindricalWcs.SUPPORTED},
     **{c: ConicWcs for c in ConicWcs.SUPPORTED},
     **{c: PseudoCylindricalWcs for c in PseudoCylindricalWcs.SUPPORTED},
+    **{c: PseudoConicWcs for c in PseudoConicWcs.SUPPORTED},
+    **{c: QuadCubeWcs for c in QuadCubeWcs.SUPPORTED},
+    **{c: HealpixWcs for c in HealpixWcs.SUPPORTED},
 }
 
 
 def make_wcs(header):
     """Build the right WCS container for a FITS header.
 
-    Dispatches on the CTYPE projection code: zenithal codes ->
-    :class:`ZenithalWcs`, cylindrical -> :class:`CylindricalWcs`, conic
-    -> :class:`ConicWcs`, pseudo-cylindrical ->
-    :class:`PseudoCylindricalWcs`. Any other projection raises
-    NotImplementedError naming the supported families (the reference
-    resolves arbitrary projections through its astropy fallback,
-    reference wcs.py:18-64 — exotic polyconic/quad-cube headers are not
-    reachable from astrometry.net output, which is always TAN).
+    Dispatches on the CTYPE projection code across the full FITS Paper
+    II catalogue: zenithal (TAN/SIN/ZEA/ARC/STG ->
+    :class:`ZenithalWcs`; AZP/SZP/ZPN/AIR ->
+    :class:`GeneralZenithalWcs`), cylindrical (CAR/CEA/MER/CYP ->
+    :class:`CylindricalWcs`), conic (COP/COE/COD/COO ->
+    :class:`ConicWcs`), pseudo-cylindrical (SFL/PAR/MOL/AIT ->
+    :class:`PseudoCylindricalWcs`), pseudo-conic (BON/PCO ->
+    :class:`PseudoConicWcs`), quad-cube (TSC/QSC ->
+    :class:`QuadCubeWcs`) and HEALPix (HPX -> :class:`HealpixWcs`).
+    That is every Paper II projection except CSC — the COBE polynomial
+    *approximation* of the quad-cube, whose defining coefficient tables
+    are third-party data, not math; TSC/QSC cover the cube exactly.
+    (The reference resolves projections through its astropy fallback,
+    reference wcs.py:18-64 — astrometry.net output is always TAN.)
     """
     c1 = header.get("CTYPE1") or ""
     code = c1[5:] if isinstance(c1, str) and len(c1) >= 8 else ""
     cls = _WCS_FAMILIES.get(code)
     if cls is None:
+        if code in ("CSC", "XPH"):
+            hint = (" CSC is the COBE polynomial approximation of the "
+                    "quad-cube — use the exact TSC/QSC instead."
+                    if code == "CSC" else
+                    " XPH (polar HEALPix butterfly) is not implemented —"
+                    " use HPX.")
+        else:
+            hint = ""
         raise NotImplementedError(
-            f"projection {code!r} (CTYPE1={c1!r}) is not supported: "
-            f"first-party projections are the zenithal family "
-            f"{ZenithalWcs.SUPPORTED}, the cylindrical family "
-            f"{CylindricalWcs.SUPPORTED}, the conic family "
-            f"{ConicWcs.SUPPORTED} and the pseudo-cylindrical family "
-            f"{PseudoCylindricalWcs.SUPPORTED}")
+            f"projection {code!r} (CTYPE1={c1!r}) is not supported:"
+            f"{hint} first-party projections are the zenithal family "
+            f"{ZenithalWcs.SUPPORTED + GeneralZenithalWcs.SUPPORTED}, "
+            f"the cylindrical family {CylindricalWcs.SUPPORTED}, the "
+            f"conic family {ConicWcs.SUPPORTED}, the pseudo-cylindrical "
+            f"family {PseudoCylindricalWcs.SUPPORTED}, the pseudo-conic "
+            f"family {PseudoConicWcs.SUPPORTED}, the quad-cube family "
+            f"{QuadCubeWcs.SUPPORTED} and {HealpixWcs.SUPPORTED}")
     return cls(header)
 
 

@@ -522,9 +522,9 @@ class TestCylindricalProjections:
             TestZenithalProjections._header("TAN")), ZenithalWcs)
         assert isinstance(make_wcs(self._header("MER")), CylindricalWcs)
         with pytest.raises(NotImplementedError) as ei:
-            make_wcs(TestZenithalProjections._header("TSC"))
+            make_wcs(TestZenithalProjections._header("CSC"))
         msg = str(ei.value)
-        assert "TAN" in msg and "CAR" in msg and "TSC" in msg
+        assert "TAN" in msg and "CAR" in msg and "QSC" in msg
 
     def test_cea_lambda_validation(self):
         from auromat_tpu.coordinates.wcs import CylindricalWcs
@@ -933,4 +933,316 @@ class TestPseudoCylindricalProjections:
         assert isinstance(make_wcs(self._header("AIT")),
                           PseudoCylindricalWcs)
         with pytest.raises(NotImplementedError, match="SFL"):
-            make_wcs(self._header("ZPN"))
+            make_wcs(self._header("XPH"))
+
+
+class TestFullProjectionCoverage:
+    """The remaining FITS Paper II projections — zenithal completion
+    (AZP/SZP/ZPN/AIR), cylindrical perspective (CYP), pseudo-conic
+    (BON/PCO), quad-cube (TSC/QSC) and HEALPix (HPX) — which the
+    reference reaches only through its astropy fallback (reference
+    wcs.py:18-64). Gates: round-trips, cross-family limit oracles
+    (AZP(0)=TAN, AZP(1)=STG, AZP(inf)->SIN, SZP(mu,0,90)=AZP(mu),
+    ZPN(P1=1)=ARC, CYP(mu->inf)->CEA, BON(theta1->0)->SFL), independent
+    formula oracles (AIR radial law, CYP y-law, PCO parallel arcs, TSC
+    per-face gnomonic law), exact equal-area Jacobians for the two
+    equal-area members (QSC = 48600/4pi, BON = (180/pi)^2 per steradian)
+    and HPX zone continuity."""
+
+    @staticmethod
+    def _header(code, scale=0.01, **pv):
+        h = {
+            "CTYPE1": f"RA---{code}", "CTYPE2": f"DEC--{code}",
+            "CRVAL1": 30.0, "CRVAL2": 45.0,
+            "CRPIX1": 100.5, "CRPIX2": 80.25,
+            "CD1_1": scale * 0.9, "CD1_2": scale * 0.3,
+            "CD2_1": -scale * 0.2, "CD2_2": scale * 1.1,
+            "IMAGEW": 200, "IMAGEH": 160,
+        }
+        h.update(pv)
+        return h
+
+    @staticmethod
+    def _grid():
+        return np.meshgrid(np.arange(0, 200, 13, dtype=np.float64),
+                           np.arange(0, 160, 11, dtype=np.float64))
+
+    @pytest.mark.parametrize("code,pv", [
+        ("AZP", {"PV2_1": 2.0, "PV2_2": 30.0}),
+        ("AZP", {"PV2_1": 0.5, "PV2_2": -20.0}),
+        ("SZP", {"PV2_1": 2.0, "PV2_2": 30.0, "PV2_3": 60.0}),
+        ("ZPN", {"PV2_1": 1.0, "PV2_3": 0.1}),
+        ("AIR", {"PV2_1": 45.0}),
+        ("CYP", {"PV2_1": 1.0, "PV2_2": 0.7}),
+        ("BON", {"PV2_1": 45.0}),
+        ("BON", {"PV2_1": -30.0}),
+        ("BON", {"PV2_1": 90.0}),  # Werner
+        ("PCO", {}),
+        ("TSC", {}),
+        ("QSC", {}),
+        ("HPX", {}),
+    ])
+    def test_roundtrip(self, code, pv):
+        from auromat_tpu.coordinates.wcs import (make_wcs, pix2world,
+                                                 world2pix)
+
+        wcs = make_wcs(self._header(code, **pv))
+        px, py = self._grid()
+        ra, dec = pix2world(wcs, px, py)
+        bx, by = world2pix(wcs, np.asarray(ra), np.asarray(dec))
+        assert not np.isnan(np.asarray(bx)).any()
+        assert_allclose(np.asarray(bx), px, atol=2e-7)
+        assert_allclose(np.asarray(by), py, atol=2e-7)
+
+    @pytest.mark.parametrize("code", ["TSC", "QSC", "HPX"])
+    def test_allsky_sky_fixpoint(self, code):
+        """At a 1.7 deg/px scale the grid spans multiple cube faces /
+        HEALPix zones; world2pix may land on a different (equivalent)
+        copy of the plane, so the gate is the sky-level fixpoint
+        pix2world(world2pix(sky)) == sky."""
+        from auromat_tpu.coordinates.wcs import (make_wcs, pix2world,
+                                                 world2pix)
+
+        wcs = make_wcs(self._header(code, scale=1.7))
+        px, py = self._grid()
+        ra, dec = pix2world(wcs, px, py)
+        m = ~np.isnan(np.asarray(ra))
+        assert m.sum() > 80  # a healthy share of the grid is on-map
+        bx, by = world2pix(wcs, np.asarray(ra), np.asarray(dec))
+        ra2, dec2 = pix2world(wcs, np.asarray(bx), np.asarray(by))
+        dra = (np.asarray(ra2) - np.asarray(ra) + 180.0) % 360.0 - 180.0
+        ddec = np.asarray(dec2) - np.asarray(dec)
+        assert np.abs(dra[m]).max() < 1e-9
+        assert np.abs(ddec[m]).max() < 1e-9
+
+    @pytest.mark.parametrize("pva,codeb,pvb,tol", [
+        ({"PV2_1": 0.0, "PV2_2": 0.0}, "TAN", {}, 1e-12),
+        ({"PV2_1": 1.0, "PV2_2": 0.0}, "STG", {}, 1e-12),
+        ({"PV2_1": 1e8, "PV2_2": 0.0}, "SIN", {}, 1e-5),
+    ])
+    def test_azp_limits(self, pva, codeb, pvb, tol):
+        """AZP's mu parameter sweeps through the classic zenithal
+        projections: mu=0 is gnomonic (projection from the centre), mu=1
+        stereographic (from the antipode), mu->inf orthographic."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world
+
+        px, py = self._grid()
+        ra_a, de_a = pix2world(make_wcs(self._header("AZP", **pva)), px, py)
+        ra_b, de_b = pix2world(make_wcs(self._header(codeb, **pvb)), px, py)
+        dra = (np.asarray(ra_a) - np.asarray(ra_b) + 180.0) % 360.0 - 180.0
+        assert np.abs(dra).max() < tol
+        assert np.abs(np.asarray(de_a) - np.asarray(de_b)).max() < tol
+
+    def test_szp_reduces_to_azp(self):
+        """theta_c = 90 puts the SZP projection point on the axis — the
+        untilted AZP geometry exactly."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world
+
+        px, py = self._grid()
+        ra_s, de_s = pix2world(make_wcs(self._header(
+            "SZP", PV2_1=2.0, PV2_2=0.0, PV2_3=90.0)), px, py)
+        ra_a, de_a = pix2world(make_wcs(self._header(
+            "AZP", PV2_1=2.0, PV2_2=0.0)), px, py)
+        assert_allclose(np.asarray(ra_s), np.asarray(ra_a), atol=1e-9)
+        assert_allclose(np.asarray(de_s), np.asarray(de_a), atol=1e-9)
+
+    def test_zpn_linear_is_arc(self):
+        """ZPN with P1 = 1 and no other terms IS the equidistant ARC."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world
+
+        px, py = self._grid()
+        ra_z, de_z = pix2world(make_wcs(self._header("ZPN", PV2_1=1.0)),
+                               px, py)
+        ra_a, de_a = pix2world(make_wcs(self._header("ARC")), px, py)
+        assert_allclose(np.asarray(ra_z), np.asarray(ra_a), atol=1e-12)
+        assert_allclose(np.asarray(de_z), np.asarray(de_a), atol=1e-12)
+
+    def test_air_radial_law_independent(self):
+        """AIR's R(theta) evaluated by plain numpy from the Paper II
+        formula must match the angular distance from the reference
+        direction (same oracle pattern as the ZEA/ARC/STG gate)."""
+        from auromat_tpu.coordinates.wcs import (make_wcs,
+                                                 pix2world_cartesian)
+
+        wcs = make_wcs(self._header("AIR", PV2_1=60.0))
+        px = np.array([139.5, 99.5, 29.5])
+        py = np.array([79.25, 134.25, 49.25])
+        dx, dy = px - (wcs.px_ref - 1), py - (wcs.py_ref - 1)
+        x = wcs.cd[0, 0] * dx + wcs.cd[0, 1] * dy
+        y = wcs.cd[1, 0] * dx + wcs.cd[1, 1] * dy
+        r = np.hypot(x, y)
+        v = np.asarray(pix2world_cartesian(wcs, px, py))
+        ra0, dec0 = np.deg2rad(30.0), np.deg2rad(45.0)
+        v0 = np.array([np.cos(dec0) * np.cos(ra0),
+                       np.cos(dec0) * np.sin(ra0), np.sin(dec0)])
+        xi = np.arccos(np.clip(v @ v0, -1, 1)) / 2.0  # = (90 - theta)/2
+        xib = np.deg2rad(90.0 - 60.0) / 2.0
+        c = np.log(np.cos(xib)) / np.tan(xib) ** 2
+        r_expect = -2.0 * (180.0 / np.pi) * (
+            np.log(np.cos(xi)) / np.tan(xi) + c * np.tan(xi))
+        assert_allclose(r, r_expect, atol=1e-7)
+
+    def test_cyp_y_law_and_cea_limit(self):
+        """CYP's meridional law y = (180/pi)(mu+lam) sin th/(mu+cos th)
+        against plain numpy, and the mu -> inf limit = Lambert CEA."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world
+
+        wcs = make_wcs(self._header("CYP", PV2_1=2.0, PV2_2=0.7))
+        th = np.deg2rad(np.array([-60.0, -15.0, 30.0, 75.0]))
+        x, y = (np.asarray(a) for a in
+                wcs.plane_from_native(np.zeros_like(th), th))
+        y_expect = (180.0 / np.pi) * 2.7 * np.sin(th) / (2.0 + np.cos(th))
+        assert_allclose(y, y_expect, atol=1e-12)
+        phi2, th2 = (np.asarray(a) for a in wcs.native_from_plane(x, y))
+        assert_allclose(th2, th, atol=1e-12)
+
+        px, py = self._grid()
+        ra_c, de_c = pix2world(make_wcs(self._header(
+            "CYP", PV2_1=1e9, PV2_2=1.0)), px, py)
+        ra_e, de_e = pix2world(make_wcs(self._header("CEA", PV2_1=1.0)),
+                               px, py)
+        dra = (np.asarray(ra_c) - np.asarray(ra_e) + 180.0) % 360.0 - 180.0
+        assert np.abs(dra).max() < 1e-6
+        assert np.abs(np.asarray(de_c) - np.asarray(de_e)).max() < 1e-6
+
+    def test_bon_small_parallel_approaches_sfl(self):
+        """theta_1 -> 0 degenerates Bonne into the sinusoidal (Paper II
+        section 5.5.1); at theta_1 = 0.05 deg they agree to ~1e-5."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world
+
+        px, py = self._grid()
+        ra_b, de_b = pix2world(make_wcs(self._header("BON", PV2_1=0.05)),
+                               px, py)
+        ra_s, de_s = pix2world(make_wcs(self._header("SFL")), px, py)
+        dra = (np.asarray(ra_b) - np.asarray(ra_s) + 180.0) % 360.0 - 180.0
+        assert np.abs(dra).max() < 1e-4
+        assert np.abs(np.asarray(de_b) - np.asarray(de_s)).max() < 1e-4
+
+    def test_pco_parallel_arcs(self):
+        """Each PCO parallel is a circular arc of radius (180/pi) cot th
+        centred on (0, theta + (180/pi) cot th), true-scale along the
+        central meridian (x=0 -> y = theta) — checked by plain numpy."""
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        wcs = make_wcs(self._header("PCO"))
+        deg = 180.0 / np.pi
+        for th_deg in (-55.0, 20.0, 70.0):
+            th = np.deg2rad(th_deg)
+            phi = np.deg2rad(np.array([-120.0, -30.0, 0.0, 45.0, 150.0]))
+            x, y = (np.asarray(a) for a in
+                    wcs.plane_from_native(phi, np.full_like(phi, th)))
+            cot = deg / np.tan(th)
+            assert_allclose(np.hypot(x, th_deg + cot - y), abs(cot),
+                            rtol=1e-12)
+            assert abs(x[2]) < 1e-12 and abs(y[2] - th_deg) < 1e-12
+
+    def test_tsc_gnomonic_per_face(self):
+        """On the equatorial face 1, TSC is x = 45 tan(phi) — the
+        gnomonic law; face centres land exactly on the plane face
+        centres (0,0), (90,0), (180,0), (270,0), (0,+-90)."""
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        wcs = make_wcs(self._header("TSC"))
+        phi = np.deg2rad(np.array([-30.0, 10.0, 44.0]))
+        x, y = (np.asarray(a) for a in
+                wcs.plane_from_native(phi, np.zeros_like(phi)))
+        assert_allclose(x, 45.0 * np.tan(phi) / np.tan(np.pi / 4),
+                        atol=1e-12)
+        assert_allclose(y, 0.0, atol=1e-12)
+        cphi = np.deg2rad(np.array([0.0, 90.0, 180.0, 270.0, 0.0, 0.0]))
+        cth = np.deg2rad(np.array([0.0, 0.0, 0.0, 0.0, 90.0, -90.0]))
+        x, y = (np.asarray(a) for a in wcs.plane_from_native(cphi, cth))
+        assert_allclose(x, [0.0, 90.0, 180.0, 270.0, 0.0, 0.0],
+                        atol=1e-12)
+        assert_allclose(y, [0.0, 0.0, 0.0, 0.0, 90.0, -90.0], atol=1e-12)
+
+    @pytest.mark.parametrize("code,pv,const", [
+        ("QSC", {}, 48600.0 / (4.0 * np.pi)),
+        ("BON", {"PV2_1": 45.0}, (180.0 / np.pi) ** 2),
+    ])
+    def test_equal_area_exact_constant(self, code, pv, const):
+        """QSC and BON are exactly equal-area with known constants: the
+        whole sphere's 4 pi sr fill the cube's 6x90x90 deg^2 (QSC), and
+        Bonne preserves the unit sphere's area element (180/pi)^2
+        deg^2/sr. The numeric Jacobian d(x,y)/d(phi, sin theta) must hit
+        the constant everywhere."""
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        wcs = make_wcs(self._header(code, **pv))
+        rng = np.random.default_rng(7)
+        phi = rng.uniform(-0.7, 0.7, 400)
+        th = rng.uniform(-0.6, 0.6, 400)
+        eps = 1e-6
+
+        def plane(p, t):
+            return [np.asarray(v) for v in wcs.plane_from_native(p, t)]
+
+        x0, y0 = plane(phi, th)
+        x1, y1 = plane(phi + eps, th)
+        x2, y2 = plane(phi, th + eps)
+        jac = ((x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)) \
+            / (eps * eps) / np.cos(th)
+        assert_allclose(jac, const, rtol=1e-4)
+
+    def test_hpx_zone_continuity_and_equatorial_law(self):
+        """The equatorial law y = (90 K/H) sin(theta) (plain numpy) and
+        continuity of (x, y) across the |sin theta| = (K-1)/K zone
+        boundary."""
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        wcs = make_wcs(self._header("HPX"))
+        th = np.deg2rad(np.array([-40.0, -10.0, 25.0, 41.0]))
+        x, y = (np.asarray(a) for a in
+                wcs.plane_from_native(np.full_like(th, 0.3), th))
+        assert_allclose(y, 67.5 * np.sin(th), atol=1e-12)
+        assert_allclose(x, np.rad2deg(0.3), atol=1e-12)
+        thb = np.arcsin(2.0 / 3.0)
+        lo = [np.asarray(v) for v in
+              wcs.plane_from_native(np.array([0.3]), np.array([thb - 1e-9]))]
+        hi = [np.asarray(v) for v in
+              wcs.plane_from_native(np.array([0.3]), np.array([thb + 1e-9]))]
+        assert abs(float(lo[0][0]) - float(hi[0][0])) < 1e-6
+        assert abs(float(lo[1][0]) - float(hi[1][0])) < 1e-6
+
+    def test_out_of_map_is_nan(self):
+        """Polar gores (HPX), off-cross plane regions (quad-cube), and
+        radii beyond the monotone range (ZPN/AIR) must yield NaN."""
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        for code, pv, x, y in [
+            ("HPX", {}, np.array([10.0]), np.array([80.0])),
+            ("TSC", {}, np.array([135.0]), np.array([80.0])),
+            # the equatorial band wraps (face 4 may be drawn at -90), so
+            # off-cross means off the polar column with |y| > 45
+            ("QSC", {}, np.array([-130.0]), np.array([60.0])),
+            ("ZPN", {"PV2_1": 1.0, "PV2_2": -0.3}, np.array([200.0]),
+             np.array([0.0])),
+        ]:
+            wcs = make_wcs(self._header(code, **pv))
+            phi, theta = wcs.native_from_plane(x, y)
+            assert np.isnan(np.asarray(theta)).all(), (code, theta)
+
+    def test_make_wcs_dispatch_and_validation(self):
+        from auromat_tpu.coordinates.wcs import (GeneralZenithalWcs,
+                                                 HealpixWcs,
+                                                 PseudoConicWcs,
+                                                 QuadCubeWcs, make_wcs)
+
+        assert isinstance(make_wcs(self._header("AZP")),
+                          GeneralZenithalWcs)
+        assert isinstance(make_wcs(self._header("BON", PV2_1=30.0)),
+                          PseudoConicWcs)
+        assert isinstance(make_wcs(self._header("QSC")), QuadCubeWcs)
+        assert isinstance(make_wcs(self._header("HPX")), HealpixWcs)
+        with pytest.raises(NotImplementedError, match="COBE"):
+            make_wcs(self._header("CSC"))
+        with pytest.raises(NotImplementedError, match="HPX"):
+            make_wcs(self._header("XPH"))
+        with pytest.raises(ValueError, match="PV2_1"):
+            make_wcs(self._header("BON"))
+        with pytest.raises(ValueError, match="gamma"):
+            make_wcs(self._header("AZP", PV2_2=95.0))
+        with pytest.raises(ValueError, match="increasing"):
+            make_wcs(self._header("ZPN", PV2_1=-1.0))
+        with pytest.raises(ValueError, match="lambda"):
+            make_wcs(self._header("CYP", PV2_2=-1.0))
