@@ -49,6 +49,50 @@ def celestial_rotation_matrix(ra_ref_deg, dec_ref_deg, lonpole_deg):
     return rz(a) @ rx(b) @ rz(c)
 
 
+def _parse_celestial_header(wcs, header, family_desc):
+    """Shared FITS-card parsing for the projection families whose
+    fiducial is NOT the native pole (cylindrical/conic/pseudo-*/
+    quad-cube/HEALPix): validates the RA---xxx/DEC--xxx CTYPE pair
+    against ``wcs.SUPPORTED`` and sets projection, ra_ref/dec_ref,
+    px_ref/py_ref, cd, width, height."""
+    c1 = header.get("CTYPE1") or ""
+    c2 = header.get("CTYPE2") or ""
+    code = c1[5:] if (
+        isinstance(c1, str) and isinstance(c2, str)
+        and c1.startswith("RA---") and c2.startswith("DEC--")
+        and c1[5:] == c2[5:]
+    ) else None
+    if code not in wcs.SUPPORTED:
+        raise ValueError(
+            f"only RA---/DEC-- {family_desc} projections {wcs.SUPPORTED} "
+            f"are supported here; got {c1!r}/{c2!r}")
+    wcs.projection = code
+    wcs.ra_ref = float(header["CRVAL1"])
+    wcs.dec_ref = float(header["CRVAL2"])
+    wcs.px_ref = float(header["CRPIX1"])
+    wcs.py_ref = float(header["CRPIX2"])
+    wcs.cd = np.array(
+        [
+            [float(header["CD1_1"]), float(header["CD1_2"])],
+            [float(header["CD2_1"]), float(header["CD2_2"])],
+        ]
+    )
+    wcs.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
+    wcs.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+
+
+def _finish_native_pole(wcs, header, theta0_deg):
+    """Shared LONPOLE/LATPOLE handling + native-pole solve for the same
+    families: applies the Paper II LONPOLE default for the given
+    fiducial native latitude theta0 and sets lonpole, latpole, rotmat."""
+    default_lonpole = 0.0 if wcs.dec_ref >= theta0_deg else 180.0
+    wcs.lonpole = float(header.get("LONPOLE", default_lonpole))
+    wcs.latpole = float(header.get("LATPOLE", 90.0))
+    ap, dp = _native_pole(wcs.ra_ref, wcs.dec_ref, wcs.lonpole,
+                          wcs.latpole, theta0_deg)
+    wcs.rotmat = celestial_rotation_matrix(ap, dp, wcs.lonpole)
+
+
 class ZenithalWcs:
     """Host-side container for a zenithal-projection WCS solution.
 
@@ -158,27 +202,8 @@ class CylindricalWcs:
     SUPPORTED = ("CAR", "CEA", "MER", "CYP")
 
     def __init__(self, header):
-        c1 = header.get("CTYPE1") or ""
-        c2 = header.get("CTYPE2") or ""
-        code = c1[5:] if (
-            isinstance(c1, str) and isinstance(c2, str)
-            and c1.startswith("RA---") and c2.startswith("DEC--")
-            and c1[5:] == c2[5:]
-        ) else None
-        if code not in self.SUPPORTED:
-            raise ValueError(
-                f"only RA---/DEC-- cylindrical projections {self.SUPPORTED}"
-                f" are supported here; got {c1!r}/{c2!r}"
-            )
-        self.projection = code
-        self.ra_ref = float(header["CRVAL1"])
-        self.dec_ref = float(header["CRVAL2"])
-        self.px_ref = float(header["CRPIX1"])
-        self.py_ref = float(header["CRPIX2"])
-        # Paper II defaults for theta0 = 0: LONPOLE 0 if dec0 >= 0 else 180
-        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
-        self.lonpole = float(header.get("LONPOLE", default_lonpole))
-        self.latpole = float(header.get("LATPOLE", 90.0))
+        _parse_celestial_header(self, header, "cylindrical")
+        code = self.projection
         # CEA's lambda: PV2_1 (wcslib) with 1.0 (Lambert) default
         self.cea_lambda = float(header.get("PV2_1", 1.0))
         if code == "CEA" and not 0.0 < self.cea_lambda <= 1.0:
@@ -200,48 +225,7 @@ class CylindricalWcs:
                 raise ValueError(
                     f"CYP PV2_1 (mu) = -PV2_2 (lambda) = {self.cyp_mu} "
                     "puts the projection point on the cylinder")
-        self.cd = np.array(
-            [
-                [float(header["CD1_1"]), float(header["CD1_2"])],
-                [float(header["CD2_1"]), float(header["CD2_2"])],
-            ]
-        )
-        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
-        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
-
-        phip = np.deg2rad(self.lonpole)
-        d0 = np.deg2rad(self.dec_ref)
-        cosphip = np.cos(phip)
-        if abs(cosphip) < 1e-12:
-            # delta_p constraint degenerates: sin(dec0) must be 0
-            if abs(np.sin(d0)) > 1e-12:
-                raise ValueError(
-                    f"no native pole solution: LONPOLE={self.lonpole} with "
-                    f"CRVAL2={self.dec_ref} violates "
-                    "sin(dec0) = cos(delta_p) cos(lonpole)")
-            cands = [np.pi / 2, -np.pi / 2]
-        else:
-            arg = np.sin(d0) / abs(cosphip)
-            if abs(arg) > 1.0 + 1e-12:
-                raise ValueError(
-                    f"no native pole solution for LONPOLE={self.lonpole}, "
-                    f"CRVAL2={self.dec_ref} (|sin(dec0)/cos(lonpole)| > 1)")
-            c = np.arccos(np.clip(arg, -1.0, 1.0))
-            t = 0.0 if cosphip > 0 else np.pi
-            cands = [t + c, t - c]
-        # wrap into [-pi/2, pi/2] validity and pick the one closest to
-        # LATPOLE (Paper II: the LATPOLE card disambiguates the +-branch)
-        valid = [dp for dp in cands if abs(dp) <= np.pi / 2 + 1e-12]
-        if not valid:
-            raise ValueError(
-                f"no valid native pole latitude for LONPOLE={self.lonpole},"
-                f" CRVAL2={self.dec_ref}")
-        lp = np.deg2rad(self.latpole)
-        dp = min(valid, key=lambda v: abs(v - lp))
-        ap = np.deg2rad(self.ra_ref) - np.arctan2(
-            np.sin(phip), -np.sin(dp) * cosphip)
-        self.rotmat = celestial_rotation_matrix(
-            np.rad2deg(ap), np.rad2deg(dp), self.lonpole)
+        _finish_native_pole(self, header, 0.0)
 
     def native_from_plane(self, x, y):
         """Projection-plane (x, y) degrees -> native (phi, theta) radians
@@ -311,26 +295,40 @@ def _native_pole(ra0_deg, dec0_deg, lonpole_deg, latpole_deg, theta0_deg):
     th0 = np.deg2rad(theta0_deg)
     d0 = np.deg2rad(dec0_deg)
     phip = np.deg2rad(lonpole_deg)
+    lp = np.deg2rad(latpole_deg)
     den = np.sqrt(max(1.0 - np.cos(th0) ** 2 * np.sin(phip) ** 2, 0.0))
     if den < 1e-12:
-        raise ValueError(
-            f"degenerate native-pole geometry: theta0={theta0_deg}, "
-            f"LONPOLE={lonpole_deg}")
-    arg = np.sin(d0) / den
-    if abs(arg) > 1.0 + 1e-12:
-        raise ValueError(
-            f"no native pole solution: CRVAL2={dec0_deg} with "
-            f"LONPOLE={lonpole_deg}, theta0={theta0_deg} "
-            "(|sin dec0| exceeds the reachable range)")
-    c = np.arccos(np.clip(arg, -1.0, 1.0))
-    t = np.arctan2(np.sin(th0), np.cos(th0) * np.cos(phip))
-    cands = [dp for dp in (t + c, t - c) if abs(dp) <= np.pi / 2 + 1e-12]
-    if not cands:
-        raise ValueError(
-            f"no valid native pole latitude: CRVAL2={dec0_deg}, "
-            f"LONPOLE={lonpole_deg}, theta0={theta0_deg}")
-    lp = np.deg2rad(latpole_deg)
-    dp = min(cands, key=lambda v: abs(v - lp))
+        # theta0 = 0 with LONPOLE = +-90: the constraint degenerates to
+        # sin(dec0) = 0 and leaves delta_p entirely unconstrained —
+        # Paper II says the LATPOLE card supplies it directly
+        if abs(np.sin(d0)) > 1e-12:
+            raise ValueError(
+                f"no native pole solution: LONPOLE={lonpole_deg} with "
+                f"theta0={theta0_deg} requires CRVAL2=0; got {dec0_deg}")
+        if abs(latpole_deg) > 90.0 + 1e-12:
+            raise ValueError(
+                f"degenerate native-pole geometry needs LATPOLE in "
+                f"[-90, 90]; got {latpole_deg}")
+        dp = lp
+    else:
+        arg = np.sin(d0) / den
+        if abs(arg) > 1.0 + 1e-12:
+            raise ValueError(
+                f"no native pole solution: CRVAL2={dec0_deg} with "
+                f"LONPOLE={lonpole_deg}, theta0={theta0_deg} "
+                "(|sin dec0| exceeds the reachable range)")
+        c = np.arccos(np.clip(arg, -1.0, 1.0))
+        t = np.arctan2(np.sin(th0), np.cos(th0) * np.cos(phip))
+        # the two roots live mod 2 pi: wrap into (-pi, pi] BEFORE the
+        # validity test, else the southern branch (e.g. t+c = 300 deg
+        # == -60 deg) is unreachable and LATPOLE is silently ignored
+        cands = [(v + np.pi) % (2.0 * np.pi) - np.pi for v in (t + c, t - c)]
+        cands = [v for v in cands if abs(v) <= np.pi / 2 + 1e-12]
+        if not cands:
+            raise ValueError(
+                f"no valid native pole latitude: CRVAL2={dec0_deg}, "
+                f"LONPOLE={lonpole_deg}, theta0={theta0_deg}")
+        dp = min(cands, key=lambda v: abs(v - lp))
     ap = np.deg2rad(ra0_deg) - np.arctan2(
         np.sin(phip) * np.cos(th0),
         np.sin(th0) * np.cos(dp) - np.cos(th0) * np.sin(dp) * np.cos(phip))
@@ -362,22 +360,12 @@ class ConicWcs:
     SUPPORTED = ("COP", "COE", "COD", "COO")
 
     def __init__(self, header):
-        c1 = header.get("CTYPE1") or ""
-        c2 = header.get("CTYPE2") or ""
-        code = c1[5:] if (
-            isinstance(c1, str) and isinstance(c2, str)
-            and c1.startswith("RA---") and c2.startswith("DEC--")
-            and c1[5:] == c2[5:]
-        ) else None
-        if code not in self.SUPPORTED:
-            raise ValueError(
-                f"only RA---/DEC-- conic projections {self.SUPPORTED} "
-                f"are supported here; got {c1!r}/{c2!r}")
+        _parse_celestial_header(self, header, "conic")
+        code = self.projection
         if "PV2_1" not in header:
             raise ValueError(
                 f"conic projection {code} requires PV2_1 (theta_a, the "
                 "midpoint of the standard parallels)")
-        self.projection = code
         self.theta_a = float(header["PV2_1"])
         self.eta = float(header.get("PV2_2", 0.0))
         if not 0.0 < abs(self.theta_a) <= 90.0:
@@ -389,23 +377,9 @@ class ConicWcs:
             raise ValueError(
                 f"standard parallels theta_a -+ eta = {th1}, {th2} out of "
                 "[-90, 90]")
-        self.ra_ref = float(header["CRVAL1"])
-        self.dec_ref = float(header["CRVAL2"])
-        self.px_ref = float(header["CRPIX1"])
-        self.py_ref = float(header["CRPIX2"])
         # Paper II default for theta0 = theta_a:
         # LONPOLE 0 if dec0 >= theta_a else 180
-        default_lonpole = 0.0 if self.dec_ref >= self.theta_a else 180.0
-        self.lonpole = float(header.get("LONPOLE", default_lonpole))
-        self.latpole = float(header.get("LATPOLE", 90.0))
-        self.cd = np.array(
-            [
-                [float(header["CD1_1"]), float(header["CD1_2"])],
-                [float(header["CD2_1"]), float(header["CD2_2"])],
-            ]
-        )
-        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
-        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
+        _finish_native_pole(self, header, self.theta_a)
 
         # cone constants (host float64, radians internally)
         ta, e = np.deg2rad(self.theta_a), np.deg2rad(self.eta)
@@ -449,9 +423,6 @@ class ConicWcs:
             else:
                 self._psi = deg * np.cos(t1) / (self.C * tau1 ** self.C)
             self.Y0 = self._psi * np.tan((np.pi / 2 - ta) / 2.0) ** self.C
-        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
-                              self.latpole, self.theta_a)
-        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
 
     def _r_from_theta(self, theta):
         """Conic R(theta) in projection-plane degrees (theta radians)."""
@@ -530,37 +501,8 @@ class PseudoCylindricalWcs:
     SUPPORTED = ("SFL", "PAR", "MOL", "AIT")
 
     def __init__(self, header):
-        c1 = header.get("CTYPE1") or ""
-        c2 = header.get("CTYPE2") or ""
-        code = c1[5:] if (
-            isinstance(c1, str) and isinstance(c2, str)
-            and c1.startswith("RA---") and c2.startswith("DEC--")
-            and c1[5:] == c2[5:]
-        ) else None
-        if code not in self.SUPPORTED:
-            raise ValueError(
-                f"only RA---/DEC-- pseudo-cylindrical projections "
-                f"{self.SUPPORTED} are supported here; got {c1!r}/{c2!r}")
-        self.projection = code
-        self.ra_ref = float(header["CRVAL1"])
-        self.dec_ref = float(header["CRVAL2"])
-        self.px_ref = float(header["CRPIX1"])
-        self.py_ref = float(header["CRPIX2"])
-        # Paper II defaults for theta0 = 0: LONPOLE 0 if dec0 >= 0 else 180
-        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
-        self.lonpole = float(header.get("LONPOLE", default_lonpole))
-        self.latpole = float(header.get("LATPOLE", 90.0))
-        self.cd = np.array(
-            [
-                [float(header["CD1_1"]), float(header["CD1_2"])],
-                [float(header["CD2_1"]), float(header["CD2_2"])],
-            ]
-        )
-        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
-        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
-        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
-                              self.latpole, 0.0)
-        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+        _parse_celestial_header(self, header, "pseudo-cylindrical")
+        _finish_native_pole(self, header, 0.0)
 
     def native_from_plane(self, x, y):
         """Projection-plane (x, y) degrees -> native (phi, theta) radians
@@ -905,18 +847,8 @@ class PseudoConicWcs:
     SUPPORTED = ("BON", "PCO")
 
     def __init__(self, header):
-        c1 = header.get("CTYPE1") or ""
-        c2 = header.get("CTYPE2") or ""
-        code = c1[5:] if (
-            isinstance(c1, str) and isinstance(c2, str)
-            and c1.startswith("RA---") and c2.startswith("DEC--")
-            and c1[5:] == c2[5:]
-        ) else None
-        if code not in self.SUPPORTED:
-            raise ValueError(
-                f"only RA---/DEC-- pseudo-conic projections "
-                f"{self.SUPPORTED} are supported here; got {c1!r}/{c2!r}")
-        self.projection = code
+        _parse_celestial_header(self, header, "pseudo-conic")
+        code = self.projection
         if code == "BON":
             if "PV2_1" not in header:
                 raise ValueError("BON requires PV2_1 (theta_1, the "
@@ -930,25 +862,7 @@ class PseudoConicWcs:
             t1 = np.deg2rad(self.theta_1)
             self.Y0 = (180.0 / np.pi) * np.cos(t1) / np.sin(t1) \
                 + self.theta_1
-        self.ra_ref = float(header["CRVAL1"])
-        self.dec_ref = float(header["CRVAL2"])
-        self.px_ref = float(header["CRPIX1"])
-        self.py_ref = float(header["CRPIX2"])
-        # Paper II defaults for theta0 = 0: LONPOLE 0 if dec0 >= 0 else 180
-        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
-        self.lonpole = float(header.get("LONPOLE", default_lonpole))
-        self.latpole = float(header.get("LATPOLE", 90.0))
-        self.cd = np.array(
-            [
-                [float(header["CD1_1"]), float(header["CD1_2"])],
-                [float(header["CD2_1"]), float(header["CD2_2"])],
-            ]
-        )
-        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
-        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
-        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
-                              self.latpole, 0.0)
-        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+        _finish_native_pole(self, header, 0.0)
 
     def native_from_plane(self, x, y):
         """Projection-plane (x, y) degrees -> native (phi, theta) radians
@@ -967,19 +881,26 @@ class PseudoConicWcs:
         # PCO
         X = x * _RAD_PER_R
         Y = y * _RAD_PER_R
-        # solve tan(th) (X^2 + (Y-th)^2) = 2 (Y-th) for th; the root has
-        # the sign of Y, so scan the matching half-range
+        # solve g(th) = tan(th) (X^2 + (Y-th)^2) - 2 (Y-th) = 0.
+        # g is strictly increasing: g' = sec^2(X^2+d^2) - 2 tan(th) d + 2
+        # >= (sec d - sin)^2 + 2 - sin^2 >= 1, so bisection is safe and
+        # memory-flat (an earlier grid-scan version materialized
+        # (npix, 512) temporaries — OOM on full frames)
         lim = jnp.pi / 2 - 1e-6
-        ths = jnp.linspace(-lim, lim, 512)
 
-        def f(th):
-            d = Y[..., None] - th
-            return jnp.tan(th) * (X[..., None] ** 2 + d * d) - 2.0 * d
+        def g_of(th):
+            d = Y - th
+            return jnp.tan(th) * (X * X + d * d) - 2.0 * d
 
-        fv = f(ths)
-        idx = jnp.argmin(jnp.abs(fv), axis=-1)
-        th = ths[idx]
-        for _ in range(6):
+        lo = jnp.full_like(X, -lim)
+        hi = jnp.full_like(X, lim)
+        for _ in range(45):
+            mid = 0.5 * (lo + hi)
+            neg = g_of(mid) < 0.0
+            lo = jnp.where(neg, mid, lo)
+            hi = jnp.where(neg, hi, mid)
+        th = 0.5 * (lo + hi)
+        for _ in range(2):
             d = Y - th
             g = jnp.tan(th) * (X * X + d * d) - 2.0 * d
             dg = (X * X + d * d) / jnp.cos(th) ** 2 \
@@ -1060,36 +981,8 @@ class QuadCubeWcs:
     _Y0 = np.array([90.0, 0.0, 0.0, 0.0, 0.0, -90.0])
 
     def __init__(self, header):
-        c1 = header.get("CTYPE1") or ""
-        c2 = header.get("CTYPE2") or ""
-        code = c1[5:] if (
-            isinstance(c1, str) and isinstance(c2, str)
-            and c1.startswith("RA---") and c2.startswith("DEC--")
-            and c1[5:] == c2[5:]
-        ) else None
-        if code not in self.SUPPORTED:
-            raise ValueError(
-                f"only RA---/DEC-- quad-cube projections {self.SUPPORTED} "
-                f"are supported here; got {c1!r}/{c2!r}")
-        self.projection = code
-        self.ra_ref = float(header["CRVAL1"])
-        self.dec_ref = float(header["CRVAL2"])
-        self.px_ref = float(header["CRPIX1"])
-        self.py_ref = float(header["CRPIX2"])
-        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
-        self.lonpole = float(header.get("LONPOLE", default_lonpole))
-        self.latpole = float(header.get("LATPOLE", 90.0))
-        self.cd = np.array(
-            [
-                [float(header["CD1_1"]), float(header["CD1_2"])],
-                [float(header["CD2_1"]), float(header["CD2_2"])],
-            ]
-        )
-        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
-        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
-        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
-                              self.latpole, 0.0)
-        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+        _parse_celestial_header(self, header, "quad-cube")
+        _finish_native_pole(self, header, 0.0)
 
     @staticmethod
     def _face_locals(phi, theta):
@@ -1213,41 +1106,13 @@ class HealpixWcs:
     SUPPORTED = ("HPX",)
 
     def __init__(self, header):
-        c1 = header.get("CTYPE1") or ""
-        c2 = header.get("CTYPE2") or ""
-        code = c1[5:] if (
-            isinstance(c1, str) and isinstance(c2, str)
-            and c1.startswith("RA---") and c2.startswith("DEC--")
-            and c1[5:] == c2[5:]
-        ) else None
-        if code not in self.SUPPORTED:
-            raise ValueError(
-                f"only RA---/DEC-- HPX is supported here; got "
-                f"{c1!r}/{c2!r}")
-        self.projection = code
+        _parse_celestial_header(self, header, "HEALPix")
         self.H = float(header.get("PV2_1", 4.0))
         self.K = float(header.get("PV2_2", 3.0))
         if self.H <= 0.0 or self.K <= 0.0:
             raise ValueError(f"HPX PV2_1 (H) and PV2_2 (K) must be "
                              f"positive; got H={self.H}, K={self.K}")
-        self.ra_ref = float(header["CRVAL1"])
-        self.dec_ref = float(header["CRVAL2"])
-        self.px_ref = float(header["CRPIX1"])
-        self.py_ref = float(header["CRPIX2"])
-        default_lonpole = 0.0 if self.dec_ref >= 0.0 else 180.0
-        self.lonpole = float(header.get("LONPOLE", default_lonpole))
-        self.latpole = float(header.get("LATPOLE", 90.0))
-        self.cd = np.array(
-            [
-                [float(header["CD1_1"]), float(header["CD1_2"])],
-                [float(header["CD2_1"]), float(header["CD2_2"])],
-            ]
-        )
-        self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
-        self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
-        ap, dp = _native_pole(self.ra_ref, self.dec_ref, self.lonpole,
-                              self.latpole, 0.0)
-        self.rotmat = celestial_rotation_matrix(ap, dp, self.lonpole)
+        _finish_native_pole(self, header, 0.0)
 
     def _facet_centre(self, xdeg):
         """Longitude of the polar-facet centre containing xdeg."""

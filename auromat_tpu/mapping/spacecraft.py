@@ -180,6 +180,14 @@ class SpacecraftMappingProvider(BaseMappingProvider):
         A shape change mid-sequence (camera/crop change) closes the current
         burst, so mixed-shape folders work like the per-frame path.
         """
+        for chunk in self._iter_entry_chunks(dateBegin, dateEnd, batch):
+            yield from self._load_batch(chunk, with_mlatmlt)
+
+    def _iter_entry_chunks(self, dateBegin, dateEnd, batch):
+        """Date-filter the index and yield same-shaped entry chunks of at
+        most ``batch`` frames — the burst-splitting rule shared by
+        :meth:`getSequenceBatched` and :meth:`iterParamBursts` (a shape
+        change mid-sequence closes the current burst)."""
         entries = [e for e in self._build_index()
                    if not (dateBegin is not None and (e["time"] is None
                                                       or e["time"] < dateBegin))
@@ -188,14 +196,14 @@ class SpacecraftMappingProvider(BaseMappingProvider):
         chunk = []
         for e in entries:
             if chunk and e.get("shape") != chunk[-1].get("shape"):
-                yield from self._load_batch(chunk, with_mlatmlt)
+                yield chunk
                 chunk = []
             chunk.append(e)
             if len(chunk) == batch:
-                yield from self._load_batch(chunk, with_mlatmlt)
+                yield chunk
                 chunk = []
         if chunk:
-            yield from self._load_batch(chunk, with_mlatmlt)
+            yield chunk
 
     def _load_batch(self, entries, with_mlatmlt):
         pairs = [(e["image"], e["wcs"]) for e in entries]
@@ -210,34 +218,17 @@ class SpacecraftMappingProvider(BaseMappingProvider):
         (auromat_tpu.parallel.mosaic_sequence) — calibration + raw imagery
         only, no per-pixel host arrays are ever materialized (the georef
         runs inside the mosaic step's jit). Same date filtering and
-        shape-change burst splitting as :meth:`getSequenceBatched`.
+        shape-change burst splitting as :meth:`getSequenceBatched`
+        (shared :meth:`_iter_entry_chunks`).
         """
-        entries = [e for e in self._build_index()
-                   if not (dateBegin is not None and (e["time"] is None
-                                                      or e["time"] < dateBegin))
-                   and not (dateEnd is not None and (e["time"] is None
-                                                     or e["time"] > dateEnd))]
-
-        def load(chunk):
+        for chunk in self._iter_entry_chunks(dateBegin, dateEnd, batch):
             params, imgs = [], []
             for e in chunk:
                 img, p = _load_frame_calibration(
                     e["image"], e["wcs"], self.altitude, self.tle_path)
                 params.append(p)
                 imgs.append(np.asarray(img, dtype=np.float32))
-            return params, np.stack(imgs)
-
-        chunk = []
-        for e in entries:
-            if chunk and e.get("shape") != chunk[-1].get("shape"):
-                yield load(chunk)
-                chunk = []
-            chunk.append(e)
-            if len(chunk) == batch:
-                yield load(chunk)
-                chunk = []
-        if chunk:
-            yield load(chunk)
+            yield params, np.stack(imgs)
 
 
 def _load_frame_calibration(image_path, wcs_path, altitude=110.0,

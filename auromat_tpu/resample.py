@@ -27,6 +27,27 @@ from auromat_tpu.utils import wrap_lon_180 as _wrap_lon_np
 from auromat_tpu.utils import points_inside_polygon
 
 
+def _initialized_backend_is_tpu():
+    """True iff the jax backend is ALREADY initialized and is TPU.
+
+    Never triggers backend initialization itself: on this machine that
+    opens the remote-TPU connection, which hangs when the backend is in
+    its documented dead state — unacceptable from a path that can run
+    entirely on host scipy. Falls back to a real (initializing) probe
+    only if jax's private backend registry moves.
+    """
+    import jax
+
+    try:
+        from jax._src import xla_bridge
+
+        if not xla_bridge._backends:
+            return False
+    except (ImportError, AttributeError):  # pragma: no cover - jax moved
+        pass
+    return jax.default_backend() == "tpu"
+
+
 def plate_carree_resolution(bounding_box: BoundingBox, arcsec_per_px):
     """(lat_px_per_deg, lon_px_per_deg) approximating a spherical resolution
     at the bbox centre. Reference: auromat/resample.py:36-61."""
@@ -117,9 +138,14 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
         # production default: the device jump-flood path on TPU, host
         # scipy KD-tree elsewhere (the forced-CPU parity suite keeps
         # exercising scipy). 'nearest_host' forces scipy on any backend.
-        import jax
-
-        if jax.default_backend() == "tpu":
+        # Probe only an ALREADY-initialized jax backend: this path can
+        # complete entirely on host scipy, and initializing jax here
+        # means opening the remote-TPU connection in this environment —
+        # a hang when the backend is in its dead state. Device work
+        # earlier in the pipeline (the normal production flow) leaves
+        # the backend initialized, so TPU users still get the device
+        # path.
+        if _initialized_backend_is_tpu():
             method = "nearest_device"
     elif method == "nearest_host":
         method = "nearest"

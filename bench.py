@@ -19,16 +19,24 @@ import time
 import numpy as np
 
 
-def _probe_backend(timeout_s=300):
+def _probe_backend(timeout_s=300, attempts=4, retry_wait_s=180):
     """Fail fast if the remote TPU is in its dead state (jax.devices()
     itself hangs there — observed outages of hours; see CLAUDE.md). Probes
     device init + one tiny jitted op in a subprocess with a hard timeout
     so the driver's bench run errors out instead of hanging forever. The
     probe sets the same persistent compile cache as the bench, so a
     healthy backend costs one cached-compile roundtrip, not a fresh
-    minutes-long remote compile misread as dead."""
+    minutes-long remote compile misread as dead.
+
+    The backend is known to FLAP (a probe succeeding minutes after an
+    identical one timed out — round-4 notes), so a failed probe is
+    retried a few times with a pause before giving up; the whole window
+    stays bounded (~25 min worst case) so a driver run still terminates.
+    Tune with BENCH_PROBE_ATTEMPTS / BENCH_PROBE_WAIT_S."""
     import subprocess
 
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", attempts))
+    retry_wait_s = float(os.environ.get("BENCH_PROBE_WAIT_S", retry_wait_s))
     cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache")
     code = (
         "import jax, jax.numpy as jnp\n"
@@ -37,21 +45,27 @@ def _probe_backend(timeout_s=300):
         "y = jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))\n"
         "print(jax.devices()[0].platform, float(y[0, 0]))\n"
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "error": f"backend unresponsive: device probe exceeded "
-                     f"{timeout_s}s (axon TPU dead state)"}))
-        sys.exit(3)
-    if out.returncode != 0:
-        print(json.dumps({
-            "error": "backend probe failed",
-            "stderr": out.stderr.strip()[-500:]}))
-        sys.exit(3)
+    err = None
+    for attempt in range(max(attempts, 1)):
+        if attempt:
+            print(f"# backend probe attempt {attempt} failed ({err}); "
+                  f"retrying in {retry_wait_s:.0f}s", file=sys.stderr)
+            time.sleep(retry_wait_s)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            err = f"device probe exceeded {timeout_s}s"
+            continue
+        if out.returncode == 0:
+            return
+        err = "probe subprocess failed: " + out.stderr.strip()[-500:]
+    print(json.dumps({
+        "error": f"backend unresponsive after {attempts} probe attempts: "
+                 f"{err} (axon TPU dead state)"}))
+    sys.exit(3)
 
 
 def main():

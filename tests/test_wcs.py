@@ -1222,6 +1222,70 @@ class TestFullProjectionCoverage:
             phi, theta = wcs.native_from_plane(x, y)
             assert np.isnan(np.asarray(theta)).all(), (code, theta)
 
+    @staticmethod
+    def _unit(ra_deg, dec_deg):
+        ra, dec = np.deg2rad(ra_deg), np.deg2rad(dec_deg)
+        return np.array([np.cos(dec) * np.cos(ra),
+                         np.cos(dec) * np.sin(ra), np.sin(dec)])
+
+    @pytest.mark.parametrize("code", ["CAR", "AIT", "HPX", "QSC"])
+    def test_native_pole_southern_branch(self, code):
+        """Paper II's +- native-pole roots live mod 360: for CRVAL2=-30,
+        LONPOLE=180 the roots are 60 and 300 == -60 deg; LATPOLE must be
+        able to select EITHER (the -60 branch was unreachable before the
+        wrap fix — candidates outside [-90, 90] were discarded instead
+        of wrapped). rotmat's third column is the celestial unit vector
+        of the native pole (alpha_p, delta_p)."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world, \
+            world2pix
+
+        h = self._header(code, CRVAL2=-30.0, LONPOLE=180.0, LATPOLE=-60.0)
+        w = make_wcs(h)
+        # delta_p = -60: alpha_p = ra0 - atan2(0, -sin dp cos phip) =
+        # ra0 - 180
+        assert_allclose(w.rotmat[:, 2], self._unit(30.0 - 180.0, -60.0),
+                        atol=1e-12)
+        hn = self._header(code, CRVAL2=-30.0, LONPOLE=180.0, LATPOLE=60.0)
+        wn = make_wcs(hn)
+        assert_allclose(wn.rotmat[:, 2], self._unit(30.0, 60.0),
+                        atol=1e-12)
+        # both obliques still invert exactly
+        px, py = self._grid()
+        ra, dec = pix2world(w, px, py)
+        bx, by = world2pix(w, np.asarray(ra), np.asarray(dec))
+        m = ~np.isnan(np.asarray(bx))
+        assert m.any()
+        assert_allclose(np.asarray(bx)[m], px[m], atol=2e-7)
+        assert_allclose(np.asarray(by)[m], py[m], atol=2e-7)
+
+    @pytest.mark.parametrize("code", ["CAR", "AIT", "BON"])
+    def test_native_pole_degenerate_lonpole(self, code):
+        """theta0=0 with LONPOLE=+-90 leaves delta_p unconstrained (the
+        constraint degenerates to sin(dec0)=0): Paper II says the
+        LATPOLE card supplies delta_p directly. Before the fix this
+        either raised (generic solve) or silently forced delta_p=+-90
+        (cylindrical)."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world, \
+            world2pix
+
+        pv = {"PV2_1": 45.0} if code == "BON" else {}
+        h = self._header(code, CRVAL2=0.0, LONPOLE=90.0, LATPOLE=30.0,
+                         **pv)
+        w = make_wcs(h)
+        # alpha_p = ra0 - atan2(sin phip, -sin dp * 0) = ra0 - 90
+        assert_allclose(w.rotmat[:, 2], self._unit(30.0 - 90.0, 30.0),
+                        atol=1e-12)
+        px, py = self._grid()
+        ra, dec = pix2world(w, px, py)
+        bx, by = world2pix(w, np.asarray(ra), np.asarray(dec))
+        m = ~np.isnan(np.asarray(bx))
+        assert m.any()
+        assert_allclose(np.asarray(bx)[m], px[m], atol=2e-7)
+        assert_allclose(np.asarray(by)[m], py[m], atol=2e-7)
+        # CRVAL2 != 0 genuinely has no solution there
+        with pytest.raises(ValueError, match="native pole"):
+            make_wcs(self._header(code, CRVAL2=10.0, LONPOLE=90.0, **pv))
+
     def test_make_wcs_dispatch_and_validation(self):
         from auromat_tpu.coordinates.wcs import (GeneralZenithalWcs,
                                                  HealpixWcs,
