@@ -13,9 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from auromat_tpu.coordinates.frames import FrameMatrices
-from auromat_tpu.coordinates.wcs import TanWcs
+from auromat_tpu.coordinates.wcs import TanWcs, make_wcs
 from auromat_tpu.mapping.mapping import Mapping
-from auromat_tpu.ops.georef import GeorefParams, georeference
+from auromat_tpu.ops.georef import (GeorefParams, georeference,
+                                    georeference_generic)
 
 
 class AstrometryMapping(Mapping):
@@ -52,7 +53,16 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
                    altitude=110.0, identifier=None, metadata=None,
                    fast_center=True, with_mlatmlt=True, dtype=jnp.float64,
                    frame_matrices=None) -> AstrometryMapping:
-    """Georeference an image with a TAN WCS solution into a Mapping.
+    """Georeference an image with a WCS solution into a Mapping.
+
+    TAN headers (every astrometry.net solution) take the fused trig-free
+    fast path; any other supported FITS projection (the full Paper II
+    catalogue of coordinates.wcs.make_wcs) routes through the generic
+    plane->native->celestial chain into the same intersection/Bowring/
+    elevation/MLat-MLT pipeline — the reference georeferences such
+    headers through its astropy fallback (reference wcs.py:18-64). The
+    ``"df64"`` full-precision chain stays TAN-only (its kernels fuse the
+    TAN unprojection).
 
     :param wcs_header: FITS header dict (astrometry.net .wcs solution)
     :param img: (h, w[, C]) uint8/uint16 image matching IMAGEW/IMAGEH
@@ -68,18 +78,33 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
         onchip_parity.py holds the measured on-chip numbers). On TPUs
         plain float64 silently computes in f32 — use "df64" there.
     """
-    wcs = TanWcs(wcs_header)
     img = np.asarray(img)
     h, w = img.shape[0], img.shape[1]
+    try:
+        wcs = TanWcs(wcs_header)
+    except ValueError:
+        wcs = make_wcs(wcs_header)  # any supported FITS projection
+        if wcs.width is None or wcs.height is None:
+            wcs.width, wcs.height = w, h  # non-astrometry.net headers
     assert (w, h) == (wcs.width, wcs.height), ((w, h), (wcs.width, wcs.height))
     fm = frame_matrices or FrameMatrices(photo_time)
     params = GeorefParams.from_wcs(wcs, camera_pos, photo_time, altitude, fm)
     if isinstance(dtype, str) and dtype == "df64":
+        if not isinstance(wcs, TanWcs):
+            raise NotImplementedError(
+                "the df64 full-precision chain fuses the TAN unprojection "
+                f"and cannot run a {wcs.projection} header; use "
+                "dtype=float64 (CPU parity) or float32")
         out = _georeference_df64(params, with_mlatmlt)
         fast_center = False  # exact centres; sanitize below
     else:
-        out = georeference(params, fast_center=fast_center,
-                           with_mlatmlt=with_mlatmlt, dtype=dtype)
+        if isinstance(wcs, TanWcs):
+            out = georeference(params, fast_center=fast_center,
+                               with_mlatmlt=with_mlatmlt, dtype=dtype)
+        else:
+            out = georeference_generic(wcs, params, fast_center=fast_center,
+                                       with_mlatmlt=with_mlatmlt,
+                                       dtype=dtype)
     get = lambda k: np.array(out[k], dtype=np.float64)  # writable host copy
     mapping = AstrometryMapping(
         get("lats"), get("lons"), get("lats_center"), get("lons_center"),

@@ -199,6 +199,31 @@ def georeference(params: GeorefParams, fast_center=False, with_mlatmlt=True,
                               fast_center, with_mlatmlt, dtype)
 
 
+def georeference_generic(wcs, params: GeorefParams, fast_center=False,
+                         with_mlatmlt=True, dtype=jnp.float64):
+    """:func:`georeference` for ANY supported FITS projection.
+
+    Pixel directions come from the generic plane->native->celestial
+    chain of the :mod:`auromat_tpu.coordinates.wcs` family classes
+    (``pix2world_cartesian``) instead of the fused trig-free TAN
+    unprojection; the downstream chain — ray/ellipsoid intersection,
+    Bowring, elevation, MLat/MLT — is shared. This is the reference's
+    astropy-fallback georeferencing role (reference wcs.py:18-64 via
+    astrometry.py:49-64) for non-TAN headers; off-map pixels (e.g.
+    outside the SIN disc) produce NaN directions and flow into the NaN
+    masks naturally.
+    """
+    from auromat_tpu.coordinates.wcs import pix2world_cartesian
+
+    def dirs(px, py):
+        v = pix2world_cartesian(wcs, px, py, origin=0)
+        return v[..., 0], v[..., 1], v[..., 2]
+
+    return _georeference_body(params, params.width, params.height,
+                              fast_center, with_mlatmlt, dtype,
+                              dirs_fn=dirs)
+
+
 def georeference_dyn(p, width, height, fast_center=False, with_mlatmlt=True,
                      dtype=jnp.float32):
     """:func:`georeference` with TRACED per-frame params (DynGeorefParams).
@@ -212,9 +237,10 @@ def georeference_dyn(p, width, height, fast_center=False, with_mlatmlt=True,
 
 
 def _georeference_body(params, width, height, fast_center, with_mlatmlt,
-                       dtype):
+                       dtype, dirs_fn=None):
+    dirs = dirs_fn or (lambda gx, gy: _pixel_dirs(params, gx, gy))
     px, py = _grid(width, height, corner=True, dtype=dtype)
-    vx, vy, vz = _pixel_dirs(params, px, py)
+    vx, vy, vz = dirs(px, py)
     ix, iy, iz = _intersect(params, vx, vy, vz, dtype)
     lats, lons = _latlon_from_j2000(params, ix, iy, iz)
     out = {"lats": lats, "lons": lons}
@@ -225,7 +251,7 @@ def _georeference_body(params, width, height, fast_center, with_mlatmlt,
         cix, ciy, ciz = mean4(ix), mean4(iy), mean4(iz)
     else:
         cpx, cpy = _grid(width, height, corner=False, dtype=dtype)
-        cvx, cvy, cvz = _pixel_dirs(params, cpx, cpy)
+        cvx, cvy, cvz = dirs(cpx, cpy)
         cix, ciy, ciz = _intersect(params, cvx, cvy, cvz, dtype)
 
     lats_c, lons_c = _latlon_from_j2000(params, cix, ciy, ciz)

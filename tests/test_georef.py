@@ -160,3 +160,65 @@ def test_create_mapping_df64_full_precision():
             s = ~np.isnan(a) & ~np.isnan(b)
             assert s.sum() > 1000
             assert np.abs(a[s] - b[s]).max() < 1e-6
+
+
+class TestGenericProjectionGeoref:
+    """Non-TAN headers through create_mapping — the reference's
+    astropy-fallback georeferencing role (reference wcs.py:18-64 via
+    astrometry.py:49-64), here first-party via georeference_generic."""
+
+    @staticmethod
+    def _mapping_for(code, dtype=np.float64, **pv):
+        from auromat_tpu.io.image import load_image
+        from auromat_tpu.mapping.astrometry import create_mapping
+
+        header = dict(fits.read_header(
+            os.path.join(RES, "ISS030-E-102170_dc.wcs")))
+        header["CTYPE1"] = f"RA---{code}"
+        header["CTYPE2"] = f"DEC--{code}"
+        header.update(pv)
+        img = load_image(os.path.join(RES, "ISS030-E-102170_dc.jpg"))
+        shifted = fits.get_shifted_spacecraft_position(header)
+        pos = shifted[:3]
+        return create_mapping(header, img, pos, fits.get_photo_time(header),
+                              altitude=110.0, dtype=dtype)
+
+    def test_azp_mu0_reproduces_tan_mapping(self):
+        """AZP with mu=0 IS the gnomonic projection: the full mapping
+        built through the generic chain must agree with the fused TAN
+        fast path to float64 roundoff — a non-circular gate on the whole
+        generic wiring (directions, intersection, masks, elevation)."""
+        mt = self._mapping_for("TAN")
+        ma_ = self._mapping_for("AZP", PV2_1=0.0, PV2_2=0.0)
+        lt = np.ma.filled(mt.lats, np.nan)
+        la = np.ma.filled(ma_.lats, np.nan)
+        assert np.array_equal(np.isnan(lt), np.isnan(la))
+        m = ~np.isnan(lt)
+        assert np.abs(lt[m] - la[m]).max() < 1e-9
+        lnt = np.ma.filled(mt.lons, np.nan)
+        lna = np.ma.filled(ma_.lons, np.nan)
+        dlon = (lnt[m] - lna[m] + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon).max() < 1e-9
+        et = np.ma.filled(mt.elevation, np.nan)
+        ea = np.ma.filled(ma_.elevation, np.nan)
+        me = ~np.isnan(et) & ~np.isnan(ea)
+        assert me.any()
+        assert np.abs(et[me] - ea[me]).max() < 1e-9
+
+    def test_zea_header_georeferences_with_guarantees(self):
+        """A genuinely different projection (equal-area ZEA) produces a
+        valid mapping: invariants hold, the footprint stays in the same
+        region (the projection changes pixel->sky, not the scene), and
+        it differs measurably from TAN away from the reference pixel."""
+        mz = self._mapping_for("ZEA")
+        mz.checkGuarantees()
+        lat = np.ma.filled(mz.lats, np.nan)
+        assert 40.0 < np.nanmin(lat) and np.nanmax(lat) < 70.0
+        mt = self._mapping_for("TAN")
+        lt = np.ma.filled(mt.lats, np.nan)
+        both = ~np.isnan(lat) & ~np.isnan(lt)
+        assert np.abs(lat[both] - lt[both]).max() > 0.01
+
+    def test_df64_requires_tan(self):
+        with pytest.raises(NotImplementedError, match="df64"):
+            self._mapping_for("ZEA", dtype="df64")
