@@ -328,7 +328,9 @@ def _native_pole(ra0_deg, dec0_deg, lonpole_deg, latpole_deg, theta0_deg):
             raise ValueError(
                 f"no valid native pole latitude: CRVAL2={dec0_deg}, "
                 f"LONPOLE={lonpole_deg}, theta0={theta0_deg}")
-        dp = min(cands, key=lambda v: abs(v - lp))
+        # closest to LATPOLE; on an exact tie Paper II takes the more
+        # NORTHERLY root (descending sort makes min() meet it first)
+        dp = min(sorted(cands, reverse=True), key=lambda v: abs(v - lp))
     ap = np.deg2rad(ra0_deg) - np.arctan2(
         np.sin(phip) * np.cos(th0),
         np.sin(th0) * np.cos(dp) - np.cos(th0) * np.sin(dp) * np.cos(phip))

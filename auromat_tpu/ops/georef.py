@@ -199,6 +199,7 @@ def georeference(params: GeorefParams, fast_center=False, with_mlatmlt=True,
                               fast_center, with_mlatmlt, dtype)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def georeference_generic(wcs, params: GeorefParams, fast_center=False,
                          with_mlatmlt=True, dtype=jnp.float64):
     """:func:`georeference` for ANY supported FITS projection.
@@ -212,11 +213,21 @@ def georeference_generic(wcs, params: GeorefParams, fast_center=False,
     astrometry.py:49-64) for non-TAN headers; off-map pixels (e.g.
     outside the SIN disc) produce NaN directions and flow into the NaN
     masks naturally.
+
+    The whole chain is jitted with the wcs object static (its host
+    float64 header constants fold at trace time — one compilation per
+    wcs instance; essential for iterative inverses like PCO's bisection,
+    which would otherwise issue hundreds of eager full-frame ops). The
+    generic plane->native math runs in float64 (the family classes carry
+    f64 host constants) and the resulting directions are cast to the
+    requested dtype at the direction boundary, so the intersection/
+    Bowring chain honours the dtype contract.
     """
     from auromat_tpu.coordinates.wcs import pix2world_cartesian
 
     def dirs(px, py):
         v = pix2world_cartesian(wcs, px, py, origin=0)
+        v = v.astype(dtype)
         return v[..., 0], v[..., 1], v[..., 2]
 
     return _georeference_body(params, params.width, params.height,

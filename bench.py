@@ -31,7 +31,8 @@ def _probe_backend(timeout_s=300, attempts=4, retry_wait_s=180):
     The backend is known to FLAP (a probe succeeding minutes after an
     identical one timed out — round-4 notes), so a failed probe is
     retried a few times with a pause before giving up; the whole window
-    stays bounded (~25 min worst case) so a driver run still terminates.
+    stays bounded (4 x 300 s timeouts + 3 x 180 s waits = ~29 min worst
+    case) so a driver run still terminates.
     Tune with BENCH_PROBE_ATTEMPTS / BENCH_PROBE_WAIT_S."""
     import subprocess
 

@@ -168,7 +168,7 @@ class TestGenericProjectionGeoref:
     astrometry.py:49-64), here first-party via georeference_generic."""
 
     @staticmethod
-    def _mapping_for(code, dtype=np.float64, **pv):
+    def _mapping_for(code, dtype=np.float64, crop=None, **pv):
         from auromat_tpu.io.image import load_image
         from auromat_tpu.mapping.astrometry import create_mapping
 
@@ -178,11 +178,33 @@ class TestGenericProjectionGeoref:
         header["CTYPE2"] = f"DEC--{code}"
         header.update(pv)
         img = load_image(os.path.join(RES, "ISS030-E-102170_dc.jpg"))
+        if crop:
+            # keep the BOTTOM rows (that's where this frame's Earth is)
+            # and shift CRPIX2 for the dropped rows
+            h, w = crop
+            header["CRPIX2"] = float(header["CRPIX2"]) - (img.shape[0] - h)
+            img = img[-h:, :w]
+            header["IMAGEH"], header["IMAGEW"] = h, w
         shifted = fits.get_shifted_spacecraft_position(header)
         pos = shifted[:3]
         return create_mapping(header, img, pos, fits.get_photo_time(header),
                               altitude=110.0, dtype=dtype)
 
+    def test_azp_mu0_matches_tan_cropped(self):
+        """Fast-tier gate on the generic wiring: same AZP(mu=0) == TAN
+        equivalence as the full-frame test below, on a cropped frame
+        (the per-pixel math is position-independent)."""
+        mt = self._mapping_for("TAN", crop=(301, 403))
+        ma_ = self._mapping_for("AZP", crop=(301, 403), PV2_1=0.0,
+                                PV2_2=0.0)
+        lt = np.ma.filled(mt.lats, np.nan)
+        la = np.ma.filled(ma_.lats, np.nan)
+        assert np.array_equal(np.isnan(lt), np.isnan(la))
+        m = ~np.isnan(lt)
+        assert m.any()
+        assert np.abs(lt[m] - la[m]).max() < 1e-9
+
+    @pytest.mark.slow
     def test_azp_mu0_reproduces_tan_mapping(self):
         """AZP with mu=0 IS the gnomonic projection: the full mapping
         built through the generic chain must agree with the fused TAN
@@ -205,6 +227,7 @@ class TestGenericProjectionGeoref:
         assert me.any()
         assert np.abs(et[me] - ea[me]).max() < 1e-9
 
+    @pytest.mark.slow
     def test_zea_header_georeferences_with_guarantees(self):
         """A genuinely different projection (equal-area ZEA) produces a
         valid mapping: invariants hold, the footprint stays in the same

@@ -1258,6 +1258,16 @@ class TestFullProjectionCoverage:
         assert_allclose(np.asarray(bx)[m], px[m], atol=2e-7)
         assert_allclose(np.asarray(by)[m], py[m], atol=2e-7)
 
+    def test_native_pole_tie_breaks_northerly(self):
+        """LATPOLE exactly equidistant from both roots (here -60 and
+        +60 with LATPOLE=0): Paper II takes the more NORTHERLY root."""
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        h = self._header("CAR", CRVAL2=-30.0, LONPOLE=180.0, LATPOLE=0.0)
+        w = make_wcs(h)
+        assert_allclose(w.rotmat[:, 2], self._unit(30.0, 60.0),
+                        atol=1e-12)
+
     @pytest.mark.parametrize("code", ["CAR", "AIT", "BON"])
     def test_native_pole_degenerate_lonpole(self, code):
         """theta0=0 with LONPOLE=+-90 leaves delta_p unconstrained (the
