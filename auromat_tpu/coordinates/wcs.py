@@ -49,34 +49,71 @@ def celestial_rotation_matrix(ra_ref_deg, dec_ref_deg, lonpole_deg):
     return rz(a) @ rx(b) @ rz(c)
 
 
+def _ctype_code(header):
+    """Projection code from a CTYPE1/CTYPE2 lon/lat pair, or None.
+
+    Accepts any FITS celestial pair — RA---xxx/DEC--xxx and the
+    generic <X>LON-xxx/<X>LAT-xxx systems (GLON/GLAT galactic,
+    ELON/ELAT ecliptic, ...) with matching projection codes; the math
+    is frame-agnostic (the "celestial" frame is whatever lon/lat
+    system the header declares). Longitude must be axis 1 (axis-swapped
+    headers are not supported)."""
+    c1 = header.get("CTYPE1") or ""
+    c2 = header.get("CTYPE2") or ""
+    if not (isinstance(c1, str) and isinstance(c2, str)
+            and len(c1) >= 6 and len(c2) >= 6
+            and c1[4] == "-" and c2[4] == "-" and c1[5:] == c2[5:]):
+        return None
+    lon = c1[:4].rstrip("-")
+    lat = c2[:4].rstrip("-")
+    pair_ok = (lon, lat) == ("RA", "DEC") or (
+        lon.endswith("LON") and lat.endswith("LAT")
+        and lon[:-3] == lat[:-3])
+    return c1[5:] if pair_ok else None
+
+
+def _cd_matrix(header):
+    """The 2x2 linear-transformation matrix from any of its FITS
+    spellings: CDi_j directly; PCi_j x CDELTi (Paper I defaults:
+    PC = identity, CDELT = 1, absent cards = 0/identity entries); or
+    legacy CROTA2 + CDELTi (CD = [[cd1 cos, -cd2 sin], [cd1 sin,
+    cd2 cos]]). astrometry.net always writes CD; the reference reads
+    the other spellings through astropy (reference wcs.py:18-64)."""
+    if any(f"CD{i}_{j}" in header for i in (1, 2) for j in (1, 2)):
+        g = lambda k: float(header.get(k, 0.0))
+        return np.array([[g("CD1_1"), g("CD1_2")],
+                         [g("CD2_1"), g("CD2_2")]])
+    d1 = float(header.get("CDELT1", 1.0))
+    d2 = float(header.get("CDELT2", 1.0))
+    if any(f"PC{i}_{j}" in header for i in (1, 2) for j in (1, 2)):
+        g = lambda k, dflt: float(header.get(k, dflt))
+        pc = np.array([[g("PC1_1", 1.0), g("PC1_2", 0.0)],
+                       [g("PC2_1", 0.0), g("PC2_2", 1.0)]])
+        return np.diag([d1, d2]) @ pc
+    rho = np.deg2rad(float(header.get("CROTA2", 0.0)))
+    return np.array([[d1 * np.cos(rho), -d2 * np.sin(rho)],
+                     [d1 * np.sin(rho), d2 * np.cos(rho)]])
+
+
 def _parse_celestial_header(wcs, header, family_desc):
     """Shared FITS-card parsing for the projection families whose
     fiducial is NOT the native pole (cylindrical/conic/pseudo-*/
-    quad-cube/HEALPix): validates the RA---xxx/DEC--xxx CTYPE pair
-    against ``wcs.SUPPORTED`` and sets projection, ra_ref/dec_ref,
-    px_ref/py_ref, cd, width, height."""
-    c1 = header.get("CTYPE1") or ""
-    c2 = header.get("CTYPE2") or ""
-    code = c1[5:] if (
-        isinstance(c1, str) and isinstance(c2, str)
-        and c1.startswith("RA---") and c2.startswith("DEC--")
-        and c1[5:] == c2[5:]
-    ) else None
+    quad-cube/HEALPix): validates the lon/lat CTYPE pair
+    (:func:`_ctype_code`) against ``wcs.SUPPORTED`` and sets
+    projection, ra_ref/dec_ref, px_ref/py_ref, cd (any FITS spelling,
+    :func:`_cd_matrix`), width, height."""
+    code = _ctype_code(header)
     if code not in wcs.SUPPORTED:
         raise ValueError(
-            f"only RA---/DEC-- {family_desc} projections {wcs.SUPPORTED} "
-            f"are supported here; got {c1!r}/{c2!r}")
+            f"only lon/lat (RA---/DEC--, xLON-/xLAT-) {family_desc} "
+            f"projections {wcs.SUPPORTED} are supported here; got "
+            f"{header.get('CTYPE1')!r}/{header.get('CTYPE2')!r}")
     wcs.projection = code
     wcs.ra_ref = float(header["CRVAL1"])
     wcs.dec_ref = float(header["CRVAL2"])
     wcs.px_ref = float(header["CRPIX1"])
     wcs.py_ref = float(header["CRPIX2"])
-    wcs.cd = np.array(
-        [
-            [float(header["CD1_1"]), float(header["CD1_2"])],
-            [float(header["CD2_1"]), float(header["CD2_2"])],
-        ]
-    )
+    wcs.cd = _cd_matrix(header)
     wcs.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
     wcs.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
 
@@ -107,13 +144,7 @@ class ZenithalWcs:
     SUPPORTED = ("TAN", "SIN", "ZEA", "ARC", "STG")
 
     def __init__(self, header):
-        c1 = header.get("CTYPE1") or ""
-        c2 = header.get("CTYPE2") or ""
-        code = c1[5:] if (
-            isinstance(c1, str) and isinstance(c2, str)
-            and c1.startswith("RA---") and c2.startswith("DEC--")
-            and c1[5:] == c2[5:]
-        ) else None
+        code = _ctype_code(header)
         latpole = float(header.get("LATPOLE", 0.0))
         dec_ref = float(header.get("CRVAL2", 0.0))
         # For zenithal projections the native pole IS the reference point,
@@ -124,9 +155,10 @@ class ZenithalWcs:
         latpole_ok = latpole == 0.0 or abs(latpole - dec_ref) < 1e-9
         if code not in self.SUPPORTED or not latpole_ok:
             raise ValueError(
-                f"only RA---/DEC-- zenithal projections {self.SUPPORTED} "
+                f"only lon/lat zenithal projections {self.SUPPORTED} "
                 f"with LATPOLE in (0, CRVAL2) are supported; got "
-                f"{c1!r}/{c2!r} LATPOLE={header.get('LATPOLE', 0.0)}"
+                f"{header.get('CTYPE1')!r}/{header.get('CTYPE2')!r} "
+                f"LATPOLE={header.get('LATPOLE', 0.0)}"
             )
         self.projection = code
         self.ra_ref = float(header["CRVAL1"])
@@ -134,12 +166,7 @@ class ZenithalWcs:
         self.px_ref = float(header["CRPIX1"])
         self.py_ref = float(header["CRPIX2"])
         self.lonpole = float(header.get("LONPOLE", 180.0))
-        self.cd = np.array(
-            [
-                [float(header["CD1_1"]), float(header["CD1_2"])],
-                [float(header["CD2_1"]), float(header["CD2_2"])],
-            ]
-        )
+        self.cd = _cd_matrix(header)
         self.width = int(header["IMAGEW"]) if "IMAGEW" in header else None
         self.height = int(header["IMAGEH"]) if "IMAGEH" in header else None
         self.rotmat = celestial_rotation_matrix(self.ra_ref, self.dec_ref, self.lonpole)
@@ -1195,7 +1222,8 @@ def make_wcs(header):
     reference wcs.py:18-64 — astrometry.net output is always TAN.)
     """
     c1 = header.get("CTYPE1") or ""
-    code = c1[5:] if isinstance(c1, str) and len(c1) >= 8 else ""
+    code = _ctype_code(header) or (
+        c1[5:] if isinstance(c1, str) and len(c1) >= 8 else "")
     cls = _WCS_FAMILIES.get(code)
     if cls is None:
         if code in ("CSC", "XPH"):

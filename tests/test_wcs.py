@@ -1296,6 +1296,65 @@ class TestFullProjectionCoverage:
         with pytest.raises(ValueError, match="native pole"):
             make_wcs(self._header(code, CRVAL2=10.0, LONPOLE=90.0, **pv))
 
+    def test_pc_cdelt_and_crota_spellings(self):
+        """The linear matrix in its three FITS spellings must parse
+        identically: CD directly, PC x CDELT, and legacy CROTA2 + CDELT
+        (astrometry.net writes CD; other producers write the rest —
+        the reference read them through astropy)."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world
+
+        h_cd = self._header("ZEA")
+        px, py = self._grid()
+        ra0, de0 = (np.asarray(a) for a in pix2world(make_wcs(h_cd),
+                                                     px, py))
+        # PC x CDELT: CD = diag(CDELT) @ PC
+        h_pc = {k: v for k, v in h_cd.items()
+                if not k.startswith("CD")}
+        h_pc.update({"CDELT1": 0.01, "CDELT2": 0.02,
+                     "PC1_1": 0.9, "PC1_2": 0.3,
+                     "PC2_1": -0.1, "PC2_2": 0.55})
+        h_cd2 = dict(h_pc)
+        h_cd2.update({"CD1_1": 0.009, "CD1_2": 0.003,
+                      "CD2_1": -0.002, "CD2_2": 0.011})
+        ra_p, de_p = (np.asarray(a) for a in
+                      pix2world(make_wcs(h_pc), px, py))
+        assert_allclose(ra_p, ra0, atol=1e-12)
+        assert_allclose(de_p, de0, atol=1e-12)
+        # CD wins when both are present
+        ra_b, de_b = (np.asarray(a) for a in
+                      pix2world(make_wcs(h_cd2), px, py))
+        assert_allclose(ra_b, ra0, atol=1e-12)
+        # legacy CROTA2: CD = [[d1 c, -d2 s], [d1 s, d2 c]]
+        h_rot = {k: v for k, v in h_cd.items()
+                 if not k.startswith("CD")}
+        h_rot.update({"CDELT1": 0.01, "CDELT2": 0.012, "CROTA2": 25.0})
+        w = make_wcs(h_rot)
+        r = np.deg2rad(25.0)
+        assert_allclose(
+            w.cd,
+            [[0.01 * np.cos(r), -0.012 * np.sin(r)],
+             [0.01 * np.sin(r), 0.012 * np.cos(r)]], atol=1e-15)
+
+    def test_galactic_axis_pair(self):
+        """GLON-xxx/GLAT-xxx pairs parse for the generic families (the
+        math is frame-agnostic; outputs are in the header's own lon/lat
+        system); mismatched pairs are refused."""
+        from auromat_tpu.coordinates.wcs import make_wcs, pix2world, \
+            world2pix
+
+        h = self._header("AIT")
+        h["CTYPE1"], h["CTYPE2"] = "GLON-AIT", "GLAT-AIT"
+        w = make_wcs(h)
+        px, py = self._grid()
+        lon, lat = pix2world(w, px, py)
+        bx, by = world2pix(w, np.asarray(lon), np.asarray(lat))
+        assert_allclose(np.asarray(bx), px, atol=2e-7)
+        assert_allclose(np.asarray(by), py, atol=2e-7)
+        bad = dict(h)
+        bad["CTYPE2"] = "ELAT-AIT"  # mismatched system
+        with pytest.raises((ValueError, NotImplementedError)):
+            make_wcs(bad)
+
     def test_make_wcs_dispatch_and_validation(self):
         from auromat_tpu.coordinates.wcs import (GeneralZenithalWcs,
                                                  HealpixWcs,
