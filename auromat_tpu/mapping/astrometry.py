@@ -84,6 +84,13 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
         wcs = TanWcs(wcs_header)
     except ValueError:
         wcs = make_wcs(wcs_header)  # any supported FITS projection
+        if (wcs_header.get("CTYPE1") or "")[:5] != "RA---":
+            # the georef chain reads pixel directions as GCRS~ICRS; a
+            # galactic/ecliptic header would be silently mis-framed
+            raise ValueError(
+                "georeferencing needs an equatorial (RA---/DEC--) WCS; "
+                f"got {wcs_header.get('CTYPE1')!r} (use coordinates.wcs."
+                "pix2world directly for non-equatorial imagery)")
         if wcs.width is None or wcs.height is None:
             wcs.width, wcs.height = w, h  # non-astrometry.net headers
     assert (w, h) == (wcs.width, wcs.height), ((w, h), (wcs.width, wcs.height))

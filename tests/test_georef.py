@@ -245,3 +245,18 @@ class TestGenericProjectionGeoref:
     def test_df64_requires_tan(self):
         with pytest.raises(NotImplementedError, match="df64"):
             self._mapping_for("ZEA", dtype="df64")
+
+    def test_non_equatorial_header_refused(self):
+        """The georef chain reads directions as GCRS~ICRS: a galactic
+        header must be refused, not silently mis-framed."""
+        from auromat_tpu.io.image import load_image
+        from auromat_tpu.mapping.astrometry import create_mapping
+
+        header = dict(fits.read_header(
+            os.path.join(RES, "ISS030-E-102170_dc.wcs")))
+        header["CTYPE1"], header["CTYPE2"] = "GLON-ZEA", "GLAT-ZEA"
+        img = load_image(os.path.join(RES, "ISS030-E-102170_dc.jpg"))
+        pos = fits.get_shifted_spacecraft_position(header)[:3]
+        with pytest.raises(ValueError, match="equatorial"):
+            create_mapping(header, img, pos, fits.get_photo_time(header),
+                           altitude=110.0)
