@@ -222,6 +222,16 @@ def main(argv=None):
                      else f"{args.platform},cpu")
         try:
             jax.config.update("jax_platforms", platforms)
+            jax.devices()  # init now: surface a broken selection here
+        except RuntimeError as e:
+            # e.g. a machine whose accelerator registers under an
+            # experimental platform name (the requested one fails to
+            # initialize): fall back to jax's own default selection,
+            # which picks the registered accelerator
+            jax.config.update("jax_platforms", "")
+            print(f"warning: platform {args.platform!r} failed to "
+                  f"initialize ({e}); using jax default selection",
+                  file=sys.stderr)
         except Exception as e:  # backend already initialised
             print(f"warning: cannot select platform {args.platform}: {e}",
                   file=sys.stderr)

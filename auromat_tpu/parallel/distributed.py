@@ -74,10 +74,15 @@ def is_multi_process():
 def global_mesh(dp=None, sp=None):
     """(dp, sp) mesh over the GLOBAL device list.
 
-    With hosts varying along dp (the default global device order groups a
-    host's devices together and dp is the leading mesh axis), frame batches
-    shard across hosts over DCN while the row/band collectives of one frame
-    group stay on the host's ICI.
+    The default global device order groups a host's devices together and
+    dp is the leading mesh axis, so frame batches shard across hosts.
+    NOTE the mosaic step's partial-grid reduce-scatter runs over the
+    FLATTENED (dp, sp) mesh: combining every host's partials into the
+    band owners is a global reduction, so with multiple hosts that
+    traffic necessarily crosses DCN regardless of the (dp, sp) split —
+    the mesh shape controls band ownership and batch sharding, not
+    whether DCN is used. Size the per-burst batch to amortize it (the
+    reduction is once per burst, not per frame).
     """
     from auromat_tpu.parallel.sharding import make_mesh
 

@@ -17,6 +17,11 @@ def _params(name="ISS030-E-102170_dc", altitude=110.0):
     wcs = TanWcs(header)
     shifted = fits.get_shifted_spacecraft_position(header)
     pos = shifted[:3] if shifted else fits.get_spacecraft_position(header)
+    # deliberately the RAW DATE-OBS: the committed golden_georef grids
+    # were generated with this pairing — these tests pin KERNEL parity
+    # for stated inputs (production pairs the SHIFTED photo time,
+    # spacecraft.resolve_camera_position; gated by the end-to-end
+    # resample goldens)
     return GeorefParams.from_wcs(wcs, pos, fits.get_photo_time(header), altitude)
 
 

@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from bench import _probe_backend
+
+    # fail fast (exit 3) instead of hanging when axon is dead
+    _probe_backend(attempts=1)
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -45,7 +49,7 @@ def main():
     wcs = TanWcs(header)
     params = GeorefParams.from_wcs(
         wcs, fits.get_shifted_spacecraft_position(header)[:3],
-        fits.get_photo_time(header), altitude=110.0)
+        fits.get_shifted_photo_time(header), altitude=110.0)
     h, w = params.height, params.width
     mpix = h * w / 1e6
 

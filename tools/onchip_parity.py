@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def main():
+    from bench import _probe_backend
+
+    # fail fast (exit 3) instead of hanging when axon is dead; one
+    # attempt — this is an interactive tool, not the driver's bench
+    _probe_backend(attempts=1)
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -33,7 +38,13 @@ def main():
     from auromat_tpu.ops.georef import (GeorefParams,
                                         georeference_points_df64_full)
 
-    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    if jax.default_backend() != "tpu":
+        # the harness exists solely for TPU-only hazards (MXU bf16
+        # defaults, the TPU-only Dekker _two_prod); a CPU run would
+        # validate none of them and report a false green
+        sys.exit(f"refusing to run on backend "
+                 f"{jax.default_backend()!r}: this harness only means "
+                 "anything ON the TPU")
     res = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "tests", "resources")
     name = "ISS030-E-102170_dc"
@@ -42,6 +53,10 @@ def main():
     p = GeorefParams.from_wcs(
         TanWcs(header),
         np.array(fits.get_shifted_spacecraft_position(header)[:3]),
+        # NOTE deliberately the RAW DATE-OBS: the committed golden grids
+        # were generated with this pairing, and this harness pins KERNEL
+        # parity for stated inputs (production pairs the SHIFTED time —
+        # spacecraft.resolve_camera_position)
         fits.get_photo_time(header), float(golden["altitude"]))
     px, py = np.meshgrid(golden["xs"] - 0.5, golden["ys"] - 0.5)
     out = georeference_points_df64_full(p, px.astype(np.float32),
@@ -76,7 +91,8 @@ def main():
     print(f"elevation: max |df64(TPU) - f64(CPU)| = {d.max():.3e} deg")
     worst = max(worst, d.max())
 
-    assert worst < 1e-6, f"on-chip parity broken: {worst}"
+    if not worst < 1e-6:  # explicit: a bare assert vanishes under -O
+        sys.exit(f"ON-CHIP PARITY BROKEN: worst {worst:.3e} >= 1e-6")
     print(f"ON-CHIP PARITY OK (worst {worst:.3e} deg-equivalent < 1e-6)")
 
 
