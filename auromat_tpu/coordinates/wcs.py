@@ -6,10 +6,10 @@ falls back to astropy for anything else (reference wcs.py:18-64). Here the
 full FITS Paper II projection catalogue is first-party math — zenithal
 (TAN/SIN/ZEA/ARC/STG + AZP/SZP/ZPN/AIR), cylindrical (CAR/CEA/MER/CYP),
 conic (COP/COE/COD/COO), pseudo-cylindrical (SFL/PAR/MOL/AIT),
-pseudo-conic (BON/PCO), quad-cube (TSC/QSC) and HEALPix (HPX) — built by
-:func:`make_wcs` and driven through :func:`pix2world`/:func:`world2pix`;
-only CSC (a third-party polynomial coefficient table, not math) is
-excluded. The flagship fused georef path stays TAN-only (astrometry.net
+pseudo-conic (BON/PCO), quad-cube (TSC/QSC) and HEALPix (HPX + the XPH
+butterfly) — built by :func:`make_wcs` and driven through
+:func:`pix2world`/:func:`world2pix`; only CSC (a third-party polynomial
+coefficient table, not math) is excluded. The flagship fused georef path stays TAN-only (astrometry.net
 always emits RA---TAN/DEC--TAN solutions).
 
 Math (FITS Paper II, Calabretta & Greisen 2002):
@@ -1190,6 +1190,97 @@ class HealpixWcs:
         return (jnp.where(eq, pd, x_p), jnp.where(eq, y_e, y_p))
 
 
+class XphWcs(ZenithalWcs):
+    """HEALPix polar, aka "butterfly" (XPH; Calabretta & Lowe 2013,
+    PASA 30): the HEALPix H=4, K=3 map rearranged into four wings around
+    the north pole. The reference reaches XPH only through its astropy
+    fallback (reference wcs.py:18-64).
+
+    Construction (per-wing rigid motion of the HPX plane): the sphere is
+    split into four longitude quarters m = 0..3 with central meridians
+    phi_c = 90 m - 135. Within a wing, (u, v) are the HPX facet-column
+    coordinates translated so the north pole sits at the origin
+    (xi = phi - phi_c in [-45, 45]; with z = sin theta):
+
+      equatorial |z| <= 2/3:  u = xi,        v = 67.5 z - 90
+      north z > 2/3:          u = xi sigma,  v = -45 sigma
+      south z < -2/3:         u = xi sigma,  v = 45 sigma - 180
+      sigma = sqrt(3 (1 - |z|))
+
+    so v runs from 0 (north pole) through -90 (equator) to -180 (south
+    pole), matching :class:`HealpixWcs` exactly (u = x_HPX - phi_c,
+    v = y_HPX - 90). The wing is then rotated by phi_c — the direct
+    continuation of the zenithal azimuth rule x = R sin(phi),
+    y = -R cos(phi), with the azimuth quantized to the wing's central
+    meridian: x = u cos(phi_c) - v sin(phi_c), y = u sin(phi_c)
+    + v cos(phi_c). The wings point along the plane diagonals with the
+    polar gores opening along the axes; the south poles sit at the four
+    points (+-180/sqrt2, +-180/sqrt2). Equal-area with the same constant
+    Jacobian 67.5 deg^2 per unit (phi_deg, z) as HPX. Fiducial
+    (phi0, theta0) = (0, 90) — zenithal-style, so the native pole is
+    CRVAL and the celestial rotation is inherited unchanged from
+    :class:`ZenithalWcs`. No PV parameters.
+    """
+
+    SUPPORTED = ("XPH",)
+
+    @staticmethod
+    def _wing_centre_sincos(m):
+        # phi_c = 90 m - 135 -> sin/cos are exact +-1/sqrt(2) patterns;
+        # computed via the angle for clarity (host/trace-time cheap).
+        phic = 90.0 * m - 135.0
+        t = jnp.deg2rad(phic)
+        return phic, jnp.sin(t), jnp.cos(t)
+
+    def native_from_plane(self, x, y):
+        """Projection-plane (x, y) degrees -> native (phi, theta)
+        radians; the gores along the axes and points beyond the wing
+        tips yield NaN."""
+        # wing from the diagonal quadrant (half-open on the axes)
+        m = jnp.where(x < 0.0, jnp.where(y < 0.0, 1.0, 0.0),
+                      jnp.where(y < 0.0, 2.0, 3.0))
+        phic, s, c = self._wing_centre_sincos(m)
+        u = x * c + y * s
+        v = -x * s + y * c
+        north = v >= -45.0
+        south = v < -135.0
+        # polar zones: sigma from the radial coordinate
+        sig = jnp.where(north, -v / 45.0, (v + 180.0) / 45.0)
+        sig_c = jnp.clip(sig, 0.0, 1.0)
+        pole = sig_c < 1e-12
+        xi_p = jnp.where(pole, 0.0, u / jnp.where(pole, 1.0, sig_c))
+        z_p = jnp.where(north, 1.0, -1.0) * (1.0 - sig_c * sig_c / 3.0)
+        ok_p = (sig >= -1e-12) & (jnp.abs(u) <= 45.0 * sig_c + 1e-9)
+        # equatorial band
+        z_e = (v + 90.0) / 67.5
+        ok_e = jnp.abs(u) <= 45.0 + 1e-9
+        eq = ~north & ~south
+        z = jnp.where(eq, z_e, z_p)
+        xi = jnp.where(eq, u, xi_p)
+        ok = jnp.where(eq, ok_e, ok_p) & (v <= 1e-9) & (v >= -180.0 - 1e-9)
+        phi = jnp.deg2rad(phic + xi)
+        theta = jnp.arcsin(jnp.clip(z, -1.0, 1.0))
+        bad = ~ok
+        return (jnp.where(bad, jnp.nan, phi),
+                jnp.where(bad, jnp.nan, theta))
+
+    def plane_from_native(self, phi, theta):
+        """Native (phi, theta) radians -> projection-plane (x, y)
+        degrees; phi wrapped into [-180, 180)."""
+        pd = (jnp.rad2deg(phi) + 180.0) % 360.0 - 180.0
+        m = jnp.clip(jnp.floor((pd + 180.0) / 90.0), 0.0, 3.0)
+        phic, s, c = self._wing_centre_sincos(m)
+        xi = pd - phic
+        z = jnp.sin(theta)
+        eq = jnp.abs(z) <= 2.0 / 3.0
+        sig = jnp.sqrt(jnp.maximum(3.0 * (1.0 - jnp.abs(z)), 0.0))
+        u = jnp.where(eq, xi, xi * sig)
+        v = jnp.where(eq, 67.5 * z - 90.0,
+                      jnp.where(theta >= 0.0, -45.0 * sig,
+                                45.0 * sig - 180.0))
+        return u * c - v * s, u * s + v * c
+
+
 #: projection code -> WCS class, the dispatch table of :func:`make_wcs`
 _WCS_FAMILIES = {
     **{c: ZenithalWcs for c in ZenithalWcs.SUPPORTED},
@@ -1200,6 +1291,7 @@ _WCS_FAMILIES = {
     **{c: PseudoConicWcs for c in PseudoConicWcs.SUPPORTED},
     **{c: QuadCubeWcs for c in QuadCubeWcs.SUPPORTED},
     **{c: HealpixWcs for c in HealpixWcs.SUPPORTED},
+    **{c: XphWcs for c in XphWcs.SUPPORTED},
 }
 
 
@@ -1214,7 +1306,8 @@ def make_wcs(header):
     :class:`ConicWcs`), pseudo-cylindrical (SFL/PAR/MOL/AIT ->
     :class:`PseudoCylindricalWcs`), pseudo-conic (BON/PCO ->
     :class:`PseudoConicWcs`), quad-cube (TSC/QSC ->
-    :class:`QuadCubeWcs`) and HEALPix (HPX -> :class:`HealpixWcs`).
+    :class:`QuadCubeWcs`) and HEALPix (HPX -> :class:`HealpixWcs`,
+    XPH butterfly -> :class:`XphWcs`).
     That is every Paper II projection except CSC — the COBE polynomial
     *approximation* of the quad-cube, whose defining coefficient tables
     are third-party data, not math; TSC/QSC cover the cube exactly.
@@ -1226,12 +1319,9 @@ def make_wcs(header):
         c1[5:] if isinstance(c1, str) and len(c1) >= 8 else "")
     cls = _WCS_FAMILIES.get(code)
     if cls is None:
-        if code in ("CSC", "XPH"):
+        if code == "CSC":
             hint = (" CSC is the COBE polynomial approximation of the "
-                    "quad-cube — use the exact TSC/QSC instead."
-                    if code == "CSC" else
-                    " XPH (polar HEALPix butterfly) is not implemented —"
-                    " use HPX.")
+                    "quad-cube — use the exact TSC/QSC instead.")
         else:
             hint = ""
         raise NotImplementedError(
@@ -1242,7 +1332,8 @@ def make_wcs(header):
             f"conic family {ConicWcs.SUPPORTED}, the pseudo-cylindrical "
             f"family {PseudoCylindricalWcs.SUPPORTED}, the pseudo-conic "
             f"family {PseudoConicWcs.SUPPORTED}, the quad-cube family "
-            f"{QuadCubeWcs.SUPPORTED} and {HealpixWcs.SUPPORTED}")
+            f"{QuadCubeWcs.SUPPORTED} and the HEALPix pair "
+            f"{HealpixWcs.SUPPORTED + XphWcs.SUPPORTED}")
     return cls(header)
 
 

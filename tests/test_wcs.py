@@ -933,7 +933,7 @@ class TestPseudoCylindricalProjections:
         assert isinstance(make_wcs(self._header("AIT")),
                           PseudoCylindricalWcs)
         with pytest.raises(NotImplementedError, match="SFL"):
-            make_wcs(self._header("XPH"))
+            make_wcs(self._header("CSC"))
 
 
 class TestFullProjectionCoverage:
@@ -981,6 +981,7 @@ class TestFullProjectionCoverage:
         ("TSC", {}),
         ("QSC", {}),
         ("HPX", {}),
+        ("XPH", {}),
     ])
     def test_roundtrip(self, code, pv):
         from auromat_tpu.coordinates.wcs import (make_wcs, pix2world,
@@ -994,7 +995,7 @@ class TestFullProjectionCoverage:
         assert_allclose(np.asarray(bx), px, atol=2e-7)
         assert_allclose(np.asarray(by), py, atol=2e-7)
 
-    @pytest.mark.parametrize("code", ["TSC", "QSC", "HPX"])
+    @pytest.mark.parametrize("code", ["TSC", "QSC", "HPX", "XPH"])
     def test_allsky_sky_fixpoint(self, code):
         """At a 1.7 deg/px scale the grid spans multiple cube faces /
         HEALPix zones; world2pix may land on a different (equivalent)
@@ -1204,6 +1205,67 @@ class TestFullProjectionCoverage:
         assert abs(float(lo[0][0]) - float(hi[0][0])) < 1e-6
         assert abs(float(lo[1][0]) - float(hi[1][0])) < 1e-6
 
+    def test_xph_butterfly_geometry_and_hpx_congruence(self):
+        """XPH is the HPX (H=4, K=3) map rearranged per wing by a rigid
+        motion: translate the north-pole apex of the facet column to the
+        origin, rotate by the wing's central meridian phi_c = 90 m - 135
+        (the zenithal azimuth rule with phi quantized to phi_c). Gates:
+        (a) exact congruence with the independently validated
+        :class:`HealpixWcs` under that motion, (b) the pole at the
+        origin, the equator at radius 90 on wing centres, the south
+        poles at (+-180/sqrt2, +-180/sqrt2), (c) the equal-area Jacobian
+        67.5 deg^2 per (phi_deg, sin theta) everywhere off the zone
+        boundary."""
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        w = make_wcs(self._header("XPH"))
+        hh = self._header("HPX")
+        hh["CRVAL2"] = 0.0  # HPX fiducial is (0, 0)
+        hp = make_wcs(hh)
+
+        rng = np.random.default_rng(7)
+        phi = np.deg2rad(rng.uniform(-179.9, 179.9, 4000))
+        th = np.deg2rad(rng.uniform(-89.9, 89.9, 4000))
+        x, y = (np.asarray(a) for a in w.plane_from_native(phi, th))
+        X, Y = (np.asarray(a) for a in hp.plane_from_native(phi, th))
+        pd = (np.rad2deg(phi) + 180.0) % 360.0 - 180.0
+        phic = 90.0 * np.clip(np.floor((pd + 180.0) / 90.0), 0, 3) - 135.0
+        u, v = X - phic, Y - 90.0
+        c, s = np.cos(np.deg2rad(phic)), np.sin(np.deg2rad(phic))
+        assert_allclose(u * c - v * s, x, atol=1e-11)
+        assert_allclose(u * s + v * c, y, atol=1e-11)
+
+        # (b) checkpoints
+        p0 = [np.asarray(a) for a in
+              w.plane_from_native(np.array([0.0]), np.array([np.pi / 2]))]
+        assert_allclose(np.hypot(p0[0], p0[1]), 0.0, atol=1e-12)
+        t = 180.0 / np.sqrt(2.0)
+        for pc, sx, sy in [(-135.0, -1, 1), (-45.0, -1, -1),
+                           (45.0, 1, -1), (135.0, 1, 1)]:
+            xe, ye = (np.asarray(a) for a in w.plane_from_native(
+                np.deg2rad(np.array([pc])), np.array([0.0])))
+            assert_allclose(np.hypot(xe, ye), 90.0, atol=1e-12)
+            xs, ys = (np.asarray(a) for a in w.plane_from_native(
+                np.deg2rad(np.array([pc])), np.array([-np.pi / 2])))
+            assert_allclose([xs[0], ys[0]], [sx * t, sy * t], atol=1e-12)
+
+        # (c) equal-area Jacobian in (phi_deg, z = sin theta)
+        eps = 1e-6
+        pdeg = rng.uniform(-179.0, 179.0, 1500)
+        z = rng.uniform(-0.99, 0.99, 1500)
+        keep = np.abs(np.abs(z) - 2.0 / 3.0) > 1e-3
+        pdeg, z = pdeg[keep], z[keep]
+
+        def fwd(p, zz):
+            a, b = w.plane_from_native(np.deg2rad(p), np.arcsin(zz))
+            return np.asarray(a), np.asarray(b)
+
+        x1, y1 = fwd(pdeg, z)
+        x2, y2 = fwd(pdeg + eps, z)
+        x3, y3 = fwd(pdeg, z + eps)
+        jac = np.abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / eps**2
+        assert_allclose(jac, 67.5, rtol=1e-3)
+
     def test_out_of_map_is_nan(self):
         """Polar gores (HPX), off-cross plane regions (quad-cube), and
         radii beyond the monotone range (ZPN/AIR) must yield NaN."""
@@ -1211,6 +1273,9 @@ class TestFullProjectionCoverage:
 
         for code, pv, x, y in [
             ("HPX", {}, np.array([10.0]), np.array([80.0])),
+            # +x axis: the wings meet only out to 90/sqrt(2) ~ 63.6 (the
+            # polar-facet edges); beyond is the gore / past the tips
+            ("XPH", {}, np.array([100.0, 300.0]), np.array([0.0, 0.0])),
             ("TSC", {}, np.array([135.0]), np.array([80.0])),
             # the equatorial band wraps (face 4 may be drawn at -90), so
             # off-cross means off the polar column with |y| > 45
@@ -1359,7 +1424,8 @@ class TestFullProjectionCoverage:
         from auromat_tpu.coordinates.wcs import (GeneralZenithalWcs,
                                                  HealpixWcs,
                                                  PseudoConicWcs,
-                                                 QuadCubeWcs, make_wcs)
+                                                 QuadCubeWcs, XphWcs,
+                                                 make_wcs)
 
         assert isinstance(make_wcs(self._header("AZP")),
                           GeneralZenithalWcs)
@@ -1367,10 +1433,9 @@ class TestFullProjectionCoverage:
                           PseudoConicWcs)
         assert isinstance(make_wcs(self._header("QSC")), QuadCubeWcs)
         assert isinstance(make_wcs(self._header("HPX")), HealpixWcs)
+        assert isinstance(make_wcs(self._header("XPH")), XphWcs)
         with pytest.raises(NotImplementedError, match="COBE"):
             make_wcs(self._header("CSC"))
-        with pytest.raises(NotImplementedError, match="HPX"):
-            make_wcs(self._header("XPH"))
         with pytest.raises(ValueError, match="PV2_1"):
             make_wcs(self._header("BON"))
         with pytest.raises(ValueError, match="gamma"):
