@@ -145,17 +145,34 @@ def convert_mosaic(provider, args, out_folder):
     """
     import numpy as np
 
-    from auromat_tpu.mapping.mapping import Mapping
     from auromat_tpu.ops.regrid import fixed_grid
     from auromat_tpu.parallel import make_mesh, mosaic_sequence
-    from auromat_tpu.resample import _finalize_int_image
+    from auromat_tpu.resample import _finalize_int_image, grid_mapping
 
     if not hasattr(provider, "iterParamBursts"):
         print("error: --mosaic needs a spacecraft source (image+wcs pairs)",
               file=sys.stderr)
         return None
+    # skip-existing FIRST (identifier derives from the folder alone):
+    # resume must not pay a device compile + the full sequence stream
+    identifier = (os.path.basename(os.path.normpath(args.folder))
+                  + ".mosaic")
+    ext = ".cdf" if args.format == "cdf" else ".nc"
+    out_path = os.path.join(out_folder, f"{identifier}{ext}")
+    if os.path.exists(out_path) and not args.overwrite:
+        print(f"skipping {out_path} (exists)")
+        return out_path
+    if not args.mosaic > 0:
+        print(f"error: --mosaic must be a positive deg/cell size, got "
+              f"{args.mosaic}", file=sys.stderr)
+        return None
     if args.mosaic_extent is not None:
         s, n, w, e = args.mosaic_extent
+        if not (-90.0 <= s < n <= 90.0) or not (-180.0 <= w < e <= 180.0):
+            print("error: --mosaic-extent wants SOUTH NORTH WEST EAST with "
+                  f"south < north and west < east (no antimeridian "
+                  f"crossing); got {args.mosaic_extent}", file=sys.stderr)
+            return None
     else:
         # global; epsilon keeps the inclusive +-90/+-180 edges out of the
         # open-ended last bin (same shape as the config-5 grid)
@@ -176,29 +193,23 @@ def convert_mosaic(provider, args, out_folder):
     print(f"mosaicking onto a {grid.n_lat} x {grid.n_lon} grid "
           f"({args.mosaic} deg/cell), {dp}-device mesh, burst size {batch}, "
           f"{bin_method} binning")
+    # the product's time stamp = first frame ACTUALLY included (range
+    # ignores --start/--end and could name an excluded frame)
+    first, _ = provider.timeRange(args.start, args.end)
+    if first is None:
+        print("error: no timed frames in the requested range",
+              file=sys.stderr)
+        return None
     count, means = mosaic_sequence(
         mesh, grid, provider.iterParamBursts(args.start, args.end,
                                              batch=batch), batch=batch,
-        bin_method=bin_method)
+        bin_method=bin_method, min_elevation=args.min_elevation)
     count = np.asarray(count)[: grid.n_lat]
     means = np.asarray(means, dtype=np.float64)[: grid.n_lat]
     img_r = _finalize_int_image(means[..., :3], np.uint8)
     elev_r = means[..., 3]
-    lat_grid, lon_grid = grid.corner_grids()
-    lat_grid_c, lon_grid_c = grid.center_grids()
-    first, _ = provider.range
-    identifier = (os.path.basename(os.path.normpath(args.folder))
-                  + ".mosaic")
-    mapping = Mapping(lat_grid, lon_grid, lat_grid_c, lon_grid_c, elev_r,
-                      provider.altitude, img_r, np.full(3, np.nan), first,
-                      identifier)
-    if args.min_elevation is not None:
-        mapping = mapping.maskedByElevation(args.min_elevation)
-    ext = ".cdf" if args.format == "cdf" else ".nc"
-    out_path = os.path.join(out_folder, f"{identifier}{ext}")
-    if os.path.exists(out_path) and not args.overwrite:
-        print(f"skipping {out_path} (exists)")
-        return out_path
+    mapping = grid_mapping(grid, img_r, elev_r, provider.altitude, first,
+                           identifier)
     if args.format == "cdf":
         from auromat_tpu.export import cdf as writer
     else:

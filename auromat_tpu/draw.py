@@ -128,10 +128,14 @@ def _draw_lsmask(ax, lat0, lon0, ocean_color="0.8", land_color="0.6",
     """Filled land/sea background (reference draw.py:345 ``drawlsmask``,
     same ocean_color='0.8'/land_color='0.6'): an ocean disk covering the
     plotted near hemisphere, with the bundled closed land rings
-    (auromat_tpu.coastlines.land_rings) filled on top. Rings are clipped
-    to the near hemisphere by dropping far-side vertices — an approximate
-    clip consistent with the coastline-polyline masking and the bundled
-    dataset's coarse fidelity."""
+    (auromat_tpu.coastlines.land_rings) filled on top. Far-side ring
+    vertices are clamped RADIALLY onto the cap circle (the stereographic
+    image of the far hemisphere is the disk exterior, so azimuths stay
+    correct): the ring stays closed and hidden arcs ride the horizon
+    instead of chording across the visible map, which could paint ocean
+    as land between disjoint visible arcs. (A ring enclosing the exact
+    antipode would still over-fill — not reachable from the bundled
+    rings for real auroral footprint centres.)"""
     import matplotlib.patches as mpatches
 
     from auromat_tpu.coastlines import land_rings, near_hemisphere
@@ -146,9 +150,16 @@ def _draw_lsmask(ax, lat0, lon0, ocean_color="0.8", land_color="0.6",
                                min_cos=min_cos)
         if not near.any():
             continue
-        x, y = stereographic_project(ring[near, 0], ring[near, 1],
-                                     lat0, lon0)
-        ax.fill(x, y, facecolor=land_color, edgecolor="none", zorder=0.5)
+        x, y = stereographic_project(ring[:, 0], ring[:, 1], lat0, lon0)
+        r = np.hypot(x, y)
+        # keep only vertices whose projection is finite (a vertex at the
+        # exact antipode diverges); then clamp |r| to the cap
+        finite = np.isfinite(r)
+        x, y, r = x[finite], y[finite], r[finite]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scale = np.where(r > r_cap, r_cap / r, 1.0)
+        ax.fill(x * scale, y * scale, facecolor=land_color,
+                edgecolor="none", zorder=0.5)
 
 
 def draw_stereographic(mapping_or_collection, mlatmlt=False, *,

@@ -131,6 +131,21 @@ class SpacecraftMappingProvider(BaseMappingProvider):
             raise ValueError("no image/wcs pairs found")
         return idx[0]["time"], idx[-1]["time"]
 
+    def timeRange(self, dateBegin=None, dateEnd=None):
+        """(first, last) photo times of the frames a
+        dateBegin/dateEnd-filtered sequence (getSequence/
+        getSequenceBatched/iterParamBursts — shared filter) actually
+        includes; (None, None) if nothing timed is in range. Unlike
+        :attr:`range` this respects the query window — sequence-level
+        products (CLI ``--mosaic``) must not be stamped with the time of
+        an excluded frame."""
+        times = [e["time"]
+                 for chunk in self._iter_entry_chunks(dateBegin, dateEnd, 1)
+                 for e in chunk if e["time"] is not None]
+        if not times:
+            return None, None
+        return times[0], times[-1]
+
     def contains(self, date):
         idx = self._build_index()
         return any(

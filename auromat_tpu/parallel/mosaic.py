@@ -51,7 +51,7 @@ def null_georef_params(like: GeorefParams) -> GeorefParams:
 def mosaic_sequence(mesh: Mesh, grid: GridSpec, bursts, batch=8,
                     bin_method="pallas", dtype=jnp.float32,
                     chunk_rows=None, interpret=False,
-                    slab_budget_bytes=None):
+                    slab_budget_bytes=None, min_elevation=None):
     """Mosaic a whole frame sequence through the grid-sharded step.
 
     :param bursts: iterable of (params_list, imgs) — same-shaped frame
@@ -60,6 +60,9 @@ def mosaic_sequence(mesh: Mesh, grid: GridSpec, bursts, batch=8,
         (B, h, w, 3) float (0..255 uint8-valued — the kernel contract).
         Groups may have ANY length; they are re-chunked/padded to ``batch``.
     :param batch: frames per compiled step call; must divide by mesh dp.
+    :param min_elevation: mask samples below this elevation (degrees)
+        BEFORE binning — the per-pixel ``maskedByElevation`` semantics of
+        the per-frame convert path, inside the device step.
     :returns: (count, means) GLOBAL jax.Arrays of shape
         (band * n_dev, n_lon[, 4]) sharded row-band-wise over the mesh
         (rows >= grid.n_lat are padding — slice on the host). means
@@ -93,7 +96,7 @@ def mosaic_sequence(mesh: Mesh, grid: GridSpec, bursts, batch=8,
                 mesh, grid, h, w, channels=3, dtype=dtype,
                 bin_method=bin_method, chunk_rows=chunk_rows,
                 interpret=interpret, slab_budget_bytes=slab_budget_bytes,
-                finalize=False)
+                finalize=False, min_elevation=min_elevation)
         dyn = DynGeorefParams.stack(params, dtype=dtype)
         cnt, sums = steps[key](dyn, np.asarray(imgs, np.float32))
         total = (cnt, sums) if total is None else _acc(total, cnt, sums)

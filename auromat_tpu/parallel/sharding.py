@@ -126,7 +126,8 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
                                   channels=3, dtype=jnp.float32,
                                   with_elevation=True, bin_method="sorted",
                                   chunk_rows=None, interpret=False,
-                                  slab_budget_bytes=None, finalize=True):
+                                  slab_budget_bytes=None, finalize=True,
+                                  min_elevation=None):
     """Mission-scale mosaic step: the GRID is sharded, not just the samples.
 
     ``make_sharded_mosaic_step`` psums dense full-grid partials onto every
@@ -164,6 +165,12 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     accumulate partials across step calls (same sharding) and finalize
     once at the end (:func:`mosaic_sequence`).
 
+    ``min_elevation`` (degrees) masks SAMPLES below the threshold before
+    binning — the device equivalent of ``Mapping.maskedByElevation``
+    before ``resample`` (reference cli/convert.py:187-196 semantics:
+    horizon-distorted pixels never enter the bins, unlike masking the
+    per-cell mean elevation afterwards). Requires ``with_elevation``.
+
     Reference scale anchor: auromat's convert pipeline writes one sequence
     = 172 GB (docs/userguide/index.rst:66-78); the hot loop this keeps fast
     at mosaic scale is auromat/resample.py:328-351; SURVEY.md P6/P7.
@@ -181,6 +188,9 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
     chunk_rows = min(chunk_rows, band)
     n_chunks = -(-band // chunk_rows)
     n_ch = channels + (1 if with_elevation else 0)
+    if min_elevation is not None and not with_elevation:
+        raise ValueError("min_elevation needs with_elevation=True "
+                         "(the mask tests the per-sample elevation)")
     if bin_method == "pallas":
         if channels != 3 or not with_elevation:
             raise ValueError(
@@ -206,6 +216,11 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
 
         lat, lon, data = jax.vmap(per_frame)(dyn_local, imgs_local)
         flat_idx, valid = bin_indices(grid, jnp.ravel(lat), jnp.ravel(lon))
+        if min_elevation is not None:
+            # pre-binning sample mask (Mapping.maskedByElevation-before-
+            # resample semantics); NaN elevation compares False -> stays
+            # invalid
+            valid = valid & (jnp.ravel(data[..., -1]) >= min_elevation)
         iy = (flat_idx // n_lon).astype(jnp.int32)
         ix = (flat_idx % n_lon).astype(jnp.int32)
 

@@ -87,7 +87,12 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
         on CPU; ON TPU this auto-routes to the device path below — the
         reference's recommended production method (reference
         resample.py:323-329) should not fall back to a host KD-tree when a
-        device is present. Pass 'nearest_host' to force scipy anywhere)
+        device is present. CAVEAT: the TPU probe only inspects an
+        ALREADY-initialized jax backend (initializing here can hang on a
+        dead remote backend), so on a TPU machine the route — and with it
+        the ~2% of tie-break cells — depends on whether any jax op ran
+        earlier in the process. Pin 'nearest_device' or 'nearest_host'
+        explicitly when cross-run cell-level determinism matters)
         | 'nearest_device' (TPU jump-flood Voronoi, ops.regrid.bin_nearest;
         same outline masking; ~2% of cells may pick a
         different-but-equidistant/nearby sample than the KD-tree — see the
@@ -306,6 +311,19 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
         img_r = _finalize_int_image(img_r, img_dtype)
     if n_ch == 1:
         img_r = img_r[..., 0]
+    return grid_mapping(grid, img_r, elev_r, altitude,
+                        mappings[0].photoTime, f"{identifier}.mosaic",
+                        shift=shift)
+
+
+def grid_mapping(grid, img_r, elev_r, altitude, photo_time, identifier,
+                 shift=False):
+    """Assemble a mosaic :class:`Mapping` from a plate-carree
+    :class:`~auromat_tpu.ops.regrid.GridSpec` and finalized per-cell
+    channels — the shared tail of :func:`mosaic` and the CLI
+    ``--mosaic`` path (camera_pos is NaN: a mosaic has no single camera).
+    ``shift=True`` unwraps +180-deg-shifted longitudes (the
+    discontinuity-handling convention of :func:`resample`)."""
     lat_grid, lon_grid = grid.corner_grids()
     lat_grid_c, lon_grid_c = grid.center_grids()
     if shift:
@@ -313,8 +331,7 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
         lon_grid_c = _wrap_lon_np(lon_grid_c + 180.0)
     return Mapping(
         lat_grid, lon_grid, lat_grid_c, lon_grid_c, elev_r, altitude, img_r,
-        np.full(3, np.nan), mappings[0].photoTime,
-        f"{identifier}.mosaic",
+        np.full(3, np.nan), photo_time, identifier,
     )
 
 

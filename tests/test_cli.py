@@ -212,6 +212,96 @@ class TestBatchedPipeline:
             [spacecraft_folder2, "--mosaic", "0.25"])
         assert convert.convert_mosaic(object(), args, str(out)) is None
 
+    def test_convert_mosaic_validation_and_early_skip(
+            self, spacecraft_folder2, tmp_path):
+        out = tmp_path / "outv"
+        out.mkdir()
+        # bad cell size / extents fail fast with rc 1 (an actionable CLI
+        # message, not an AssertionError inside fixed_grid)
+        for extra in (
+            ["--mosaic", "0"],
+            ["--mosaic", "0.25",
+             "--mosaic-extent", "-10", "10", "170", "-170"],  # antimeridian
+            ["--mosaic", "0.25",
+             "--mosaic-extent", "62", "47", "-112", "-91"],  # inverted
+        ):
+            rc = convert.main([spacecraft_folder2, *extra,
+                               "--format", "netcdf", "--out", str(out)])
+            assert rc == 1
+        # skip-if-exists fires BEFORE any streaming/compile (resume over
+        # an already-written mosaic must not pay the device pipeline): a
+        # provider that explodes on ANY use past the hasattr probe is
+        # never touched
+        target = out / "data2.mosaic.nc"
+        target.write_bytes(b"")
+
+        class Explosive:
+            iterParamBursts = None  # satisfies the capability probe
+
+            def __getattr__(self, name):
+                raise AssertionError(f"provider touched: {name}")
+
+        args = convert.build_parser().parse_args(
+            [spacecraft_folder2, "--mosaic", "0.25",
+             "--format", "netcdf", "--out", str(out)])
+        assert convert.convert_mosaic(Explosive(), args, str(out)) \
+            == str(target)
+
+    def test_convert_mosaic_premask_and_time_stamp(
+            self, spacecraft_folder2, tmp_path, monkeypatch):
+        """--min-elevation reaches mosaic_sequence as a PRE-binning sample
+        mask (not a post-hoc cell mask), and the product's photo time is
+        the first frame the --start/--end window actually includes."""
+        import numpy as np
+
+        from auromat_tpu import parallel
+        from auromat_tpu.mapping.spacecraft import SpacecraftMappingProvider
+
+        prov = SpacecraftMappingProvider(spacecraft_folder2)
+        t0, t1 = prov.timeRange()
+        assert t0 is not None and t1 >= t0
+        # the window filter is honored
+        import datetime as dt
+
+        after = t1 + dt.timedelta(seconds=1)
+        assert prov.timeRange(after, None) == (None, None)
+        assert prov.timeRange(None, after) == (t0, t1)
+
+        seen = {}
+
+        def fake_mosaic_sequence(mesh, grid, bursts, batch=8,
+                                 bin_method="pallas", min_elevation=None,
+                                 **kw):
+            seen["min_elevation"] = min_elevation
+            count = np.zeros((grid.n_lat, grid.n_lon))
+            means = np.full((grid.n_lat, grid.n_lon, 4), np.nan)
+            count[0, 0] = 1.0
+            means[0, 0] = (10.0, 20.0, 30.0, 45.0)
+            return count, means
+
+        monkeypatch.setattr(parallel, "mosaic_sequence",
+                            fake_mosaic_sequence)
+        out = tmp_path / "outp"
+        rc = convert.main([
+            spacecraft_folder2, "--mosaic", "0.25",
+            "--mosaic-extent", "47", "62", "-112", "-91",
+            "--min-elevation", "10", "--format", "netcdf",
+            "--out", str(out)])
+        assert rc == 0
+        assert seen["min_elevation"] == 10.0
+        from auromat_tpu.mapping.netcdf import read_mapping
+
+        m = read_mapping(str(out / "data2.mosaic.nc"))
+        assert abs((m.photoTime - t0).total_seconds()) < 1.0
+        # a window that excludes every frame is an actionable error
+        args = convert.build_parser().parse_args(
+            [spacecraft_folder2, "--mosaic", "0.25",
+             "--start", after.strftime("%Y-%m-%dT%H:%M:%S"),
+             "--format", "netcdf", "--out", str(tmp_path / "outp2")])
+        (tmp_path / "outp2").mkdir()
+        assert convert.convert_mosaic(prov, args, str(tmp_path / "outp2")) \
+            is None
+
     @pytest.mark.slow
     def test_convert_batched(self, spacecraft_folder2, tmp_path):
         out = tmp_path / "outb"

@@ -548,6 +548,46 @@ class TestMapBackgrounds:
         fig2 = draw.draw_stereographic(resampled)
         assert not fig2.axes[0].patches
 
+    def test_lsmask_rings_clamped_to_cap_no_chords(self):
+        """Far-side ring vertices are clamped RADIALLY onto the cap circle
+        — every filled vertex stays inside the cap, and a
+        horizon-crossing ring keeps its FULL vertex count (closed along
+        the horizon) instead of dropping hidden arcs, whose straight
+        rejoin chord could paint ocean as land across the visible map."""
+        import matplotlib.patches as mpatches
+        import matplotlib.pyplot as plt
+
+        from auromat_tpu.coastlines import land_rings, near_hemisphere
+        from auromat_tpu.draw import _draw_lsmask
+
+        lat0, lon0, min_cos = 60.0, -100.0, 0.05
+        fig, ax = plt.subplots()
+        try:
+            _draw_lsmask(ax, lat0, lon0, min_cos=min_cos)
+            r_cap = 2.0 * 6371.0 * np.sqrt(1.0 - min_cos**2) \
+                / (1.0 + min_cos)
+            lands = [p for p in ax.patches
+                     if isinstance(p, mpatches.Polygon)]
+            assert lands
+            for p in lands:
+                xy = np.asarray(p.get_xy())
+                assert np.hypot(xy[:, 0], xy[:, 1]).max() <= r_cap * 1.0001
+            # a partially visible ring exists from this viewpoint and is
+            # drawn with its full (finite) vertex count
+            crossing = [r for r in land_rings()
+                        if 0 < near_hemisphere(r[:, 0], r[:, 1], lat0,
+                                               lon0,
+                                               min_cos=min_cos).sum()
+                        < len(r)]
+            assert crossing
+            sizes = sorted(len(np.asarray(p.get_xy())) for p in lands)
+            for ring in crossing:
+                # antipodal vertices (dropped as non-finite) don't occur
+                # here, so the polygon carries every ring vertex
+                assert len(ring) in sizes
+        finally:
+            plt.close(fig)
+
     def test_city_resource_content(self):
         path = os.path.join(os.path.dirname(draw.__file__), "resources",
                             "cities_ne50m.npz")

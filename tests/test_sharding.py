@@ -550,6 +550,58 @@ class TestMosaicSequence:
             assert np.array_equal(np.asarray(a), np.asarray(b),
                                   equal_nan=True)
 
+    def test_min_elevation_premask(self):
+        """min_elevation masks SAMPLES before binning (the device
+        equivalent of maskedByElevation-then-resample): counts/sums must
+        equal the oracle binning of only the >=-threshold samples — NOT
+        a post-hoc mask of cells by their mean elevation, which keeps
+        sub-threshold contamination inside surviving cells."""
+        from auromat_tpu.parallel import make_mesh, mosaic_sequence
+
+        B, h, w = 2, 64, 128
+        params = _burst(B, h, w)
+        imgs = np.random.default_rng(6).integers(
+            0, 256, (B, h, w, 3)).astype(np.float64)
+        grid = fixed_grid(2, 30.0, 75.0, -140.0, -60.0)
+        mesh = make_mesh(dp=2, sp=4)
+        thr = 20.0
+        c_f, m_f = mosaic_sequence(mesh, grid, [(params, imgs)], batch=2,
+                                   bin_method="sorted", dtype=jnp.float64,
+                                   min_elevation=thr)
+        c_all, _ = mosaic_sequence(mesh, grid, [(params, imgs)], batch=2,
+                                   bin_method="sorted", dtype=jnp.float64)
+
+        # oracle: NaN out sub-threshold samples, then bin
+        px, py = np.meshgrid(np.arange(w, dtype=np.float64),
+                             np.arange(h, dtype=np.float64))
+        lats, lons, data = [], [], []
+        for i, p in enumerate(params):
+            d = DynGeorefParams.from_static(p, dtype=jnp.float64)
+            out = georef_latlon_dyn(d, jnp.asarray(px), jnp.asarray(py),
+                                    dtype=jnp.float64, with_elevation=True)
+            la = np.asarray(out["lat"]).copy()
+            lo = np.asarray(out["lon"]).copy()
+            el = np.asarray(out["elevation"])
+            drop = ~(el >= thr)
+            la[drop] = np.nan
+            lo[drop] = np.nan
+            lats.append(la)
+            lons.append(lo)
+            data.append(np.concatenate([imgs[i], el[..., None]], axis=-1))
+        count_ref, means_ref = bin_mean(grid, np.stack(lats), np.stack(lons),
+                                        np.stack(data))
+        c = np.asarray(c_f)[: grid.n_lat]
+        m = np.asarray(m_f)[: grid.n_lat]
+        assert np.array_equal(c, np.asarray(count_ref))
+        both = ~np.isnan(m) & ~np.isnan(np.asarray(means_ref))
+        assert np.array_equal(np.isnan(m), np.isnan(np.asarray(means_ref)))
+        assert_allclose(m[both], np.asarray(means_ref)[both],
+                        rtol=0, atol=1e-9)
+        # the threshold really bit: fewer samples, and every surviving
+        # cell's mean elevation clears it
+        assert c.sum() < np.asarray(c_all)[: grid.n_lat].sum()
+        assert (m[..., 3][c > 0] >= thr).all()
+
     def test_pallas_binning_small_grid(self):
         """The production bin_method='pallas' through mosaic_sequence
         (interpret mode on the CPU mesh), padding included."""
