@@ -153,15 +153,9 @@ def convert_mosaic(provider, args, out_folder):
         print("error: --mosaic needs a spacecraft source (image+wcs pairs)",
               file=sys.stderr)
         return None
-    # skip-existing FIRST (identifier derives from the folder alone):
-    # resume must not pay a device compile + the full sequence stream
-    identifier = (os.path.basename(os.path.normpath(args.folder))
-                  + ".mosaic")
-    ext = ".cdf" if args.format == "cdf" else ".nc"
-    out_path = os.path.join(out_folder, f"{identifier}{ext}")
-    if os.path.exists(out_path) and not args.overwrite:
-        print(f"skipping {out_path} (exists)")
-        return out_path
+    # validate the cheap host-side arguments BEFORE the skip-existing
+    # early-return: an invalid invocation must fail even when the output
+    # already exists
     if not args.mosaic > 0:
         print(f"error: --mosaic must be a positive deg/cell size, got "
               f"{args.mosaic}", file=sys.stderr)
@@ -173,7 +167,16 @@ def convert_mosaic(provider, args, out_folder):
                   f"south < north and west < east (no antimeridian "
                   f"crossing); got {args.mosaic_extent}", file=sys.stderr)
             return None
-    else:
+    # skip-existing next (identifier derives from the folder alone):
+    # resume must not pay a device compile + the full sequence stream
+    identifier = (os.path.basename(os.path.normpath(args.folder))
+                  + ".mosaic")
+    ext = ".cdf" if args.format == "cdf" else ".nc"
+    out_path = os.path.join(out_folder, f"{identifier}{ext}")
+    if os.path.exists(out_path) and not args.overwrite:
+        print(f"skipping {out_path} (exists)")
+        return out_path
+    if args.mosaic_extent is None:
         # global; epsilon keeps the inclusive +-90/+-180 edges out of the
         # open-ended last bin (same shape as the config-5 grid)
         s, n, w, e = -89.999, 89.999, -179.999, 179.999
@@ -238,8 +241,15 @@ def main(argv=None):
             # e.g. a machine whose accelerator registers under an
             # experimental platform name (the requested one fails to
             # initialize): fall back to jax's own default selection,
-            # which picks the registered accelerator
-            jax.config.update("jax_platforms", "")
+            # which picks the registered accelerator. The fallback
+            # update gets its own guard: if the ORIGINAL error was
+            # "backend already initialized", the second update raises
+            # the same thing and must degrade to a warning, not a crash
+            try:
+                jax.config.update("jax_platforms", "")
+            except Exception as e2:
+                print(f"warning: cannot reset platform selection: {e2}",
+                      file=sys.stderr)
             print(f"warning: platform {args.platform!r} failed to "
                   f"initialize ({e}); using jax default selection",
                   file=sys.stderr)

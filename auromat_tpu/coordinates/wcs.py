@@ -696,6 +696,10 @@ class GeneralZenithalWcs(ZenithalWcs):
             dr = (-2.0) * (-1.0 - np.log(np.cos(xs)) / np.sin(xs) ** 2
                            + self.air_c / np.cos(xs) ** 2)
             bad = np.nonzero(dr <= 0.0)[0]
+            # guard bad[0]==0 like the ZPN branch: unreachable for the
+            # accepted theta_b range (dr -> 1 - 2*air_c > 0 at xi -> 0),
+            # but bad[0]-1 would wrap to xs[-1], the opposite extreme
+            bad = bad[bad > 0]
             self.xi_max = float(xs[bad[0] - 1]) if bad.size else float(xs[-1])
 
     # -- AIR / ZPN radial laws (zeta-or-xi in radians -> R in degrees) --

@@ -23,7 +23,8 @@ class AstrometryMapping(Mapping):
     """Mapping whose MLat/MLT was computed from the J2000 intersections."""
 
 
-def _georeference_df64(params: GeorefParams, with_mlatmlt):
+def _georeference_df64(params: GeorefParams, with_mlatmlt,
+                       projection="TAN"):
     """Full-frame georeference through the double-float chain: corner +
     centre grids through ops.georef.georeference_points_df64_full, shaped
     like :func:`ops.georef.georeference`'s output dict (host float64)."""
@@ -37,7 +38,8 @@ def _georeference_df64(params: GeorefParams, with_mlatmlt):
         # skip the unused df atan2 branches (the chain is VPU-FLOP-bound)
         d = georeference_points_df64_full(params, px, py,
                                           with_elevation=not corner,
-                                          with_mlatmlt=with_mlatmlt)
+                                          with_mlatmlt=with_mlatmlt,
+                                          projection=projection)
         if corner:
             out["lats"], out["lons"] = d["lat"], d["lon"]
         else:
@@ -61,8 +63,9 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
     plane->native->celestial chain into the same intersection/Bowring/
     elevation/MLat-MLT pipeline — the reference georeferences such
     headers through its astropy fallback (reference wcs.py:18-64). The
-    ``"df64"`` full-precision chain stays TAN-only (its kernels fuse the
-    TAN unprojection).
+    ``"df64"`` full-precision chain covers the whole zenithal family
+    (TAN fused; SIN/ZEA/ARC/STG via the trig-free radial-law forms of
+    ops.georef._df_zenithal_dirs).
 
     :param wcs_header: FITS header dict (astrometry.net .wcs solution)
     :param img: (h, w[, C]) uint8/uint16 image matching IMAGEW/IMAGEH
@@ -97,12 +100,14 @@ def create_mapping(wcs_header, img, camera_pos, photo_time: datetime,
     fm = frame_matrices or FrameMatrices(photo_time)
     params = GeorefParams.from_wcs(wcs, camera_pos, photo_time, altitude, fm)
     if isinstance(dtype, str) and dtype == "df64":
-        if not isinstance(wcs, TanWcs):
+        projection = getattr(wcs, "projection", None)
+        if projection not in ("TAN", "SIN", "ZEA", "ARC", "STG"):
             raise NotImplementedError(
-                "the df64 full-precision chain fuses the TAN unprojection "
-                f"and cannot run a {wcs.projection} header; use "
-                "dtype=float64 (CPU parity) or float32")
-        out = _georeference_df64(params, with_mlatmlt)
+                "the df64 full-precision chain covers the zenithal "
+                f"family (TAN/SIN/ZEA/ARC/STG); cannot run a "
+                f"{projection} header — use dtype=float64 (CPU parity) "
+                "or float32")
+        out = _georeference_df64(params, with_mlatmlt, projection)
         fast_center = False  # exact centres; sanitize below
     else:
         if isinstance(wcs, TanWcs):

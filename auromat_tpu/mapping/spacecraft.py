@@ -241,8 +241,19 @@ class SpacecraftMappingProvider(BaseMappingProvider):
             for e in chunk:
                 img, p = _load_frame_calibration(
                     e["image"], e["wcs"], self.altitude, self.tle_path)
+                img = np.asarray(img)
+                # the mosaic binning kernels' contract is integer-valued
+                # 0..255 imagery (bf16 one-hot matmuls / 8-bit packed
+                # sorts; resample() gates on the same) — a uint16 source
+                # would silently wrap/clamp downstream, so refuse it here
+                if img.dtype != np.uint8:
+                    raise ValueError(
+                        f"{e['image']}: mosaic bursts need uint8 imagery "
+                        f"(got {img.dtype}); the device binning kernels "
+                        "are specified for integer 0..255 values — "
+                        "rescale the source images first")
                 params.append(p)
-                imgs.append(np.asarray(img, dtype=np.float32))
+                imgs.append(img.astype(np.float32))
             yield params, np.stack(imgs)
 
 

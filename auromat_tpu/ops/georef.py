@@ -344,19 +344,114 @@ def georeference_points(params: GeorefParams, px, py, dtype=jnp.float64):
     return lat, lon
 
 
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def georeference_points_generic(wcs, params: GeorefParams, px, py,
+                                dtype=jnp.float64, with_elevation=False):
+    """:func:`georeference_points` for ANY supported FITS projection.
+
+    Directions come from the generic plane->native->celestial chain
+    (:func:`auromat_tpu.coordinates.wcs.pix2world_cartesian`, the
+    reference's astropy-fallback role — reference wcs.py:18-64) instead
+    of the fused TAN unprojection; intersection and Bowring are shared.
+    This is the measurement surface for on-chip generic-projection
+    parity (tools/onchip_parity.py --generic, bench.py generic keys).
+    """
+    from auromat_tpu.coordinates.wcs import pix2world_cartesian
+
+    px = jnp.asarray(px, dtype=dtype)
+    py = jnp.asarray(py, dtype=dtype)
+    v = pix2world_cartesian(wcs, px, py, origin=0).astype(dtype)
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    ix, iy, iz = _intersect(params, vx, vy, vz, dtype)
+    lat, lon = _latlon_from_j2000(params, ix, iy, iz)
+    if with_elevation:
+        return lat, lon, _elevation_deg(vx, vy, vz, ix, iy, iz)
+    return lat, lon
+
+
 # ---------------------------------------------------------------------------
 # double-float (df64) chain: <1e-6 deg parity on TPU hardware
 # ---------------------------------------------------------------------------
 
 
+def _df_zenithal_dirs(projection, x, y, c):
+    """df64 plane->native-direction for the non-TAN zenithal family.
+
+    Intermediate world coords (x, y) in degrees (df pairs) -> UNIT
+    direction components (l, m, n) in the native frame, all in df64.
+    Out-of-domain points (e.g. beyond the SIN disc) produce NaN, which
+    flows into the miss mask through the intersection discriminant —
+    identical semantics to the f32 generic chain
+    (coordinates.wcs._theta_from_r). Each radial law reduces to its
+    trig-free algebraic form (the same elimination the fused TAN path
+    uses; reference reaches these projections via its astropy fallback,
+    reference wcs.py:18-64):
+
+      SIN: n = sqrt(1 - q^2 r^2),         (l, m) = q (-y, x)
+      ZEA: n = 1 - 2 rho^2,               (l, m) = q sqrt(1-rho^2) (-y, x)
+      STG: n = (1 - t^2)/(1 + t^2),       (l, m) = q/(1+t^2) (-y, x)
+      ARC: n = cos(q r),                  (l, m) = sin(q r)/r (-y, x)
+
+    with q = pi/180, rho = (pi/360) r, t = (pi/360) r. Unitness is exact
+    algebraically (l^2+m^2+n^2 = 1 for each law), so the downstream
+    elevation (which uses the ray as-is) keeps its contract. df constants
+    ride as the SECOND operand of add (XLA-CPU literal-first two_sum
+    folding hazard — see CLAUDE.md round-2 notes).
+    """
+    from auromat_tpu.ops import dfloat as dfl
+
+    q = np.pi / 180.0
+    r2 = dfl.add(dfl.mul(x, x), dfl.mul(y, y))
+    if projection == "SIN":
+        n_ = dfl.sqrt(dfl.add(dfl.neg(dfl.mul(c(q * q), r2)), c(1.0)))
+        l_ = dfl.neg(dfl.mul(c(q), y))
+        m_ = dfl.mul(c(q), x)
+    elif projection == "ZEA":
+        rho2 = dfl.mul(c((np.pi / 360.0) ** 2), r2)
+        n_ = dfl.add(dfl.neg(dfl.scale(rho2, 2.0)), c(1.0))
+        k = dfl.mul(c(q), dfl.sqrt(dfl.add(dfl.neg(rho2), c(1.0))))
+        l_ = dfl.neg(dfl.mul(k, y))
+        m_ = dfl.mul(k, x)
+    elif projection == "STG":
+        t2 = dfl.mul(c((np.pi / 360.0) ** 2), r2)
+        inv = dfl.div(c(1.0), dfl.add(t2, c(1.0)))
+        n_ = dfl.mul(dfl.add(dfl.neg(t2), c(1.0)), inv)
+        g = dfl.mul(c(q), inv)
+        l_ = dfl.neg(dfl.mul(g, y))
+        m_ = dfl.mul(g, x)
+    elif projection == "ARC":
+        r = dfl.sqrt(r2)
+        # clamp away the exact-centre 0/0 (sin(qr)/r -> q as r -> 0; a
+        # 1e-30 floor keeps the ratio exact to f32 while avoiding NaN)
+        r = dfl.DF(jnp.maximum(r.hi, jnp.float32(1e-30)), r.lo)
+        zeta = dfl.mul(c(q), r)
+        s, n_ = dfl.sincos(zeta)
+        g = dfl.div(s, r)
+        l_ = dfl.neg(dfl.mul(g, y))
+        m_ = dfl.mul(g, x)
+        # beyond the antipode (zeta > pi) the law is out of domain
+        nan = jnp.float32(jnp.nan)
+        n_ = dfl.DF(jnp.where(zeta.hi > jnp.float32(np.pi), nan, n_.hi),
+                    n_.lo)
+    else:
+        raise NotImplementedError(
+            f"df64 directions are implemented for the zenithal family "
+            f"TAN/SIN/ZEA/ARC/STG; got {projection!r} (use dtype=float64 "
+            "on CPU or float32)")
+    return l_, m_, n_
+
+
 def _georef_df_body(params: GeorefParams, px, py, with_elevation=False,
-                    with_mlatmlt=False):
+                    with_mlatmlt=False, projection="TAN"):
     """df64 georeference chain; returns dict of NaN-masked (hi, lo) pairs.
 
     Keys: lat, lon (+ elevation, mlat, mlt when requested) — every exported
     per-pixel variable of the CDF/netCDF schema (reference
     export/cdf.py:86-110, astrometry.py:170-212) at <1e-6 deg parity on
-    TPU hardware.
+    TPU hardware. ``projection`` selects the plane->direction stage: the
+    fused TAN form (default) or any zenithal radial law
+    (:func:`_df_zenithal_dirs`); everything downstream — intersection,
+    Bowring, elevation, MLat/MLT — is shared.
     """
     from auromat_tpu.ops import dfloat as dfl
 
@@ -387,12 +482,15 @@ def _georef_df_body(params: GeorefParams, px, py, with_elevation=False,
     if fx != 0.0 or fy != 0.0:
         x = dfl.add(x, c(-(cd[0][0] * fx + cd[0][1] * fy)))
         y = dfl.add(y, c(-(cd[1][0] * fx + cd[1][1] * fy)))
-    u = c(180.0 / np.pi)
-    s2 = dfl.add(dfl.add(dfl.mul(x, x), dfl.mul(y, y)), dfl.mul(u, u))
-    inv = dfl.div(c(1.0), dfl.sqrt(s2))
-    l_ = dfl.mul(dfl.neg(y), inv)
-    m_ = dfl.mul(x, inv)
-    n_ = dfl.mul(u, inv)
+    if projection == "TAN":
+        u = c(180.0 / np.pi)
+        s2 = dfl.add(dfl.add(dfl.mul(x, x), dfl.mul(y, y)), dfl.mul(u, u))
+        inv = dfl.div(c(1.0), dfl.sqrt(s2))
+        l_ = dfl.mul(dfl.neg(y), inv)
+        m_ = dfl.mul(x, inv)
+        n_ = dfl.mul(u, inv)
+    else:
+        l_, m_, n_ = _df_zenithal_dirs(projection, x, y, c)
 
     rm = params.rotmat
 
@@ -536,12 +634,13 @@ def georeference_points_df(params: GeorefParams, px, py):
 
 _georef_df_body_jit = jax.jit(
     _georef_df_body, static_argnums=0,
-    static_argnames=("with_elevation", "with_mlatmlt"),
+    static_argnames=("with_elevation", "with_mlatmlt", "projection"),
 )
 
 
 def georeference_points_df_full(params: GeorefParams, px, py,
-                                with_elevation=True, with_mlatmlt=True):
+                                with_elevation=True, with_mlatmlt=True,
+                                projection="TAN"):
     """df64 chain over EVERY exported per-pixel variable (lat, lon,
     elevation, mlat, mlt) as NaN-masked (hi, lo) f32 pairs — the
     TPU-resident full-precision production export.
@@ -550,10 +649,13 @@ def georeference_points_df_full(params: GeorefParams, px, py,
     variable set is selectable: ``with_elevation=False`` /
     ``with_mlatmlt=False`` skip those branches entirely (static jit args —
     one cached trace per combination, no retrace per call).
+    ``projection`` extends the chain beyond TAN to the zenithal family
+    (SIN/ZEA/ARC/STG; see :func:`_df_zenithal_dirs`).
     """
     return _georef_df_body_jit(params, px, py,
                                with_elevation=with_elevation,
-                               with_mlatmlt=with_mlatmlt)
+                               with_mlatmlt=with_mlatmlt,
+                               projection=projection)
 
 _georeference_points_df_jit = jax.jit(georeference_points_df, static_argnums=0)
 
@@ -571,11 +673,13 @@ def georeference_points_df64(params: GeorefParams, px, py):
 
 
 def georeference_points_df64_full(params: GeorefParams, px, py,
-                                  with_elevation=True, with_mlatmlt=True):
+                                  with_elevation=True, with_mlatmlt=True,
+                                  projection="TAN"):
     """Full df64 chain collapsed to host float64 arrays (dict of deg)."""
     out = georeference_points_df_full(params, px, py,
                                       with_elevation=with_elevation,
-                                      with_mlatmlt=with_mlatmlt)
+                                      with_mlatmlt=with_mlatmlt,
+                                      projection=projection)
     return {
         k: np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
         for k, (hi, lo) in out.items()

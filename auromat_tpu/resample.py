@@ -239,7 +239,10 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     All mappings must carry elevation and share the emission altitude and
     image channel count. Returns a single :class:`Mapping` (camera_pos is
     NaN — a mosaic has no single camera; photoTime/identifier come from
-    the collection).
+    the collection). Pole-containing collections compose in the rotated
+    frame (the per-frame rotate-pole machinery) and return an
+    irregular-grid mapping; antimeridian-crossing ones use the +180-deg
+    lon shift.
 
     :param collection: MappingCollection or list of Mappings
     """
@@ -253,14 +256,18 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
             raise ValueError(
                 f"mosaic needs elevation for overlap priority; {m.identifier}"
                 " has none")
-    if any(m.containsPole for m in mappings):
-        raise NotImplementedError("pole-containing mosaics")
     altitude = mappings[0].altitude
     if any(abs(m.altitude - altitude) > 1e-9 for m in mappings):
         raise ValueError("mappings map different emission altitudes")
     n_ch = mappings[0].img.shape[2] if mappings[0].img.ndim == 3 else 1
     bbox = BoundingBox.mergedBoundingBoxes(m.boundingBox for m in mappings)
-    shift = bbox.containsDiscontinuity
+    # pole-containing collections compose in a ROTATED frame — the same
+    # rotate-pole pre/post the per-frame _resample runs (reference
+    # resample.py:176-201 semantics); the returned mapping carries the
+    # unrotated (irregular) coordinate grids. A discontinuity without a
+    # pole keeps the cheaper +180-deg lon shift.
+    contains_pole = any(m.containsPole for m in mappings)
+    shift = bbox.containsDiscontinuity and not contains_pole
     if arcsec_per_px:
         px_per_deg = plate_carree_resolution(bbox, arcsec_per_px)
     try:
@@ -268,8 +275,20 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     except TypeError:
         px_per_deg = (px_per_deg, px_per_deg)
 
+    def _rot(la_deg, lo_deg, angle):
+        # host f64 regardless of the default backend (feeds parity-gated
+        # coordinate grids; TPU backends degrade f64->f32)
+        with np.errstate(invalid="ignore"), _host_ctx():
+            la2, lo2 = rotate_pole(
+                np.deg2rad(np.asarray(la_deg, dtype=np.float64)),
+                np.deg2rad(np.asarray(lo_deg, dtype=np.float64)),
+                altitude, angle_deg=angle, axis=(1, 0, 0),
+            )
+        return np.rad2deg(np.asarray(la2)), np.rad2deg(np.asarray(lo2))
+
     lats_l, lons_l, data_l = [], [], []
     img_dtype = None
+    ext = None
     for m in mappings:
         img = m.img
         img3 = img if img.ndim == 3 else img[:, :, None]
@@ -285,7 +304,14 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
                 f"{img3.dtype}")
         la = np.asarray(m.latsCenter.filled(np.nan)).ravel()
         lo = np.asarray(m.lonsCenter.filled(np.nan)).ravel()
-        if shift:
+        if contains_pole:
+            la, lo = _rot(la, lo, 90.0)
+            ola, olo = _rot(m.outline[:, 0], m.outline[:, 1], 90.0)
+            e = (ola.min(), ola.max(), olo.min(), olo.max())
+            ext = e if ext is None else (
+                min(ext[0], e[0]), max(ext[1], e[1]),
+                min(ext[2], e[2]), max(ext[3], e[3]))
+        elif shift:
             lo = _wrap_lon_np(lo + 180.0)
         el = np.asarray(m.elevation.filled(np.nan)).ravel()
         im = np.asarray(img3.astype(np.float32).filled(np.nan)).reshape(-1, n_ch)
@@ -296,12 +322,16 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     lons = np.concatenate(lons_l)
     data = np.concatenate(data_l, axis=0)
 
-    lon_min, lon_max = ((bbox.lonWest, bbox.lonEast) if not shift else
-                        (_wrap_lon_np(bbox.lonWest + 180.0),
-                         _wrap_lon_np(bbox.lonEast + 180.0)))
+    if contains_pole:
+        lat_min, lat_max, lon_min, lon_max = ext
+    else:
+        lat_min, lat_max = bbox.latSouth, bbox.latNorth
+        lon_min, lon_max = ((bbox.lonWest, bbox.lonEast) if not shift else
+                            (_wrap_lon_np(bbox.lonWest + 180.0),
+                             _wrap_lon_np(bbox.lonEast + 180.0)))
     from auromat_tpu.ops.regrid import bin_take_best
 
-    grid = fixed_grid(px_per_deg, bbox.latSouth, bbox.latNorth,
+    grid = fixed_grid(px_per_deg, float(lat_min), float(lat_max),
                       float(lon_min), float(lon_max))
     best, _ = bin_take_best(grid, lats, lons, -data[:, -1], data)
     best = np.asarray(best, dtype=np.float64)
@@ -311,6 +341,22 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
         img_r = _finalize_int_image(img_r, img_dtype)
     if n_ch == 1:
         img_r = img_r[..., 0]
+    if contains_pole:
+        # unrotate the regular rotated-frame grid back to true lat/lon:
+        # the product is a valid (irregular-grid) Mapping, like the
+        # per-frame pole path (reference resample.py:195-201)
+        lat_grid, lon_grid = grid.corner_grids()
+        lat_grid_c, lon_grid_c = grid.center_grids()
+        shp, shpc = lat_grid.shape, lat_grid_c.shape
+        lat_grid, lon_grid = (a.reshape(shp) for a in _rot(
+            lat_grid.ravel(), lon_grid.ravel(), -90.0))
+        lat_grid_c, lon_grid_c = (a.reshape(shpc) for a in _rot(
+            lat_grid_c.ravel(), lon_grid_c.ravel(), -90.0))
+        return Mapping(
+            lat_grid, lon_grid, lat_grid_c, lon_grid_c, elev_r, altitude,
+            img_r, np.full(3, np.nan), mappings[0].photoTime,
+            f"{identifier}.mosaic",
+        )
     return grid_mapping(grid, img_r, elev_r, altitude,
                         mappings[0].photoTime, f"{identifier}.mosaic",
                         shift=shift)

@@ -351,6 +351,90 @@ def main():
               file=sys.stderr)
         df64_full_ms = None
 
+    # df64 beyond TAN (VERDICT r4 item 2): the full-variable chain with
+    # the trig-free ZEA radial law — must stay inside the 25 ms budget
+    from auromat_tpu.ops.georef import georeference_points_df_full
+
+    @jax.jit
+    def df64_forward_zea():
+        px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+        py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+        return georeference_points_df_full(params, px, py, projection="ZEA")
+
+    try:
+        df64_zen_full_ms = _time_df(df64_forward_zea,
+                                    lambda o: o["mlt"][0][0, 0])
+        print(f"df64 full-variable georef (ZEA radial law): "
+              f"{df64_zen_full_ms} ms", file=sys.stderr)
+    except Exception as e:
+        print(f"df64 ZEA path failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        df64_zen_full_ms = None
+
+    # generic-projection (non-TAN) georef: perf on the production-shaped
+    # call (full frame, fast centres, MLat/MLT — what create_mapping runs
+    # for a non-TAN header) + on-chip parity vs the CPU f64 oracle
+    # (VERDICT r4 item 1). The f32 floor of this chain is ~1.6e-3 deg
+    # (tests/test_georef.py::test_generic_projection_f32_floor); anything
+    # near 1e-2 means a TPU-only hazard.
+    generic_ms = None
+    generic_parity_deg = None
+    try:
+        from auromat_tpu.coordinates.wcs import make_wcs
+        from auromat_tpu.ops.georef import (georeference_generic,
+                                            georeference_points_generic)
+
+        hdr = dict(header)
+
+        def swap(code):
+            h2 = {k: v for k, v in hdr.items()
+                  if k.upper() not in ("LONPOLE", "LATPOLE")}
+            h2["CTYPE1"] = f"RA---{code}"
+            h2["CTYPE2"] = f"DEC--{code}"
+            return make_wcs(h2)
+
+        wcs_zea = swap("ZEA")
+        gfn = jax.jit(lambda: georeference_generic(
+            wcs_zea, params, True, True, jnp.float32))
+        dtg, _ = time_amortized(gfn, lambda o: o["lats"][0, 0], per_batch)
+        generic_ms = round(dtg * 1e3, 2)
+        print(f"generic-projection georef (ZEA, full frame, f32): "
+              f"{generic_ms} ms", file=sys.stderr)
+
+        cpu = jax.devices("cpu")[0]
+        pxs = np.arange(0, w, 8, dtype=np.float64)
+        pys = np.arange(0, h, 8, dtype=np.float64)
+        pxg, pyg = np.meshgrid(pxs, pys)
+        worst = 0.0
+        for code in ("ZEA", "HPX", "QSC"):
+            wcsf = swap(code)
+            lat_t, lon_t = (np.asarray(a, dtype=np.float64)
+                            for a in georeference_points_generic(
+                                wcsf, params, pxg.astype(np.float32),
+                                pyg.astype(np.float32), jnp.float32))
+            with jax.default_device(cpu):
+                lat_c, lon_c = (np.asarray(a)
+                                for a in georeference_points_generic(
+                                    wcsf, params,
+                                    jnp.asarray(pxg, jnp.float64),
+                                    jnp.asarray(pyg, jnp.float64),
+                                    jnp.float64))
+            both = ~np.isnan(lat_t) & ~np.isnan(lat_c)
+            dla = np.abs(lat_t[both] - lat_c[both])
+            dlo = np.abs(lon_t[both] - lon_c[both])
+            dlo = np.minimum(dlo, 360.0 - dlo)
+            fam = float(max(dla.max(), dlo.max()))
+            mism = float((np.isnan(lat_t) != np.isnan(lat_c)).mean())
+            print(f"generic parity {code}: max {fam:.3e} deg, mask "
+                  f"mismatch {mism:.2e}", file=sys.stderr)
+            worst = max(worst, fam)
+            if mism > 5e-4:
+                worst = max(worst, 1.0)  # poison: masks are part of parity
+        generic_parity_deg = float(f"{worst:.3e}")
+    except Exception as e:
+        print(f"generic-projection bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     value = mpix / dt
     baseline = 12.05 / 10e-3  # north-star: 12 MPix in 10 ms
     print(
@@ -363,10 +447,13 @@ def main():
                 "method": method,
                 "df64_georef_ms": df64_ms,
                 "df64_full_ms": df64_full_ms,
+                "df64_zen_full_ms": df64_zen_full_ms,
                 "sharded_1dev_pallas_ms": sharded_ms,
                 "burst8_mpix_s": burst_mpix_s,
                 "burst8_sharded_ms": burst8_sharded_ms,
                 "config5_ms": config5_ms,
+                "generic_ms": generic_ms,
+                "generic_parity_deg": generic_parity_deg,
             }
         )
     )

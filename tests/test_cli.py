@@ -246,6 +246,29 @@ class TestBatchedPipeline:
              "--format", "netcdf", "--out", str(out)])
         assert convert.convert_mosaic(Explosive(), args, str(out)) \
             == str(target)
+        # ...but argument validation comes FIRST: an invalid invocation
+        # against an already-written output must still fail (rc 1), not
+        # return success through the skip-existing early-return
+        rc = convert.main([spacecraft_folder2, "--mosaic", "0",
+                           "--format", "netcdf", "--out", str(out)])
+        assert rc == 1
+
+    def test_iter_param_bursts_refuses_non_uint8(self, spacecraft_folder2,
+                                                 monkeypatch):
+        """The mosaic binning kernels are specified for integer 0..255
+        imagery; a uint16 source must raise an actionable error instead of
+        silently wrapping/clamping downstream (advisor r4, medium)."""
+        import numpy as np
+
+        from auromat_tpu.mapping import spacecraft as sc
+
+        real_load = sc.load_image
+        monkeypatch.setattr(
+            sc, "load_image",
+            lambda p: (real_load(p).astype(np.uint16) * 257))
+        prov = sc.SpacecraftMappingProvider(spacecraft_folder2)
+        with pytest.raises(ValueError, match="uint8"):
+            next(prov.iterParamBursts(batch=2))
 
     def test_convert_mosaic_premask_and_time_stamp(
             self, spacecraft_folder2, tmp_path, monkeypatch):

@@ -247,9 +247,109 @@ class TestGenericProjectionGeoref:
         both = ~np.isnan(lat) & ~np.isnan(lt)
         assert np.abs(lat[both] - lt[both]).max() > 0.01
 
-    def test_df64_requires_tan(self):
+    @pytest.mark.parametrize("code", ["ZEA", "HPX", "QSC"])
+    def test_generic_projection_f32_floor(self, code):
+        """The f32 generic chain stays within its documented floor vs the
+        f64 oracle (max ~1.6e-3 deg full-frame at step 8; gate 0.01 with
+        headroom) with IDENTICAL masks. This is the bound tools/
+        onchip_parity.py --generic and bench.py's generic_parity_deg gate
+        on the real TPU — a TPU-only hazard (bf16 default matmul on the
+        direction path) would land orders of magnitude above it."""
+        import jax
+        import jax.numpy as jnp
+
+        from auromat_tpu.coordinates.wcs import make_wcs
+        from auromat_tpu.ops.georef import georeference_points_generic
+
+        header = dict(fits.read_header(
+            os.path.join(RES, "ISS030-E-102170_dc.wcs")))
+        pos = np.array(fits.get_shifted_spacecraft_position(header)[:3])
+        t = fits.get_shifted_photo_time(header)
+        p = GeorefParams.from_wcs(TanWcs(header), pos, t, 110.0)
+        # the zenithal header's explicit LONPOLE=180 must be dropped for
+        # theta0=0 families (HPX/QSC) so their default applies
+        h2 = {k: v for k, v in header.items()
+              if k.upper() not in ("LONPOLE", "LATPOLE")}
+        h2["CTYPE1"] = f"RA---{code}"
+        h2["CTYPE2"] = f"DEC--{code}"
+        wcs2 = make_wcs(h2)
+        xs = np.arange(0, p.width, 16, dtype=np.float64)
+        ys = np.arange(0, p.height, 16, dtype=np.float64)
+        px, py = np.meshgrid(xs, ys)
+        la64, lo64 = (np.asarray(a) for a in georeference_points_generic(
+            wcs2, p, px, py, jnp.float64))
+        la32, lo32 = (np.asarray(a, dtype=np.float64)
+                      for a in georeference_points_generic(
+                          wcs2, p, px.astype(np.float32),
+                          py.astype(np.float32), jnp.float32))
+        assert np.array_equal(np.isnan(la64), np.isnan(la32))
+        both = ~np.isnan(la64)
+        assert both.sum() > 10_000
+        dla = np.abs(la32[both] - la64[both])
+        dlo = np.abs(lo32[both] - lo64[both])
+        dlo = np.minimum(dlo, 360.0 - dlo)
+        assert max(dla.max(), dlo.max()) < 1e-2
+        assert np.median(dla) < 1e-4
+
+    def test_df64_requires_zenithal(self):
+        """The df64 chain covers the TAN/SIN/ZEA/ARC/STG radial laws; a
+        general-zenithal AZP(mu=2) header must be refused with an
+        actionable error (MOL etc. never get here — the zenithal header's
+        LONPOLE=180 is already invalid for equator-fiducial families)."""
         with pytest.raises(NotImplementedError, match="df64"):
-            self._mapping_for("ZEA", dtype="df64")
+            self._mapping_for("AZP", dtype="df64", PV2_1=2.0, PV2_2=0.0)
+
+    @pytest.mark.parametrize("code", ["SIN", "ZEA", "ARC", "STG"])
+    def test_df64_zenithal_matches_f64(self, code):
+        """df64 directions for the non-TAN zenithal family (VERDICT r4
+        item 2): the trig-free radial-law forms in ops.georef.
+        _df_zenithal_dirs agree with the f64 generic chain to f64-grade
+        accuracy (<1e-8 deg; the TAN df64 chain measures ~1e-10 on-chip)
+        with identical miss masks."""
+        import jax.numpy as jnp
+
+        from auromat_tpu.coordinates.wcs import make_wcs
+        from auromat_tpu.ops.georef import (georeference_points_df64_full,
+                                            georeference_points_generic)
+
+        header = dict(fits.read_header(
+            os.path.join(RES, "ISS030-E-102170_dc.wcs")))
+        pos = np.array(fits.get_shifted_spacecraft_position(header)[:3])
+        t = fits.get_shifted_photo_time(header)
+        p = GeorefParams.from_wcs(TanWcs(header), pos, t, 110.0)
+        h2 = dict(header)
+        h2["CTYPE1"] = f"RA---{code}"
+        h2["CTYPE2"] = f"DEC--{code}"
+        wcs2 = make_wcs(h2)
+        xs = np.arange(0, p.width, 16, dtype=np.float64)
+        ys = np.arange(0, p.height, 16, dtype=np.float64)
+        px, py = np.meshgrid(xs, ys)
+        la64, lo64, e64 = (np.asarray(a) for a in
+                           georeference_points_generic(
+                               wcs2, p, px, py, jnp.float64, True))
+        d = georeference_points_df64_full(p, px.astype(np.float32),
+                                          py.astype(np.float32),
+                                          projection=code)
+        assert np.array_equal(np.isnan(la64), np.isnan(d["lat"]))
+        m = ~np.isnan(la64)
+        assert m.sum() > 10_000
+        dlo = np.abs(d["lon"][m] - lo64[m])
+        dlo = np.minimum(dlo, 360.0 - dlo)
+        assert np.abs(d["lat"][m] - la64[m]).max() < 1e-8
+        assert dlo.max() < 1e-8
+        assert np.abs(d["elevation"][m] - e64[m]).max() < 1e-8
+
+    def test_create_mapping_df64_zenithal_e2e(self):
+        """create_mapping(dtype='df64') on a non-TAN zenithal header
+        produces a valid mapping agreeing with the f64 generic route."""
+        mdf = self._mapping_for("ZEA", dtype="df64", crop=(301, 403))
+        m64 = self._mapping_for("ZEA", dtype=np.float64, crop=(301, 403))
+        mdf.checkGuarantees()
+        a = np.ma.filled(mdf.lats, np.nan)
+        b = np.ma.filled(m64.lats, np.nan)
+        both = ~np.isnan(a) & ~np.isnan(b)
+        assert both.sum() > 1000
+        assert np.abs(a[both] - b[both]).max() < 1e-8
 
     def test_non_equatorial_header_refused(self):
         """The georef chain reads directions as GCRS~ICRS: a galactic

@@ -95,6 +95,119 @@ def main():
         sys.exit(f"ON-CHIP PARITY BROKEN: worst {worst:.3e} >= 1e-6")
     print(f"ON-CHIP PARITY OK (worst {worst:.3e} deg-equivalent < 1e-6)")
 
+    if "--skip-generic" not in sys.argv:
+        generic_parity(p, px, py)
+        df64_zenithal_parity(p, px, py)
+
+
+def df64_zenithal_parity(p, px, py, code="ZEA", step=4, gate=1e-6):
+    """ON-CHIP parity of the df64 chain for a non-TAN zenithal radial law
+    (VERDICT r4 item 2): the trig-free ZEA form of ops.georef.
+    _df_zenithal_dirs vs the CPU f64 generic oracle, <1e-6 deg."""
+    import jax
+    import jax.numpy as jnp
+
+    from auromat_tpu.coordinates.wcs import make_wcs
+    from auromat_tpu.io import fits
+    from auromat_tpu.ops.georef import (georeference_points_df64_full,
+                                        georeference_points_generic)
+
+    res = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "tests", "resources")
+    header = dict(fits.read_header(
+        os.path.join(res, "ISS030-E-102170_dc.wcs")))
+    h2 = dict(header)
+    h2["CTYPE1"] = f"RA---{code}"
+    h2["CTYPE2"] = f"DEC--{code}"
+    wcs2 = make_wcs(h2)
+    pxs = px[::step, ::step].astype(np.float32)
+    pys = py[::step, ::step].astype(np.float32)
+    out = georeference_points_df64_full(p, pxs, pys, with_mlatmlt=False,
+                                        projection=code)
+    with jax.default_device(jax.devices("cpu")[0]):
+        lat_c, lon_c, el_c = (np.asarray(a)
+                              for a in georeference_points_generic(
+                                  wcs2, p, jnp.asarray(pxs, jnp.float64),
+                                  jnp.asarray(pys, jnp.float64),
+                                  jnp.float64, True))
+    worst = 0.0
+    for key, ref in (("lat", lat_c), ("lon", lon_c), ("elevation", el_c)):
+        both = ~np.isnan(ref) & ~np.isnan(out[key])
+        d = np.abs(out[key][both] - ref[both])
+        if key == "lon":
+            d = np.minimum(d, 360.0 - d)
+        print(f"df64 {code} {key}: max |df64(TPU) - f64(CPU)| = "
+              f"{d.max():.3e} deg  (n={both.sum()})")
+        worst = max(worst, d.max())
+    if not worst < gate:
+        sys.exit(f"DF64 {code} ON-CHIP PARITY BROKEN: worst {worst:.3e} "
+                 f">= {gate}")
+    print(f"DF64 {code} ON-CHIP PARITY OK (worst {worst:.3e} deg < {gate})")
+
+
+def generic_parity(p, px, py, codes=("ZEA", "HPX", "QSC"), step=4):
+    """Generic-projection (non-TAN) ON-CHIP parity vs the CPU f64 oracle.
+
+    The generic georef path runs f32 on this TPU (requested f64 silently
+    executes as f32 on axon), so the bar is the measured CPU f32-vs-f64
+    floor of the same chain (max ~1.6e-3 deg full-frame, masks identical;
+    see tests/test_georef.py::test_generic_projection_f32_floor) with
+    headroom — a TPU-only hazard (e.g. a bf16 default matmul on the
+    direction path) would blow past 0.01 deg immediately.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from auromat_tpu.coordinates.wcs import make_wcs
+    from auromat_tpu.io import fits
+    from auromat_tpu.ops.georef import georeference_points_generic
+
+    res = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "tests", "resources")
+    header = dict(fits.read_header(
+        os.path.join(res, "ISS030-E-102170_dc.wcs")))
+    cpu = jax.devices("cpu")[0]
+    pxs = px[::step, ::step]
+    pys = py[::step, ::step]
+    worst = 0.0
+    for code in codes:
+        # non-zenithal families (theta0=0) need the zenithal header's
+        # explicit LONPOLE=180 dropped so the family default applies
+        h2 = {k: v for k, v in header.items()
+              if k.upper() not in ("LONPOLE", "LATPOLE")}
+        h2["CTYPE1"] = f"RA---{code}"
+        h2["CTYPE2"] = f"DEC--{code}"
+        wcs2 = make_wcs(h2)
+        lat_t, lon_t = (np.asarray(a, dtype=np.float64)
+                        for a in georeference_points_generic(
+                            wcs2, p, pxs.astype(np.float32),
+                            pys.astype(np.float32), jnp.float32))
+        with jax.default_device(cpu):
+            lat_c, lon_c = (np.asarray(a)
+                            for a in georeference_points_generic(
+                                wcs2, p, jnp.asarray(pxs, jnp.float64),
+                                jnp.asarray(pys, jnp.float64),
+                                jnp.float64))
+        mt, mc = ~np.isnan(lat_t), ~np.isnan(lat_c)
+        mask_frac = float((mt != mc).mean())
+        both = mt & mc
+        dla = np.abs(lat_t[both] - lat_c[both])
+        dlo = np.abs(lon_t[both] - lon_c[both])
+        dlo = np.minimum(dlo, 360.0 - dlo)
+        print(f"{code}: max |f32(TPU) - f64(CPU)| lat {dla.max():.3e} "
+              f"lon {dlo.max():.3e} deg, mask mismatch {mask_frac:.2e} "
+              f"(n={both.sum()})")
+        worst = max(worst, dla.max(), dlo.max())
+        if mask_frac > 5e-4:
+            sys.exit(f"GENERIC ON-CHIP MASKS BROKEN ({code}): "
+                     f"{mask_frac:.2e} of pixels differ from the CPU f64 "
+                     "oracle")
+    if not worst < 1e-2:
+        sys.exit(f"GENERIC ON-CHIP PARITY BROKEN: worst {worst:.3e} >= "
+                 "1e-2 (f32 floor is ~1.6e-3)")
+    print(f"GENERIC ON-CHIP PARITY OK (worst {worst:.3e} deg < 1e-2, "
+          f"{len(codes)} families)")
+
 
 if __name__ == "__main__":
     main()
