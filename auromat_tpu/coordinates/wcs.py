@@ -178,6 +178,50 @@ class ZenithalWcs:
         phi = jnp.arctan2(x, -y)
         return phi, _theta_from_r(self.projection, r)
 
+    def dirs_from_plane(self, x, y):
+        """Trig-free native unit direction (l, m, n) from plane coords.
+
+        Algebraic elimination of the phi/theta round-trip for the radial
+        zenithal laws (the same forms as the df64 chain,
+        ops/georef._df_zenithal_dirs): the generic per-pixel path then
+        costs ~1 sqrt instead of ~6 transcendentals (atan2 + theta(r) +
+        4x sin/cos). Values equal native_from_plane + cos/sin to roundoff
+        with the SAME NaN domains (SIN beyond the disc, ZEA beyond the
+        antipode circle, ARC beyond r=180). Returns None for subclasses
+        whose law is not radial (AZP/SZP/ZPN/AIR, XPH) — and for TAN,
+        whose generic route is gated BIT-IDENTICAL to tan_pix2world's
+        trig formulation (production TAN georef never passes here anyway;
+        it runs the fused ops.georef path). :func:`pix2world_cartesian`
+        falls back to the spherical route on None.
+        """
+        if self.projection not in ("SIN", "ZEA", "ARC", "STG"):
+            return None
+        q = np.pi / 180.0
+        r2 = x * x + y * y
+        if self.projection == "SIN":
+            # the 0*n terms tie every component to the domain NaN (beyond
+            # the disc native_from_plane NaNs ALL of phi/theta-derived
+            # math, and pix2world's ra must not stay finite there)
+            n = jnp.sqrt(1.0 - (q * q) * r2)
+            return -q * y + 0.0 * n, q * x + 0.0 * n, n
+        if self.projection == "ZEA":
+            rho2 = (np.pi / 360.0) ** 2 * r2
+            k = q * jnp.sqrt(1.0 - rho2)  # NaN beyond the antipode circle
+            return -k * y, k * x, 1.0 - 2.0 * rho2 + 0.0 * k
+        if self.projection == "STG":
+            t2 = (np.pi / 360.0) ** 2 * r2
+            inv = 1.0 / (1.0 + t2)
+            g = q * inv
+            return -g * y, g * x, (1.0 - t2) * inv
+        # ARC: n = cos(q r), (l, m) = sin(q r)/r * (-y, x); guard the
+        # exact-centre 0/0 (sin(qr)/r -> q) and the r > 180 domain edge
+        r = jnp.sqrt(r2)
+        zeta = q * r
+        s = jnp.sin(zeta)
+        g = jnp.where(r > 0.0, s / jnp.maximum(r, 1e-30), q)
+        n = jnp.where(r <= 180.0, jnp.cos(zeta), jnp.nan)
+        return -g * y + 0.0 * n, g * x + 0.0 * n, n
+
     def plane_from_native(self, phi, theta):
         """Native spherical (rad) -> projection-plane (x, y) degrees;
         unprojectable directions yield NaN."""
@@ -1392,22 +1436,33 @@ def pix2world_cartesian(wcs, px, py, origin=0):
     (:class:`CylindricalWcs`); generic counterpart of
     :func:`tan_pix2world_cartesian` (the reference reaches non-TAN
     projections via its astropy fallback, reference wcs.py:18-64)."""
-    dx = px - (wcs.px_ref - (1 - origin))
-    dy = py - (wcs.py_ref - (1 - origin))
-    cd = wcs.cd
-    x = cd[0, 0] * dx + cd[0, 1] * dy
-    y = cd[1, 0] * dx + cd[1, 1] * dy
+    # header constants ride as PYTHON floats (weak-typed): the chain then
+    # computes in the dtype of px/py. With the f64 np arrays used before,
+    # an f32 TPU call silently promoted every per-pixel op to f64 — which
+    # XLA-TPU EMULATES (measured: 77 ms for the 12 MP ZEA georef vs ~? in
+    # true f32). The f64 CPU parity path is bit-identical either way
+    # (float() preserves the value; f64 inputs keep f64 math).
+    dx = px - float(wcs.px_ref - (1 - origin))
+    dy = py - float(wcs.py_ref - (1 - origin))
+    cd = np.asarray(wcs.cd, dtype=np.float64)
+    x = float(cd[0, 0]) * dx + float(cd[0, 1]) * dy
+    y = float(cd[1, 0]) * dx + float(cd[1, 1]) * dy
 
-    phi, theta = wcs.native_from_plane(x, y)
-
-    cos_t = jnp.cos(theta)
-    l_ = cos_t * jnp.cos(phi)
-    m_ = cos_t * jnp.sin(phi)
-    n_ = jnp.sin(theta)
-    rot = wcs.rotmat
-    vx = rot[0, 0] * l_ + rot[0, 1] * m_ + rot[0, 2] * n_
-    vy = rot[1, 0] * l_ + rot[1, 1] * m_ + rot[1, 2] * n_
-    vz = rot[2, 0] * l_ + rot[2, 1] * m_ + rot[2, 2] * n_
+    # radial zenithal laws: trig-free algebraic direction (one sqrt vs ~6
+    # transcendentals); everything else goes through the spherical route
+    dirs = getattr(wcs, "dirs_from_plane", lambda *_: None)(x, y)
+    if dirs is not None:
+        l_, m_, n_ = dirs
+    else:
+        phi, theta = wcs.native_from_plane(x, y)
+        cos_t = jnp.cos(theta)
+        l_ = cos_t * jnp.cos(phi)
+        m_ = cos_t * jnp.sin(phi)
+        n_ = jnp.sin(theta)
+    rot = np.asarray(wcs.rotmat, dtype=np.float64)
+    vx = float(rot[0, 0]) * l_ + float(rot[0, 1]) * m_ + float(rot[0, 2]) * n_
+    vy = float(rot[1, 0]) * l_ + float(rot[1, 1]) * m_ + float(rot[1, 2]) * n_
+    vz = float(rot[2, 0]) * l_ + float(rot[2, 1]) * m_ + float(rot[2, 2]) * n_
     return jnp.stack([vx, vy, vz], axis=-1)
 
 

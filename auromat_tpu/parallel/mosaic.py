@@ -29,6 +29,10 @@ from auromat_tpu.parallel.sharding import (Mesh,
 
 _EYE3 = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
 
+# (mesh, grid, h, w, dtype, bin_method, ...) -> compiled finalize=False step;
+# shared across mosaic_sequence calls (see step_for)
+_STEP_CACHE = {}
+
 
 def null_georef_params(like: GeorefParams) -> GeorefParams:
     """A same-shaped frame that contributes NOTHING to any mosaic.
@@ -75,8 +79,22 @@ def mosaic_sequence(mesh: Mesh, grid: GridSpec, bursts, batch=8,
     if batch % dp_n != 0:
         raise ValueError(f"batch {batch} must divide by mesh dp={dp_n}")
 
-    steps = {}  # (h, w) -> step
     total = None  # (count, sums), sharded
+
+    def step_for(h, w):
+        # memoized across mosaic_sequence CALLS: a fresh
+        # make_grid_sharded_mosaic_step would wrap a fresh jit object and
+        # re-trace the whole georef+binning graph every sequence (seconds
+        # of host time even with the persistent compile cache warm)
+        key = (mesh, grid, h, w, dtype, bin_method, chunk_rows, interpret,
+               slab_budget_bytes, min_elevation)
+        if key not in _STEP_CACHE:
+            _STEP_CACHE[key] = make_grid_sharded_mosaic_step(
+                mesh, grid, h, w, channels=3, dtype=dtype,
+                bin_method=bin_method, chunk_rows=chunk_rows,
+                interpret=interpret, slab_budget_bytes=slab_budget_bytes,
+                finalize=False, min_elevation=min_elevation)
+        return _STEP_CACHE[key]
 
     @jax.jit
     def _acc(tot, cnt, sums):
@@ -86,24 +104,29 @@ def mosaic_sequence(mesh: Mesh, grid: GridSpec, bursts, batch=8,
         nonlocal total
         h, w = imgs.shape[1:3]
         n = len(params)
+        on_device = isinstance(imgs, jax.Array)
         if n < batch:  # pad to the compiled batch size with null frames
             params = list(params) + [null_georef_params(params[0])] * (batch - n)
-            imgs = np.concatenate(
-                [imgs, np.zeros((batch - n,) + imgs.shape[1:], imgs.dtype)])
-        key = (h, w)
-        if key not in steps:
-            steps[key] = make_grid_sharded_mosaic_step(
-                mesh, grid, h, w, channels=3, dtype=dtype,
-                bin_method=bin_method, chunk_rows=chunk_rows,
-                interpret=interpret, slab_budget_bytes=slab_budget_bytes,
-                finalize=False, min_elevation=min_elevation)
+            if on_device:
+                imgs = jnp.concatenate(
+                    [imgs, jnp.zeros((batch - n,) + imgs.shape[1:],
+                                     imgs.dtype)])
+            else:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((batch - n,) + imgs.shape[1:],
+                                    imgs.dtype)])
         dyn = DynGeorefParams.stack(params, dtype=dtype)
-        cnt, sums = steps[key](dyn, np.asarray(imgs, np.float32))
+        # device-resident imagery passes through untouched (a np.asarray
+        # would FETCH it back through the relay); host imagery casts once
+        cnt, sums = step_for(h, w)(dyn,
+                                   imgs if on_device
+                                   else np.asarray(imgs, np.float32))
         total = (cnt, sums) if total is None else _acc(total, cnt, sums)
 
     for params_list, imgs in bursts:
         params_list = list(params_list)
-        imgs = np.asarray(imgs)
+        if not isinstance(imgs, jax.Array):
+            imgs = np.asarray(imgs)
         for i in range(0, len(params_list), batch):
             run_chunk(params_list[i : i + batch], imgs[i : i + batch])
 

@@ -247,22 +247,35 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             cnt_nat, sums_nat = bin_rgbelev_from_indices(
                 grid, iy2, ix2, img2, elev2, interpret=interpret,
                 slab_budget_bytes=slab_budget_bytes)
-            full = jnp.concatenate(
-                [cnt_nat[..., None], sums_nat], axis=-1).astype(dtype)
-            # (n_lat, n_lon, 1+C) -> (n_dev, band_pad, n_lon, 1+C): rows
-            # beyond n_lat (and beyond each band up to band_pad) are zeros
-            full = jnp.pad(full, ((0, band * n_dev - grid.n_lat),
-                                  (0, 0), (0, 0)))
-            full = full.reshape(n_dev, band, n_lon, 1 + n_ch)
-            full = jnp.pad(full, ((0, 0), (0, band_pad - band),
-                                  (0, 0), (0, 0)))
+
+            # route count and sums SEPARATELY: the r4 code concatenated
+            # them into one (n_lat, n_lon, 1+C) tensor only to slice the
+            # channels apart again for the two scatters — at config-5
+            # scale that concat alone moves ~1 GB of HBM traffic per step
+            def route(x):
+                # (n_lat, n_lon[, C]) -> (n_dev, band_pad, n_lon[, C]);
+                # rows beyond n_lat (and beyond each band up to band_pad)
+                # are zeros. The row pad + reshape is layout-preserving
+                # (row-major) — only the band->band_pad pad copies, and
+                # only when n_chunks does not divide the band exactly.
+                tail = ((0, 0),) * (x.ndim - 1)
+                x = x.astype(dtype)
+                x = jnp.pad(x, ((0, band * n_dev - grid.n_lat),) + tail)
+                x = x.reshape((n_dev, band) + x.shape[1:])
+                if band_pad != band:
+                    x = jnp.pad(x, ((0, 0), (0, band_pad - band)) + tail)
+                return x
+
+            cnt_full = route(cnt_nat)
+            sums_full = route(sums_nat)
             for c in range(n_chunks):
-                blk = full[:, c * chunk_rows : (c + 1) * chunk_rows] \
-                    .reshape(n_rows_stacked, n_lon, 1 + n_ch)
-                cnt = jax.lax.psum_scatter(blk[..., 0], ("dp", "sp"),
-                                           scatter_dimension=0, tiled=True)
-                sms = jax.lax.psum_scatter(blk[..., 1:], ("dp", "sp"),
-                                           scatter_dimension=0, tiled=True)
+                sl = slice(c * chunk_rows, (c + 1) * chunk_rows)
+                cnt = jax.lax.psum_scatter(
+                    cnt_full[:, sl].reshape(n_rows_stacked, n_lon),
+                    ("dp", "sp"), scatter_dimension=0, tiled=True)
+                sms = jax.lax.psum_scatter(
+                    sums_full[:, sl].reshape(n_rows_stacked, n_lon, n_ch),
+                    ("dp", "sp"), scatter_dimension=0, tiled=True)
                 r0 = c * chunk_rows
                 rows = min(chunk_rows, band - r0)
                 out_count = out_count.at[r0 : r0 + rows].set(cnt[:rows])

@@ -376,6 +376,33 @@ class TestThemisBatched:
                 np.asarray(single.lats.filled(np.nan)),
                 rtol=0, atol=1e-9, equal_nan=True)
 
+    def test_get_mappings_many_mixed_shapes(self, tmp_path):
+        """Deployment-scale shape grouping (VERDICT r4 item 6): 9 stations
+        in 3 calibration resolutions through ONE get_mappings call — each
+        shape group batches its reprojection independently, and every
+        mapping equals its serial single-station build."""
+        sizes = [32, 16, 24, 32, 16, 24, 32, 16, 24]
+        sts = [f"st{i}" for i in range(9)]
+        date = None
+        for st, sz in zip(sts, sizes):
+            date, _ = synth_themis_cdfs(str(tmp_path), station=st, size=sz)
+        coll = themis.get_mappings(
+            date, str(tmp_path), str(tmp_path), altitude=100, offline=True,
+            stations=sts)
+        assert len(coll.mappings) == 9
+        assert len({m.lats.shape for m in coll.mappings}) == 3
+        for m in coll.mappings:
+            st = m.identifier.split(".")[0]
+            single = themis.mapping_single_asi(
+                st, date, str(tmp_path), str(tmp_path), altitude=100,
+                offline=True)
+            np.testing.assert_allclose(
+                np.asarray(m.lats.filled(np.nan)),
+                np.asarray(single.lats.filled(np.nan)),
+                rtol=0, atol=1e-9, equal_nan=True)
+            assert np.array_equal(np.asarray(m.img.filled(0)),
+                                  np.asarray(single.img.filled(0)))
+
     def test_get_mappings_mixed_ref_and_reproject(self, tmp_path):
         """One station resolved from the calibration table (altitude=110 is
         a reference altitude), collection at a non-ref altitude batches."""

@@ -278,6 +278,52 @@ class TestZenithalProjections:
         assert_allclose(np.asarray(by), py, atol=1e-8)
 
     @pytest.mark.parametrize("code", ["SIN", "ZEA", "ARC", "STG"])
+    def test_dirs_from_plane_matches_spherical_route(self, code):
+        """The trig-free algebraic direction fast path (dirs_from_plane,
+        used by pix2world_cartesian) equals the native_from_plane +
+        cos/sin spherical route to f64 roundoff, INCLUDING the NaN
+        domains (SIN beyond the disc, ZEA beyond the antipode circle,
+        ARC beyond r=180) — probed with a wide-scale header so the
+        out-of-domain regions are actually exercised."""
+        import jax.numpy as jnp
+
+        from auromat_tpu.coordinates.wcs import ZenithalWcs
+
+        wcs = ZenithalWcs(self._header(code, scale=0.8))
+        px, py = np.meshgrid(np.arange(-40, 240, 7, dtype=np.float64),
+                             np.arange(-40, 200, 9, dtype=np.float64))
+        x = 0.8 * 0.9 * (px - 99.5) + 0.8 * 0.3 * (py - 79.25)
+        y = -0.8 * 0.2 * (px - 99.5) + 0.8 * 1.1 * (py - 79.25)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        fast = wcs.dirs_from_plane(x, y)
+        assert fast is not None
+        phi, theta = wcs.native_from_plane(x, y)
+        ct = jnp.cos(theta)
+        ref = (ct * jnp.cos(phi), ct * jnp.sin(phi), jnp.sin(theta))
+        for a, b in zip(fast, ref):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.array_equal(np.isnan(a), np.isnan(b))
+            ok = ~np.isnan(a)
+            assert_allclose(a[ok], b[ok], rtol=0, atol=5e-14)
+        if code in ("SIN", "ZEA"):  # probe grid reaches out-of-domain
+            assert np.isnan(np.asarray(fast[2])).any()
+        if code == "ARC":  # r > 180 not reachable with this header; probe
+            f = wcs.dirs_from_plane(jnp.asarray([181.0]), jnp.asarray([0.0]))
+            assert all(np.isnan(np.asarray(c)).all() for c in f)
+
+    def test_dirs_from_plane_declines_non_radial(self):
+        """AZP (tilted — not radially symmetric) must return None and
+        route through the spherical path."""
+        import jax.numpy as jnp
+
+        from auromat_tpu.coordinates.wcs import make_wcs
+
+        h = self._header("AZP")
+        h["PV2_1"], h["PV2_2"] = 2.0, 15.0
+        wcs = make_wcs(h)
+        assert wcs.dirs_from_plane(jnp.zeros(3), jnp.zeros(3)) is None
+
+    @pytest.mark.parametrize("code", ["SIN", "ZEA", "ARC", "STG"])
     def test_radial_inverse_analytic(self, code):
         """Independent oracle: the angular distance between a pixel's
         direction and the reference direction must equal 90 deg - theta(R)
