@@ -1430,12 +1430,13 @@ def _r_from_theta(projection, theta):
     raise NotImplementedError(projection)
 
 
-def pix2world_cartesian(wcs, px, py, origin=0):
-    """Pixel coordinates -> unit ICRS direction vectors for any supported
-    projection — zenithal (:class:`ZenithalWcs`) or cylindrical
-    (:class:`CylindricalWcs`); generic counterpart of
-    :func:`tan_pix2world_cartesian` (the reference reaches non-TAN
-    projections via its astropy fallback, reference wcs.py:18-64)."""
+def pix2world_dirs(wcs, px, py, origin=0):
+    """Pixel coordinates -> unit ICRS direction COMPONENTS (vx, vy, vz)
+    for any supported projection — the planar form of
+    :func:`pix2world_cartesian`. Hot per-pixel consumers (the generic
+    georef chain) use this: the stacked (..., 3) form puts the component
+    axis on the TPU lane dimension, and slicing it back costs a relayout
+    per component (measured ~15 ms on the 12 MP frame)."""
     # header constants ride as PYTHON floats (weak-typed): the chain then
     # computes in the dtype of px/py. With the f64 np arrays used before,
     # an f32 TPU call silently promoted every per-pixel op to f64 — which
@@ -1463,6 +1464,16 @@ def pix2world_cartesian(wcs, px, py, origin=0):
     vx = float(rot[0, 0]) * l_ + float(rot[0, 1]) * m_ + float(rot[0, 2]) * n_
     vy = float(rot[1, 0]) * l_ + float(rot[1, 1]) * m_ + float(rot[1, 2]) * n_
     vz = float(rot[2, 0]) * l_ + float(rot[2, 1]) * m_ + float(rot[2, 2]) * n_
+    return vx, vy, vz
+
+
+def pix2world_cartesian(wcs, px, py, origin=0):
+    """Pixel coordinates -> unit ICRS direction vectors (..., 3) for any
+    supported projection — zenithal (:class:`ZenithalWcs`) or cylindrical
+    (:class:`CylindricalWcs`); generic counterpart of
+    :func:`tan_pix2world_cartesian` (the reference reaches non-TAN
+    projections via its astropy fallback, reference wcs.py:18-64)."""
+    vx, vy, vz = pix2world_dirs(wcs, px, py, origin)
     return jnp.stack([vx, vy, vz], axis=-1)
 
 

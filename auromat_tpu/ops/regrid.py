@@ -1006,6 +1006,58 @@ def bin_take_best(grid: GridSpec, lats, lons, priority, data):
     return jnp.stack(planes, axis=-1), best
 
 
+def plan_take_best(grid: GridSpec, lats, lons, priority):
+    """Precompute the per-cell winning SAMPLE for a static geometry.
+
+    ASI deployments composite every exposure (THEMIS: one per 3 s) with
+    the SAME station calibration grids — coordinates and elevation
+    priorities are static per night, only imagery changes.
+    :func:`bin_take_best` re-sorts all samples with full payloads every
+    call; this planner runs the two-key sort ONCE and returns a plan
+    (winning flat sample index per cell + occupancy + winning priority);
+    :func:`apply_take_best` then composites an exposure with a single
+    gather. Output is bit-identical to bin_take_best (same stable
+    two-key sort decides the winner).
+
+    :returns: (winner (n_lat*n_lon,) int32, occupied (n_lat, n_lon) bool,
+               best_priority (n_lat, n_lon) — +inf where empty)
+    """
+    f32 = jnp.float32
+    flat_lats = jnp.ravel(lats).astype(f32)
+    flat_lons = jnp.ravel(lons).astype(f32)
+    flat_pri = jnp.ravel(priority).astype(f32)
+    flat_idx, valid = bin_indices(grid, flat_lats, flat_lons)
+    n_bins = grid.n_lat * grid.n_lon
+
+    key = jnp.where(valid, flat_idx, n_bins).astype(jnp.int32)
+    pri = jnp.where(valid, flat_pri, jnp.inf)
+    sidx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    skey, spri, ssidx = jax.lax.sort([key, pri, sidx], num_keys=2)
+
+    bins_ext = jnp.arange(n_bins + 1, dtype=jnp.int32)
+    starts_ext = _searchsorted_binary(skey, bins_ext, side="left")
+    starts, ends = starts_ext[:-1], starts_ext[1:]
+    occupied = (ends > starts).reshape(grid.n_lat, grid.n_lon)
+    at = jnp.minimum(starts, skey.shape[0] - 1)
+    winner = ssidx[at]
+    best = jnp.where(occupied, spri[at].reshape(grid.n_lat, grid.n_lon),
+                     jnp.inf)
+    return winner, occupied, best
+
+
+def apply_take_best(plan, data):
+    """Composite one exposure's payloads with a :func:`plan_take_best`
+    plan: ONE gather instead of a full payload sort. ``data`` must have
+    the same sample layout (...)x C as the planner's coordinate arrays.
+    A winning sample's NaN payload channel stays NaN; empty cells are
+    NaN (same semantics as bin_take_best)."""
+    winner, occupied, _ = plan
+    n_ch = data.shape[-1]
+    flat = jnp.reshape(data, (-1, n_ch)).astype(jnp.float32)
+    vals = flat[winner].reshape(occupied.shape + (n_ch,))
+    return jnp.where(occupied[..., None], vals, jnp.nan)
+
+
 def _patch_bilinear(field, y0, x0, fy, fx):
     """Bilinear patch value + analytic in-patch derivatives at (fy, fx)."""
     f00 = field[y0, x0]

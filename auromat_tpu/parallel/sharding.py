@@ -224,8 +224,6 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         iy = (flat_idx // n_lon).astype(jnp.int32)
         ix = (flat_idx % n_lon).astype(jnp.int32)
 
-        out_count = jnp.zeros((band, n_lon), dtype)
-        out_sums = jnp.zeros((band, n_lon, n_ch), dtype)
         n_rows_stacked = n_dev * chunk_rows
         chunk_bins = n_rows_stacked * n_lon
 
@@ -268,18 +266,22 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
 
             cnt_full = route(cnt_nat)
             sums_full = route(sums_nat)
+            cnts, smss = [], []
             for c in range(n_chunks):
                 sl = slice(c * chunk_rows, (c + 1) * chunk_rows)
-                cnt = jax.lax.psum_scatter(
+                cnts.append(jax.lax.psum_scatter(
                     cnt_full[:, sl].reshape(n_rows_stacked, n_lon),
-                    ("dp", "sp"), scatter_dimension=0, tiled=True)
-                sms = jax.lax.psum_scatter(
+                    ("dp", "sp"), scatter_dimension=0, tiled=True))
+                smss.append(jax.lax.psum_scatter(
                     sums_full[:, sl].reshape(n_rows_stacked, n_lon, n_ch),
-                    ("dp", "sp"), scatter_dimension=0, tiled=True)
-                r0 = c * chunk_rows
-                rows = min(chunk_rows, band - r0)
-                out_count = out_count.at[r0 : r0 + rows].set(cnt[:rows])
-                out_sums = out_sums.at[r0 : r0 + rows].set(sms[:rows])
+                    ("dp", "sp"), scatter_dimension=0, tiled=True))
+            # chunk outputs concatenate to the device band directly (the
+            # r4 zeros-init + per-chunk .at[].set paid one extra full-band
+            # pass; for the single-chunk case this is a no-op)
+            out_count = (cnts[0] if n_chunks == 1
+                         else jnp.concatenate(cnts))[:band]
+            out_sums = (smss[0] if n_chunks == 1
+                        else jnp.concatenate(smss))[:band]
             return out_count, (finalize_mean(out_count, out_sums)
                                if finalize else out_sums)
 
@@ -311,6 +313,7 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             # payload array would add a full extra sort pass
             sidx, state = sorted_prefix_state(key, data2d)
 
+        cnts, smss = [], []
         for c in range(n_chunks):
             if state is not None:
                 acc = _accumulate_sorted_range(sidx, state, c * chunk_bins,
@@ -326,14 +329,14 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             sms = acc[:, 1:].reshape(n_rows_stacked, n_lon, n_ch)
             # reduce-scatter: device d receives rows [d*chunk_rows, ...)
             # (linear mesh order matches the band assignment/out_specs)
-            cnt = jax.lax.psum_scatter(cnt, ("dp", "sp"),
-                                       scatter_dimension=0, tiled=True)
-            sms = jax.lax.psum_scatter(sms, ("dp", "sp"),
-                                       scatter_dimension=0, tiled=True)
-            r0 = c * chunk_rows
-            rows = min(chunk_rows, band - r0)
-            out_count = out_count.at[r0 : r0 + rows].set(cnt[:rows])
-            out_sums = out_sums.at[r0 : r0 + rows].set(sms[:rows])
+            cnts.append(jax.lax.psum_scatter(cnt, ("dp", "sp"),
+                                             scatter_dimension=0, tiled=True))
+            smss.append(jax.lax.psum_scatter(sms, ("dp", "sp"),
+                                             scatter_dimension=0, tiled=True))
+        out_count = (cnts[0] if n_chunks == 1
+                     else jnp.concatenate(cnts))[:band]
+        out_sums = (smss[0] if n_chunks == 1
+                    else jnp.concatenate(smss))[:band]
         return out_count, (finalize_mean(out_count, out_sums)
                            if finalize else out_sums)
 

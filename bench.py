@@ -375,6 +375,7 @@ def main():
     # production: calibration is static per night); the timed step is the
     # per-exposure device composite. Disable with BENCH_THEMIS24=0.
     themis24_ms = None
+    themis24_apply_ms = None
     if os.environ.get("BENCH_THEMIS24", "1") != "0":
         try:
             from auromat_tpu.mapping import miracle
@@ -441,6 +442,21 @@ def main():
             print(f"themis24 composite (24 stations, bin_take_best, "
                   f"{g24.n_lat}x{g24.n_lon} grid): {themis24_ms} ms",
                   file=sys.stderr)
+            # production cadence: geometry static per night, imagery per
+            # 3 s exposure -> plan once (one sort), gather per exposure
+            from auromat_tpu.ops.regrid import (apply_take_best,
+                                                plan_take_best)
+
+            plan = jax.jit(lambda la, lo, pri:
+                           plan_take_best(g24, la, lo, pri))(
+                la_d, lo_d, pri_d)
+            apply_fn = jax.jit(apply_take_best)
+            dt24a, _ = time_amortized(
+                lambda: apply_fn(plan, data_d),
+                lambda o: o[0, 0, 0], per_batch)
+            themis24_apply_ms = round(dt24a * 1e3, 2)
+            print(f"themis24 planned composite (per-exposure gather): "
+                  f"{themis24_apply_ms} ms", file=sys.stderr)
         except Exception as e:
             print(f"themis24 bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -586,6 +602,7 @@ def main():
                 "burst100_sharded_ms": burst100_sharded_ms,
                 "config5_ms": config5_ms,
                 "themis24_ms": themis24_ms,
+                "themis24_apply_ms": themis24_apply_ms,
                 "generic_ms": generic_ms,
                 "generic_parity_deg": generic_parity_deg,
             }

@@ -366,6 +366,34 @@ class TestBinTakeBest:
         assert np.array_equal(best[m], oracle[m])
         assert np.array_equal(bp, opri)
 
+    def test_plan_apply_matches_bin_take_best(self):
+        """The planned compositor (sort once per static geometry, gather
+        per exposure — the ASI production cadence) is bit-identical to
+        bin_take_best, including NaN payloads, priority ties (stable
+        sort) and empty cells."""
+        from auromat_tpu.ops.regrid import (apply_take_best, bin_take_best,
+                                            plan_take_best)
+
+        rng = np.random.default_rng(11)
+        n = 400
+        lats = rng.uniform(50.0, 55.0, n)
+        lons = rng.uniform(-105.0, -100.0, n)
+        lats[::29] = np.nan
+        pri = rng.uniform(-90.0, 0.0, n).astype(np.float32)
+        pri[::5] = pri[0]  # exact ties exercise the stable-sort order
+        g = fixed_grid(4, 50.0, 55.0, -105.0, -100.0)
+        plan = plan_take_best(g, lats, lons, pri)
+        for seed in (0, 1):
+            data = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+            data[seed::17, 1] = np.nan  # NaN payload at valid coords
+            ref, refp = map(np.asarray,
+                            bin_take_best(g, lats, lons, pri, data))
+            got = np.asarray(apply_take_best(plan, data))
+            assert np.array_equal(np.isnan(got), np.isnan(ref))
+            m = ~np.isnan(ref)
+            assert np.array_equal(got[m], ref[m])
+            assert np.array_equal(np.asarray(plan[2]), refp)
+
     def test_nan_payload_survives(self):
         """A winning sample's NaN payload channel stays NaN (matches the
         masked-array semantics of the draw-layer compositing it replaces)."""

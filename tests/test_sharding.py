@@ -616,6 +616,29 @@ class TestMosaicSequence:
         assert c.sum() > 0
         assert np.array_equal(c, c_sum)
 
+    def test_device_resident_imagery_matches_host(self):
+        """mosaic_sequence accepts jax.Array imagery (the bench's
+        device-resident 100-frame path) — identical results to host numpy
+        imagery, including the jnp padding branch (5 frames, batch 4)."""
+        from auromat_tpu.parallel import make_mesh, mosaic_sequence
+
+        B, h, w = 5, 64, 128
+        params = _burst(B, h, w)
+        imgs = np.random.default_rng(5).integers(
+            0, 256, (B, h, w, 3)).astype(np.float64)
+        grid = fixed_grid(2, 30.0, 75.0, -140.0, -60.0)
+        mesh = make_mesh(dp=2, sp=4)
+        ch, mh = mosaic_sequence(mesh, grid, [(params, imgs)], batch=4,
+                                 bin_method="sorted", dtype=jnp.float64)
+        cd, md = mosaic_sequence(mesh, grid, [(params, jnp.asarray(imgs))],
+                                 batch=4, bin_method="sorted",
+                                 dtype=jnp.float64)
+        assert np.array_equal(np.asarray(ch), np.asarray(cd))
+        a, b = np.asarray(mh), np.asarray(md)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        ok = ~np.isnan(a)
+        assert np.array_equal(a[ok], b[ok])
+
     def test_multi_burst_accumulation_matches_single(self):
         """Two separate bursts == one concatenated burst (linearity of the
         (count, sums) partials across step calls)."""
