@@ -56,7 +56,15 @@ class GeorefParams:
     def from_wcs(wcs: TanWcs, camera_pos, photo_time: datetime, altitude=110.0,
                  frame_matrices: FrameMatrices = None):
         fm = frame_matrices or FrameMatrices(photo_time)
-        t = lambda a: tuple(map(tuple, np.asarray(a, dtype=np.float64)))
+        # nested PYTHON floats, not np.float64 scalars: numpy scalars are
+        # strongly typed in jax and PROMOTE every f32 array they touch to
+        # f64 — which XLA-TPU emulates (the static-params f32 chain
+        # measured 23.7 ms vs 6.4 for the traced-f32 dyn chain on the
+        # same math). Python floats are weak: the chain computes in the
+        # dtype of the pixel arrays, and the f64 CPU parity path is
+        # bit-identical (float() preserves the value).
+        t = lambda a: tuple(tuple(float(v) for v in row)
+                            for row in np.asarray(a, dtype=np.float64))
         return GeorefParams(
             width=int(wcs.width),
             height=int(wcs.height),
