@@ -242,8 +242,17 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             img2 = jnp.transpose(
                 data[..., :3].reshape(-1, width, 3), (2, 0, 1))
             elev2 = data[..., 3].reshape(-1, width)
+            # bin straight into the band-padded accumulator (indices come
+            # from the REAL grid above, so rows >= n_lat never receive a
+            # sample; the extra rows land in a runtime-skipped slab): a
+            # natural-grid accumulator would need a row jnp.pad below —
+            # a full copy of the ~0.5 GB tensor pair per step at config-5
+            # scale
+            import dataclasses as _dc
+
+            grid_pad = _dc.replace(grid, n_lat=band * n_dev)
             cnt_nat, sums_nat = bin_rgbelev_from_indices(
-                grid, iy2, ix2, img2, elev2, interpret=interpret,
+                grid_pad, iy2, ix2, img2, elev2, interpret=interpret,
                 slab_budget_bytes=slab_budget_bytes)
 
             # route count and sums SEPARATELY: the r4 code concatenated
@@ -251,14 +260,13 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             # channels apart again for the two scatters — at config-5
             # scale that concat alone moves ~1 GB of HBM traffic per step
             def route(x):
-                # (n_lat, n_lon[, C]) -> (n_dev, band_pad, n_lon[, C]);
-                # rows beyond n_lat (and beyond each band up to band_pad)
-                # are zeros. The row pad + reshape is layout-preserving
-                # (row-major) — only the band->band_pad pad copies, and
-                # only when n_chunks does not divide the band exactly.
+                # (band*n_dev, n_lon[, C]) -> (n_dev, band_pad, n_lon[, C])
+                # — the accumulator is already band-padded (grid_pad
+                # above), so the reshape is layout-preserving (row-major)
+                # and only the band->band_pad pad copies, and only when
+                # n_chunks does not divide the band exactly.
                 tail = ((0, 0),) * (x.ndim - 1)
                 x = x.astype(dtype)
-                x = jnp.pad(x, ((0, band * n_dev - grid.n_lat),) + tail)
                 x = x.reshape((n_dev, band) + x.shape[1:])
                 if band_pad != band:
                     x = jnp.pad(x, ((0, 0), (0, band_pad - band)) + tail)

@@ -205,7 +205,8 @@ def main():
             gstep = make_grid_sharded_mosaic_step(
                 mesh1, grid, h, w, channels=3, dtype=dtype,
                 bin_method="pallas")
-            dyn1 = DynGeorefParams.stack([params], dtype=dtype)
+            dyn1 = jax.device_put(
+                DynGeorefParams.stack([params], dtype=dtype))
             imgs1 = jax.device_put(img[None])  # (1, h, w, 3)
             dt_sh, _ = time_amortized(lambda: gstep(dyn1, imgs1),
                                       lambda o: o[0][0, 0], per_batch)
@@ -222,7 +223,8 @@ def main():
     if method == "georegrid_pallas":
         try:
             NB = int(os.environ.get("BENCH_BURST", 8))
-            dynb = DynGeorefParams.stack([params] * NB, dtype=dtype)
+            dynb = jax.device_put(
+                DynGeorefParams.stack([params] * NB, dtype=dtype))
 
             @jax.jit
             def burst(imgs_chw, dynb):
@@ -262,7 +264,8 @@ def main():
             gstep8 = make_grid_sharded_mosaic_step(
                 mesh1, grid, h, w, channels=3, dtype=dtype,
                 bin_method="pallas")
-            dyn8 = DynGeorefParams.stack([params] * NB, dtype=dtype)
+            dyn8 = jax.device_put(
+                DynGeorefParams.stack([params] * NB, dtype=dtype))
             imgs8 = jax.device_put(
                 np.broadcast_to(img[None], (NB, h, w, 3)).copy())
             dt8, _ = time_amortized(lambda: gstep8(dyn8, imgs8),
@@ -354,7 +357,8 @@ def main():
             # (measured: 28 ms/frame at B=1, 11.4 at B=8; B=4 balances
             # honesty and bench compile time)
             NB5 = int(os.environ.get("BENCH_CONFIG5_B", 4))
-            dyn5 = DynGeorefParams.stack([params] * NB5, dtype=dtype)
+            dyn5 = jax.device_put(
+                DynGeorefParams.stack([params] * NB5, dtype=dtype))
             imgs5 = jax.device_put(
                 np.broadcast_to(img[None], (NB5, h, w, 3)).copy())
             dt5, _ = time_amortized(lambda: g5step(dyn5, imgs5),

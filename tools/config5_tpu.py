@@ -65,7 +65,11 @@ def main():
     step = make_grid_sharded_mosaic_step(mesh, grid, h, w, channels=3,
                                          dtype=jnp.float32,
                                          bin_method="pallas")
-    dyn = DynGeorefParams.stack([params] * B, dtype=jnp.float32)
+    # stack() returns HOST numpy (right for streaming fresh params);
+    # this loop reuses ONE dyn -> pin it on device or every call
+    # re-uploads it through the relay
+    dyn = jax.device_put(DynGeorefParams.stack([params] * B,
+                                               dtype=jnp.float32))
     imgs = jax.device_put(np.broadcast_to(img[None], (B, h, w, 3)).copy())
 
     print(f"backend: {jax.default_backend()}, B={B} frames x {mpix:.2f} MPix,"
