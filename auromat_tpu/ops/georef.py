@@ -214,7 +214,7 @@ def georeference_generic(wcs, params: GeorefParams, fast_center=False,
 
     Pixel directions come from the generic plane->native->celestial
     chain of the :mod:`auromat_tpu.coordinates.wcs` family classes
-    (``pix2world_cartesian``) instead of the fused trig-free TAN
+    (``pix2world_dirs``) instead of the fused trig-free TAN
     unprojection; the downstream chain — ray/ellipsoid intersection,
     Bowring, elevation, MLat/MLT — is shared. This is the reference's
     astropy-fallback georeferencing role (reference wcs.py:18-64 via
@@ -226,10 +226,12 @@ def georeference_generic(wcs, params: GeorefParams, fast_center=False,
     float64 header constants fold at trace time — one compilation per
     wcs instance; essential for iterative inverses like PCO's bisection,
     which would otherwise issue hundreds of eager full-frame ops). The
-    generic plane->native math runs in float64 (the family classes carry
-    f64 host constants) and the resulting directions are cast to the
-    requested dtype at the direction boundary, so the intersection/
-    Bowring chain honours the dtype contract.
+    whole per-pixel chain computes in the REQUESTED dtype: header
+    constants ride as weak python floats (pix2world_dirs), so an f32
+    call is true f32 end to end — np-f64 constants previously promoted
+    it to f64, which XLA-TPU emulates at ~10x cost. The measured f32
+    floor vs the f64 oracle is ~1.6e-3 deg
+    (tests/test_georef.py::test_generic_projection_f32_floor).
     """
     from auromat_tpu.coordinates.wcs import pix2world_dirs
 
@@ -370,7 +372,7 @@ def georeference_points_generic(wcs, params: GeorefParams, px, py,
     """:func:`georeference_points` for ANY supported FITS projection.
 
     Directions come from the generic plane->native->celestial chain
-    (:func:`auromat_tpu.coordinates.wcs.pix2world_cartesian`, the
+    (:func:`auromat_tpu.coordinates.wcs.pix2world_dirs`, the
     reference's astropy-fallback role — reference wcs.py:18-64) instead
     of the fused TAN unprojection; intersection and Bowring are shared.
     This is the measurement surface for on-chip generic-projection

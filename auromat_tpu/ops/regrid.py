@@ -1020,7 +1020,9 @@ def plan_take_best(grid: GridSpec, lats, lons, priority):
     two-key sort decides the winner).
 
     :returns: (winner (n_lat*n_lon,) int32, occupied (n_lat, n_lon) bool,
-               best_priority (n_lat, n_lon) — +inf where empty)
+               best_priority (n_lat, n_lon) — +inf where empty,
+               n_samples int32 scalar — the planned sample count;
+               :func:`apply_take_best` validates exposures against it)
     """
     f32 = jnp.float32
     flat_lats = jnp.ravel(lats).astype(f32)
@@ -1042,18 +1044,32 @@ def plan_take_best(grid: GridSpec, lats, lons, priority):
     winner = ssidx[at]
     best = jnp.where(occupied, spri[at].reshape(grid.n_lat, grid.n_lon),
                      jnp.inf)
-    return winner, occupied, best
+    return winner, occupied, best, jnp.int32(key.shape[0])
 
 
 def apply_take_best(plan, data):
     """Composite one exposure's payloads with a :func:`plan_take_best`
     plan: ONE gather instead of a full payload sort. ``data`` must have
-    the same sample layout (...)x C as the planner's coordinate arrays.
-    A winning sample's NaN payload channel stays NaN; empty cells are
-    NaN (same semantics as bin_take_best)."""
-    winner, occupied, _ = plan
+    the same sample layout (...) x C as the planner's coordinate arrays —
+    validated against the plan's sample count at trace time (jax's
+    clamped gather would otherwise return silently WRONG composites for
+    a cropped/re-binned exposure). A winning sample's NaN payload channel
+    stays NaN; empty cells are NaN (same semantics as bin_take_best)."""
+    winner, occupied, _, n_samples = plan
     n_ch = data.shape[-1]
     flat = jnp.reshape(data, (-1, n_ch)).astype(jnp.float32)
+    # n_samples is a (possibly traced) scalar whose VALUE is the planner's
+    # static sample count; flat.shape[0] is static. Validate whenever the
+    # plan is concrete (the normal case: plans are built once per
+    # geometry); under an outer jit the leaf is a tracer and the check is
+    # skipped at that call site.
+    expected = (None if isinstance(n_samples, jax.core.Tracer)
+                else int(n_samples))
+    if expected is not None and flat.shape[0] != expected:
+        raise ValueError(
+            f"exposure has {flat.shape[0]} samples but the plan was built "
+            f"for {expected} — re-plan for this geometry (a clamped "
+            "gather would composite the wrong samples silently)")
     vals = flat[winner].reshape(occupied.shape + (n_ch,))
     return jnp.where(occupied[..., None], vals, jnp.nan)
 

@@ -30,8 +30,12 @@ from auromat_tpu.parallel.sharding import (Mesh,
 _EYE3 = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
 
 # (mesh, grid, h, w, dtype, bin_method, ...) -> compiled finalize=False step;
-# shared across mosaic_sequence calls (see step_for)
+# shared across mosaic_sequence calls (see step_for). BOUNDED: compiled
+# sharded steps hold whole executables (GB-scale programs at config-5
+# grids) — evict least-recently-used beyond a small working set instead
+# of growing for every shape/grid/mesh ever seen in the process.
 _STEP_CACHE = {}
+_STEP_CACHE_MAX = 8
 
 
 def null_georef_params(like: GeorefParams) -> GeorefParams:
@@ -89,11 +93,15 @@ def mosaic_sequence(mesh: Mesh, grid: GridSpec, bursts, batch=8,
         key = (mesh, grid, h, w, dtype, bin_method, chunk_rows, interpret,
                slab_budget_bytes, min_elevation)
         if key not in _STEP_CACHE:
+            while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.pop(next(iter(_STEP_CACHE)))  # oldest-first
             _STEP_CACHE[key] = make_grid_sharded_mosaic_step(
                 mesh, grid, h, w, channels=3, dtype=dtype,
                 bin_method=bin_method, chunk_rows=chunk_rows,
                 interpret=interpret, slab_budget_bytes=slab_budget_bytes,
                 finalize=False, min_elevation=min_elevation)
+        else:  # LRU refresh
+            _STEP_CACHE[key] = _STEP_CACHE.pop(key)
         return _STEP_CACHE[key]
 
     @jax.jit
@@ -116,8 +124,12 @@ def mosaic_sequence(mesh: Mesh, grid: GridSpec, bursts, batch=8,
                     [imgs, np.zeros((batch - n,) + imgs.shape[1:],
                                     imgs.dtype)])
         dyn = DynGeorefParams.stack(params, dtype=dtype)
-        # device-resident imagery passes through untouched (a np.asarray
-        # would FETCH it back through the relay); host imagery casts once
+        # device-resident imagery passes through WITHOUT a host fetch (a
+        # np.asarray would pull it back through the relay), but must still
+        # be f32 — a second input dtype on the cached step would silently
+        # re-trace + recompile the whole graph (minutes on the remote TPU)
+        if on_device and imgs.dtype != jnp.float32:
+            imgs = imgs.astype(jnp.float32)
         cnt, sums = step_for(h, w)(dyn,
                                    imgs if on_device
                                    else np.asarray(imgs, np.float32))

@@ -199,6 +199,23 @@ def resample(mapping_or_collection, px_per_deg=25, arcsec_per_px=None,
     return mapping.createResampled(lats, lons, lats_c, lons_c, elevation_r, img_r)
 
 
+def _rotate_pole_deg(la_deg, lo_deg, angle, altitude):
+    """Degrees-in/degrees-out rotate-pole about the x-axis at the emission
+    altitude — the ONE wrapper behind every pole pre/post rotation here
+    (mosaic compositing, the per-frame _resample pole path and its
+    unrotate): the pole-mosaic grid-identity gate depends on all sites
+    computing bit-identically. Host f64 regardless of the default backend
+    (feeds parity-gated coordinate grids; TPU backends degrade f64->f32);
+    NaN coordinates pass through as NaN."""
+    with np.errstate(invalid="ignore"), _host_ctx():
+        la2, lo2 = rotate_pole(
+            np.deg2rad(np.asarray(la_deg, dtype=np.float64)),
+            np.deg2rad(np.asarray(lo_deg, dtype=np.float64)),
+            altitude, angle_deg=angle, axis=(1, 0, 0),
+        )
+    return np.rad2deg(np.asarray(la2)), np.rad2deg(np.asarray(lo2))
+
+
 def _finalize_int_image(img_r, img_dtype):
     """Float resampled image -> the source integer dtype.
 
@@ -275,16 +292,7 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     except TypeError:
         px_per_deg = (px_per_deg, px_per_deg)
 
-    def _rot(la_deg, lo_deg, angle):
-        # host f64 regardless of the default backend (feeds parity-gated
-        # coordinate grids; TPU backends degrade f64->f32)
-        with np.errstate(invalid="ignore"), _host_ctx():
-            la2, lo2 = rotate_pole(
-                np.deg2rad(np.asarray(la_deg, dtype=np.float64)),
-                np.deg2rad(np.asarray(lo_deg, dtype=np.float64)),
-                altitude, angle_deg=angle, axis=(1, 0, 0),
-            )
-        return np.rad2deg(np.asarray(la2)), np.rad2deg(np.asarray(lo2))
+    _rot = _partial(_rotate_pole_deg, altitude=altitude)
 
     lats_l, lons_l, data_l = [], [], []
     img_dtype = None
@@ -389,24 +397,14 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
 
     if contains_pole:
         outline = outline_fn()
-        # host f64 regardless of the default backend (pole rotation feeds
-        # the parity-gated coordinate grids; TPU backends degrade f64->f32)
-        with _host_ctx():
-            o_lats, o_lons = rotate_pole(
-                np.deg2rad(outline[:, 0]), np.deg2rad(outline[:, 1]), altitude,
-                angle_deg=90.0, axis=(1, 0, 0),
-            )
-        outline[:, 0] = np.rad2deg(np.asarray(o_lats))
-        outline[:, 1] = np.rad2deg(np.asarray(o_lons))
+        outline[:, 0], outline[:, 1] = _rotate_pole_deg(
+            outline[:, 0], outline[:, 1], 90.0, altitude)
         lat_min, lat_max = outline[:, 0].min(), outline[:, 0].max()
         lon_min, lon_max = outline[:, 1].min(), outline[:, 1].max()
-        with np.errstate(invalid="ignore"), _host_ctx():
-            la, lo = rotate_pole(
-                np.deg2rad(lats_center.ravel()), np.deg2rad(lons_center.ravel()),
-                altitude, angle_deg=90.0, axis=(1, 0, 0),
-            )
-        lats_center = np.rad2deg(np.asarray(la)).reshape(lats_center.shape)
-        lons_center = np.rad2deg(np.asarray(lo)).reshape(lons_center.shape)
+        la, lo = _rotate_pole_deg(lats_center.ravel(), lons_center.ravel(),
+                                  90.0, altitude)
+        lats_center = la.reshape(lats_center.shape)
+        lons_center = lo.reshape(lons_center.shape)
         outline_fn = lambda: outline
     elif contains_discontinuity:
         outline = outline_fn()
@@ -482,13 +480,9 @@ def _resample(lats_center, lons_center, altitude, data, outline_fn, bbox,
 
     if contains_pole:
         def unrotate(la, lo):
-            with _host_ctx():
-                la2, lo2 = rotate_pole(
-                    np.deg2rad(la.ravel()), np.deg2rad(lo.ravel()), altitude,
-                    angle_deg=-90.0, axis=(1, 0, 0),
-                )
-            return (np.rad2deg(np.asarray(la2)).reshape(la.shape),
-                    np.rad2deg(np.asarray(lo2)).reshape(lo.shape))
+            la2, lo2 = _rotate_pole_deg(la.ravel(), lo.ravel(), -90.0,
+                                        altitude)
+            return la2.reshape(la.shape), lo2.reshape(lo.shape)
 
         lat_grid, lon_grid = unrotate(lat_grid, lon_grid)
         lat_grid_c, lon_grid_c = unrotate(lat_grid_c, lon_grid_c)

@@ -382,9 +382,15 @@ def main():
     themis24_apply_ms = None
     if os.environ.get("BENCH_THEMIS24", "1") != "0":
         try:
+            from auromat_tpu.constants import WGS84_A, WGS84_B
+            from auromat_tpu.coordinates.intersection import \
+                ellipsoid_line_intersection
+            from auromat_tpu.coordinates.transform import (
+                ecef_to_geodetic, geodetic_to_ecef_zero)
             from auromat_tpu.mapping import miracle
             from auromat_tpu.mapping.themis import reproject_batch
             from auromat_tpu.ops.regrid import bin_take_best
+            from auromat_tpu.utils import host_f64_device
 
             S, SZ = 24, 256
             rng = np.random.default_rng(1)
@@ -398,12 +404,6 @@ def main():
                     xc=SZ / 2 * 512 / SZ, yc=SZ / 2 * 512 / SZ,
                     k=155.0, rotation=0.0, boundingBoxSimple=None)
                 az, el = miracle.fisheye_az_el(cal, SZ, corner=False)
-                from auromat_tpu.constants import WGS84_A, WGS84_B
-                from auromat_tpu.coordinates.intersection import \
-                    ellipsoid_line_intersection
-                from auromat_tpu.coordinates.transform import (
-                    ecef_to_geodetic, geodetic_to_ecef_zero)
-                from auromat_tpu.utils import host_f64_device
                 with host_f64_device():
                     ox, oy, oz = geodetic_to_ecef_zero(
                         np.deg2rad(cal.lat), np.deg2rad(cal.lon))

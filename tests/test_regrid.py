@@ -393,6 +393,10 @@ class TestBinTakeBest:
             m = ~np.isnan(ref)
             assert np.array_equal(got[m], ref[m])
             assert np.array_equal(np.asarray(plan[2]), refp)
+        # a mismatched exposure (cropped/re-binned geometry) must fail
+        # fast — jax's clamped gather would composite garbage silently
+        with pytest.raises(ValueError, match="re-plan"):
+            apply_take_best(plan, np.zeros((n - 3, 3), np.float32))
 
     def test_nan_payload_survives(self):
         """A winning sample's NaN payload channel stays NaN (matches the
