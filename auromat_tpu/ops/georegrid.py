@@ -336,6 +336,37 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
                            n_win_r, n_win_c),
               iy_rel, ixp, imgp, elevp)
 
+    def post(acc, rows, n_win_r):
+        # window-major accumulator -> natural-layout (count, sums) for THIS
+        # slab. Runs inside the slab cond below so runtime-skipped slabs
+        # emit plain zero FILLS in the final layout instead of paying the
+        # transpose + channel-combine passes over all-zero rows (~85% of a
+        # global-scale grid; at config-5 that was ~3 full-grid HBM passes
+        # of dead traffic per step).
+        acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
+                 .transpose(0, 2, 3, 1, 4).reshape(rows, N_STACK, n_lon_pad)
+        count = acc[:, 0, : grid.n_lon]
+        sums_k = acc[:, 1:7, : grid.n_lon]
+        if compute == "i8":
+            # undo the -128 channel offset in exact int32 arithmetic, then
+            # convert (exact below 2^24 — the same class as the bf16
+            # kernel's f32 accumulator, which starts rounding there too)
+            sums_k = (sums_k + 128 * count[:, None, :]).astype(jnp.float32)
+            sums_k = jnp.transpose(sums_k, (0, 2, 1))
+            count = count.astype(jnp.float32)
+            el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
+                      + sums_k[..., 4] * (1.0 / 256.0)
+                      + sums_k[..., 5] * (1.0 / 65536.0))
+        else:
+            sums_k = jnp.transpose(sums_k, (0, 2, 1))
+            # subtract the offset from the exact-integer limb sum FIRST so
+            # the fraction limbs are added at their own small magnitude
+            el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
+                      + sums_k[..., 4] + sums_k[..., 5])
+        sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]],
+                               axis=-1)
+        return count, sums
+
     multi_slab = n_lat_pad > slab_rows
     if multi_slab:
         # occupied lat range of THIS sample set: slabs wholly outside
@@ -347,46 +378,33 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
         # hull runs even if locally empty) — correctness is unaffected.
         min_iy = jnp.min(jnp.where(iyp >= 0, iyp, jnp.int32(2**30)))
         max_iy = jnp.max(iyp)
-    slabs = []
+    counts, sums_l = [], []
     for s0 in range(0, n_lat_pad, slab_rows):
         rows = min(slab_rows, n_lat_pad - s0)
         n_win_r = rows // win_r
         acc_rows = n_win_r * n_win_c * win_r
         if not multi_slab:
-            acc = slab_call(iyp, n_win_r, acc_rows)  # no extra select pass
+            # no extra select pass over iy in the single-slab case
+            cnt_s, sums_s = post(slab_call(iyp, n_win_r, acc_rows),
+                                 rows, n_win_r)
         else:
             def run(s0=s0, rows=rows, n_win_r=n_win_r, acc_rows=acc_rows):
                 iy_rel = jnp.where((iyp >= s0) & (iyp < s0 + rows),
                                    iyp - s0, jnp.int32(-1))
-                return slab_call(iy_rel, n_win_r, acc_rows)
+                return post(slab_call(iy_rel, n_win_r, acc_rows),
+                            rows, n_win_r)
 
-            acc = jax.lax.cond(
+            cnt_s, sums_s = jax.lax.cond(
                 (max_iy >= s0) & (min_iy < s0 + rows), run,
-                lambda acc_rows=acc_rows: jnp.zeros(
-                    (acc_rows, N_STACK, 128), acc_dtype))
-        acc = acc.reshape(n_win_r, n_win_c, win_r, N_STACK, 128) \
-                 .transpose(0, 2, 3, 1, 4).reshape(rows, N_STACK, n_lon_pad)
-        slabs.append(acc)
-    acc = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
-    count = acc[: grid.n_lat, 0, : grid.n_lon]
-    sums_k = acc[: grid.n_lat, 1:7, : grid.n_lon]
-    if compute == "i8":
-        # undo the -128 channel offset in exact int32 arithmetic, then
-        # convert (exact below 2^24 — the same class as the bf16 kernel's
-        # f32 accumulator, which starts rounding at the same magnitude)
-        sums_k = (sums_k + 128 * count[:, None, :]).astype(jnp.float32)
-        sums_k = jnp.transpose(sums_k, (0, 2, 1))
-        count = count.astype(jnp.float32)
-        el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
-                  + sums_k[..., 4] * (1.0 / 256.0)
-                  + sums_k[..., 5] * (1.0 / 65536.0))
-    else:
-        sums_k = jnp.transpose(sums_k, (0, 2, 1))
-        # subtract the offset from the exact-integer limb sum FIRST so the
-        # fraction limbs are added at their own small magnitude
-        el_sum = ((sums_k[..., 3] - ELEV_OFFSET * count)
-                  + sums_k[..., 4] + sums_k[..., 5])
-    sums = jnp.concatenate([sums_k[..., :3], el_sum[..., None]], axis=-1)
+                lambda rows=rows: (
+                    jnp.zeros((rows, grid.n_lon), jnp.float32),
+                    jnp.zeros((rows, grid.n_lon, 4), jnp.float32)))
+        counts.append(cnt_s)
+        sums_l.append(sums_s)
+    count = (jnp.concatenate(counts, axis=0) if len(counts) > 1
+             else counts[0])[: grid.n_lat]
+    sums = (jnp.concatenate(sums_l, axis=0) if len(sums_l) > 1
+            else sums_l[0])[: grid.n_lat]
     return count, sums
 
 

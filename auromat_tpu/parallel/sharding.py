@@ -202,6 +202,17 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         bin_fn = _BIN_METHODS[bin_method]
     band_pad = n_chunks * chunk_rows
 
+    if n_dev == 1:
+        # reduce-scatter over a singleton axis pair is the identity, but
+        # XLA still emits a real reduce-scatter (a full copy of the
+        # routed grid — ~0.5 GB per config-5 step); elide at trace time
+        def _scatter(x):
+            return x
+    else:
+        def _scatter(x):
+            return jax.lax.psum_scatter(x, ("dp", "sp"),
+                                        scatter_dimension=0, tiled=True)
+
     def shard_fn(dyn_local, imgs_local):
         px, py = _local_pixel_grid(height, width, rows_per_shard, dtype)
 
@@ -277,12 +288,10 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             cnts, smss = [], []
             for c in range(n_chunks):
                 sl = slice(c * chunk_rows, (c + 1) * chunk_rows)
-                cnts.append(jax.lax.psum_scatter(
-                    cnt_full[:, sl].reshape(n_rows_stacked, n_lon),
-                    ("dp", "sp"), scatter_dimension=0, tiled=True))
-                smss.append(jax.lax.psum_scatter(
-                    sums_full[:, sl].reshape(n_rows_stacked, n_lon, n_ch),
-                    ("dp", "sp"), scatter_dimension=0, tiled=True))
+                cnts.append(_scatter(
+                    cnt_full[:, sl].reshape(n_rows_stacked, n_lon)))
+                smss.append(_scatter(
+                    sums_full[:, sl].reshape(n_rows_stacked, n_lon, n_ch)))
             # chunk outputs concatenate to the device band directly (the
             # r4 zeros-init + per-chunk .at[].set paid one extra full-band
             # pass; for the single-chunk case this is a no-op)
@@ -337,10 +346,8 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             sms = acc[:, 1:].reshape(n_rows_stacked, n_lon, n_ch)
             # reduce-scatter: device d receives rows [d*chunk_rows, ...)
             # (linear mesh order matches the band assignment/out_specs)
-            cnts.append(jax.lax.psum_scatter(cnt, ("dp", "sp"),
-                                             scatter_dimension=0, tiled=True))
-            smss.append(jax.lax.psum_scatter(sms, ("dp", "sp"),
-                                             scatter_dimension=0, tiled=True))
+            cnts.append(_scatter(cnt))
+            smss.append(_scatter(sms))
         out_count = (cnts[0] if n_chunks == 1
                      else jnp.concatenate(cnts))[:band]
         out_sums = (smss[0] if n_chunks == 1
