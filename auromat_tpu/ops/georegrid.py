@@ -264,9 +264,12 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     lat-slab pallas_calls (each slab re-reads the sample stream; out-of-slab
     pixels carry iy_rel == -1 and fall into no window) — the same bounded-
     VMEM strategy as regrid_pallas.bin_partial_pallas, with this kernel.
-    Slabs wholly outside the samples' occupied lat range are skipped at
-    runtime (lax.cond on the iy min/max), so the per-frame cost on a
-    global-scale grid tracks the occupied band, not the grid height.
+    Slab positions are anchored at the samples' occupied lat range (a
+    traced hull base; results placed by a bit-exact jnp.roll), and slabs
+    outside the hull are skipped at runtime (lax.cond on the iy min/max),
+    so the per-frame cost on a global-scale grid tracks the occupied
+    band, not the grid height — and a typical frame pays ONE kernel pass
+    instead of straddling a static slab boundary.
 
     :param iy, ix: (h, w) int32 grid row/col per sample; -1 = invalid
     :param img_chw: (3, h, w) float, integer-valued 0..255 ('uint8' contract)
@@ -368,43 +371,58 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
         return count, sums
 
     multi_slab = n_lat_pad > slab_rows
-    if multi_slab:
-        # occupied lat range of THIS sample set: slabs wholly outside
-        # [min_iy, max_iy] hold no samples and are skipped at runtime
-        # (lax.cond -> zero fill). A 12 MP frame on the 0.05 deg GLOBAL
-        # grid occupies 2-3 of ~18 slabs; re-streaming the full sample
-        # stream through the empty ones dominated the mission-scale cost.
-        # Conservative for multi-band sample sets (any slab inside the
-        # hull runs even if locally empty) — correctness is unaffected.
-        min_iy = jnp.min(jnp.where(iyp >= 0, iyp, jnp.int32(2**30)))
-        max_iy = jnp.max(iyp)
-    counts, sums_l = [], []
-    for s0 in range(0, n_lat_pad, slab_rows):
-        rows = min(slab_rows, n_lat_pad - s0)
+    if not multi_slab:
+        rows = n_lat_pad
         n_win_r = rows // win_r
-        acc_rows = n_win_r * n_win_c * win_r
-        if not multi_slab:
-            # no extra select pass over iy in the single-slab case
-            cnt_s, sums_s = post(slab_call(iyp, n_win_r, acc_rows),
-                                 rows, n_win_r)
-        else:
-            def run(s0=s0, rows=rows, n_win_r=n_win_r, acc_rows=acc_rows):
-                iy_rel = jnp.where((iyp >= s0) & (iyp < s0 + rows),
-                                   iyp - s0, jnp.int32(-1))
-                return post(slab_call(iy_rel, n_win_r, acc_rows),
-                            rows, n_win_r)
+        # no extra select pass over iy in the single-slab case
+        count, sums = post(slab_call(iyp, n_win_r, n_win_r * n_win_c * win_r),
+                           rows, n_win_r)
+        return count[: grid.n_lat], sums[: grid.n_lat]
 
-            cnt_s, sums_s = jax.lax.cond(
-                (max_iy >= s0) & (min_iy < s0 + rows), run,
-                lambda rows=rows: (
-                    jnp.zeros((rows, grid.n_lon), jnp.float32),
-                    jnp.zeros((rows, grid.n_lon, 4), jnp.float32)))
+    # Multi-slab: HULL-ALIGNED virtual slab bases. The kernel is
+    # grid-step-bound (~1.5 us per pixel tile per pass), so every slab
+    # that intersects the samples' occupied lat range re-streams the FULL
+    # tile grid; with static slab positions a 12 MP frame hull (~260 rows
+    # on the 0.05 deg global grid) straddles a slab boundary and pays two
+    # passes. Anchoring slab k at rows [base0 + k*slab_rows, ...) — base0
+    # a traced scalar at the hull start — fits a typical hull in ONE slab
+    # (measured: config-5 binning 8.9 -> ~6.5 ms/frame). Slabs outside
+    # the hull are skipped at runtime (lax.cond -> zero fill in the final
+    # layout). The concatenated slab stack C holds grid row base0 + j at
+    # C[j]; one jnp.roll by base0 (a pure permutation — bit-exactness
+    # preserved) places it: rows i < base0 read C[H - base0 + i], which
+    # is provably zero (samples satisfy iy - base0 <= n_lat_pad-1-base0
+    # < H - base0). Conservative for multi-band sample sets (any slab
+    # inside the hull runs even if locally empty).
+    min_iy = jnp.min(jnp.where(iyp >= 0, iyp, jnp.int32(2**30)))
+    max_iy = jnp.max(iyp)
+    # empty input: min_iy = 2^30 clamps to n_lat_pad-1 >= 0 > max_iy = -1,
+    # so every slab cond is False and the roll permutes an all-zero stack
+    base0 = jnp.minimum(min_iy, jnp.int32(n_lat_pad - 1))
+    rows = slab_rows
+    n_win_r = rows // win_r
+    acc_rows = n_win_r * n_win_c * win_r
+    counts, sums_l = [], []
+    for k in range(-(-n_lat_pad // slab_rows)):
+        lo = base0 + jnp.int32(k * slab_rows)
+        hi = lo + jnp.int32(slab_rows)
+
+        def run(lo=lo, hi=hi):
+            iy_rel = jnp.where((iyp >= lo) & (iyp < hi),
+                               iyp - lo, jnp.int32(-1))
+            return post(slab_call(iy_rel, n_win_r, acc_rows),
+                        rows, n_win_r)
+
+        cnt_s, sums_s = jax.lax.cond(
+            (max_iy >= lo) & (min_iy < hi), run,
+            lambda: (jnp.zeros((rows, grid.n_lon), jnp.float32),
+                     jnp.zeros((rows, grid.n_lon, 4), jnp.float32)))
         counts.append(cnt_s)
         sums_l.append(sums_s)
-    count = (jnp.concatenate(counts, axis=0) if len(counts) > 1
-             else counts[0])[: grid.n_lat]
-    sums = (jnp.concatenate(sums_l, axis=0) if len(sums_l) > 1
-            else sums_l[0])[: grid.n_lat]
+    count = jnp.concatenate(counts, axis=0) if len(counts) > 1 else counts[0]
+    sums = jnp.concatenate(sums_l, axis=0) if len(sums_l) > 1 else sums_l[0]
+    count = jnp.roll(count, base0, axis=0)[: grid.n_lat]
+    sums = jnp.roll(sums, base0, axis=0)[: grid.n_lat]
     return count, sums
 
 
