@@ -150,6 +150,89 @@ def test_oversized_grid_slabs_bit_identically(setup):
     assert float(one[0].sum()) == float(np.asarray(valid).sum())
 
 
+class TestHullAlignedSlabs:
+    """Edge cases of the hull-aligned virtual slab bases (multi-slab path):
+    the traced base0 + jnp.roll placement must hold at the grid boundaries
+    and for empty input — synthetic indices, tiny grid, interpret mode
+    (the real-frame multi-slab gate is test_oversized_grid_slabs_bit_
+    identically)."""
+
+    GRID = fixed_grid((2.0, 1.0), 0.05, 19.95, 0.5, 129.5)  # 39 x 129 cells
+    H, W = 16, 256  # one kernel tile
+
+    def _bin(self, iy, ix, budget=None):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (3, self.H, self.W)).astype(np.float32)
+        elev = np.full((self.H, self.W), 12.5, np.float32)  # exact limbs
+        count, sums = bin_rgbelev_from_indices(
+            self.GRID, jnp.asarray(iy), jnp.asarray(ix), jnp.asarray(img),
+            jnp.asarray(elev), interpret=True, slab_budget_bytes=budget)
+        return np.asarray(count), np.asarray(sums), img
+
+    # budget for 2 win-rows of the padded accumulator -> slab_rows = 16,
+    # so the 40-row grid (n_lat_pad = 40) takes 3 virtual slabs
+    TINY = 2 * 8 * 256 * 8 * 4
+
+    def _oracle_count(self, iy, ix):
+        v = iy >= 0
+        flat = iy[v] * self.GRID.n_lon + ix[v]
+        return np.bincount(
+            flat, minlength=self.GRID.n_lat * self.GRID.n_lon
+        ).reshape(self.GRID.n_lat, self.GRID.n_lon)
+
+    def test_empty_input(self):
+        iy = np.full((self.H, self.W), -1, np.int32)
+        count, sums, _ = self._bin(iy, iy, self.TINY)
+        assert count.sum() == 0 and np.all(count == 0)
+        assert np.all(sums == 0)  # zero fills, no NaN from the roll
+
+    @pytest.mark.parametrize("row", [0, -1])  # first / LAST grid row
+    def test_single_boundary_row(self, row):
+        row = row % self.GRID.n_lat
+        rng = np.random.default_rng(1)
+        iy = np.full((self.H, self.W), row, np.int32)
+        ix = rng.integers(0, self.GRID.n_lon,
+                          (self.H, self.W)).astype(np.int32)
+        iy[:, :7] = -1  # a few invalid samples too
+        count, sums, img = self._bin(iy, ix, self.TINY)
+        assert np.array_equal(count, self._oracle_count(iy, ix))
+        # rows the roll wrapped past must be exactly zero
+        other = np.ones(self.GRID.n_lat, bool)
+        other[row] = False
+        assert np.all(count[other] == 0) and np.all(sums[other] == 0)
+        # RGB sums exact (integer-valued f32)
+        v = iy >= 0
+        assert sums[row, :, 0].sum() == img[0][v].sum()
+        # elevation 12.5 has exact limbs -> sums exact
+        assert np.allclose(sums[row, :, 3], 12.5 * count[row], atol=0)
+
+    def test_full_grid_hull_matches_single_call(self):
+        rng = np.random.default_rng(2)
+        iy = rng.integers(0, self.GRID.n_lat,
+                          (self.H, self.W)).astype(np.int32)
+        ix = rng.integers(0, self.GRID.n_lon,
+                          (self.H, self.W)).astype(np.int32)
+        iy[0, ::3] = -1
+        c1, s1, _ = self._bin(iy, ix)  # single slab (default budget)
+        c3, s3, _ = self._bin(iy, ix, self.TINY)  # 3 slabs, base0 = 0
+        assert np.array_equal(c1, c3)
+        assert np.array_equal(s1, s3)
+        assert np.array_equal(c3, self._oracle_count(iy, ix))
+
+    def test_offset_hull_straddles_slabs(self):
+        # hull [17, 35] starts mid-grid and spans two 16-row virtual slabs
+        rng = np.random.default_rng(3)
+        iy = rng.integers(17, 36, (self.H, self.W)).astype(np.int32)
+        ix = rng.integers(0, self.GRID.n_lon,
+                          (self.H, self.W)).astype(np.int32)
+        c1, s1, _ = self._bin(iy, ix)
+        c3, s3, _ = self._bin(iy, ix, self.TINY)
+        assert np.array_equal(c1, c3)
+        assert np.array_equal(s1, s3)
+        assert np.array_equal(c3, self._oracle_count(iy, ix))
+        assert np.all(c3[:17] == 0) and np.all(c3[36:] == 0)
+
+
 def test_i8_kernel_matches_bf16(setup):
     """The int8-MXU kernel variant (compute='i8') must agree with the
     flagship bf16 kernel: count/R/G/B bit-exact (the -128 offset is undone
