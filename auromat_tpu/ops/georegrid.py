@@ -413,6 +413,11 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
             return post(slab_call(iy_rel, n_win_r, acc_rows),
                         rows, n_win_r)
 
+        # under hull anchoring only `max_iy >= lo` decides skipping
+        # (min_iy == base0 <= lo for non-empty input, and empty input
+        # already fails max_iy >= lo); the `min_iy < hi` conjunct is kept
+        # so the predicate stays correct for ANY slab base, not just the
+        # anchored one
         cnt_s, sums_s = jax.lax.cond(
             (max_iy >= lo) & (min_iy < hi), run,
             lambda: (jnp.zeros((rows, grid.n_lon), jnp.float32),

@@ -3,6 +3,12 @@ TPU: where do the ms/frame go between georef prep, kernel binning, zero
 fills, and finalize? (VERDICT r4 item 3 — close the 11.9 vs 8.3 ms/frame
 gap or prove it structural.)
 
+Workload + device staging come from config5_tpu.load_workload so this
+decomposes EXACTLY the step config5_tpu.py/bench.py time; the timing loop
+is bench.py's amortized methodology (rebind one output per call — holding
+all outputs alive would keep multiple ~0.5 GB grid pairs in HBM through
+the timed region — one scalar host fetch per batch, median of batches).
+
 Usage:  python tools/config5_profile.py [B]
 """
 
@@ -13,59 +19,42 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def timeit(fn, sync, n=8):
-    fn()  # warm
-    float(np.asarray(sync(fn())))
-    t0 = time.perf_counter()
-    outs = [fn() for _ in range(n)]
-    float(np.asarray(sync(outs[-1])))  # host fetch = the only real sync
-    return (time.perf_counter() - t0) * 1e3 / n
+def timeit(fn, sync, iters=8, batches=4):
+    out = fn()  # warm (compile)
+    float(np.asarray(sync(out)))
+    ts = []
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()  # rebind: exactly one output alive at a time
+        float(np.asarray(sync(out)))  # host fetch = the only real sync
+        ts.append((time.perf_counter() - t0) * 1e3 / iters)
+    return float(np.median(ts))
 
 
 def main():
-    from bench import _probe_backend
-    _probe_backend(attempts=1)
+    from config5_tpu import load_workload
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    wl = load_workload(B)
     import dataclasses
     import jax.numpy as jnp
-    from jax.sharding import Mesh
 
-    from auromat_tpu.coordinates.wcs import TanWcs
-    from auromat_tpu.io import fits
-    from auromat_tpu.ops.georef import (DynGeorefParams, GeorefParams,
-                                        georef_latlon_dyn)
-    from auromat_tpu.ops.regrid import bin_indices, fixed_grid
+    from auromat_tpu.ops.georef import georef_latlon_dyn
+    from auromat_tpu.ops.regrid import bin_indices
     from auromat_tpu.ops.georegrid import (bin_rgbelev_from_indices,
                                            split_bin_indices)
     from auromat_tpu.parallel import make_grid_sharded_mosaic_step
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    header = fits.read_header(
-        os.path.join(repo, "tests", "resources", "ISS030-E-102170_dc.wcs"))
-    wcs = TanWcs(header)
-    params = GeorefParams.from_wcs(
-        wcs, fits.get_shifted_spacecraft_position(header)[:3],
-        fits.get_shifted_photo_time(header), altitude=110.0)
-    h, w = params.height, params.width
-
-    from PIL import Image
-    img = np.asarray(Image.open(
-        os.path.join(repo, "tests", "resources", "ISS030-E-102170_dc.jpg"))
-    ).astype(np.float32)
-
-    grid = fixed_grid(20, -89.999, 89.999, -179.999, 179.999)
+    h, w, grid, mesh = wl["h"], wl["w"], wl["grid"], wl["mesh"]
+    dyn, imgs = wl["dyn"], wl["imgs"]
     n_lon = grid.n_lon
-    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
-    dyn = jax.device_put(DynGeorefParams.stack([params] * B,
-                                               dtype=jnp.float32))
-    imgs = jax.device_put(np.broadcast_to(img[None], (B, h, w, 3)).copy())
     print(f"backend: {jax.default_backend()}, B={B}", file=sys.stderr)
 
     # 1. the full step (reference point)
@@ -85,13 +74,17 @@ def main():
     print(f"partials (finalize=False):  {ms:7.2f} ms  "
           f"({ms/B:.2f} ms/frame)")
 
-    # 3. georef + bin_indices + split prep only (the XLA pass)
+    # 3. georef + bin_indices + split prep only (the XLA pass). Pixel grid
+    #    = the production 0-based pixel-centre convention of
+    #    parallel.sharding._local_pixel_grid / ops.georegrid._georegrid
+    #    (an offset grid would bin a shifted sample set and decompose a
+    #    different computation than stages 1-2).
     @jax.jit
     def prep(dyn_local, imgs_local):
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
-        px = jnp.broadcast_to(xs, (h, w)) - 1.0
-        py = jnp.broadcast_to(ys, (h, w)) - 1.0
+        px = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+        py = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
 
         def per_frame(d, im):
             out = georef_latlon_dyn(d, px, py, dtype=jnp.float32,
@@ -113,7 +106,12 @@ def main():
     print(f"prep (georef+indices):      {ms:7.2f} ms  "
           f"({ms/B:.2f} ms/frame)")
 
-    iy2, ix2, img2, elev2 = jax.block_until_ready(prep(dyn, imgs))
+    # materialize prep outputs before the bin-only stages (block_until_
+    # ready does NOT block on axon buffers — host-fetch each leaf)
+    outs = prep(dyn, imgs)
+    for o in outs:
+        float(np.asarray(o[0, 0] if o.ndim == 2 else o[0, 0, 0]))
+    iy2, ix2, img2, elev2 = outs
 
     # 4. kernel binning alone (pooled indices -> band-padded accumulator)
     grid_pad = dataclasses.replace(grid, n_lat=3600)

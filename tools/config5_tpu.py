@@ -23,7 +23,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def load_workload(B):
+    """Probe the backend, then build the shared config-5 workload: the real
+    12 MP ISS frame + calibration replicated to a B-frame burst, the 0.05
+    deg global grid, and a 1-device mesh — device-staged exactly like
+    bench.py's config-5 section (dyn pinned on device: stack() returns
+    HOST numpy, right for streaming fresh params, but a timing loop
+    reusing ONE dyn must not re-upload it through the relay every call).
+
+    Shared by config5_tpu.py (step timing) and config5_profile.py (stage
+    decomposition) so both measure the identical workload.
+    """
     from bench import _probe_backend
 
     # fail fast (exit 3) instead of hanging when axon is dead
@@ -40,9 +50,7 @@ def main():
     from auromat_tpu.io import fits
     from auromat_tpu.ops.georef import DynGeorefParams, GeorefParams
     from auromat_tpu.ops.regrid import fixed_grid
-    from auromat_tpu.parallel import make_grid_sharded_mosaic_step
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     header = fits.read_header(
         os.path.join(repo, "tests", "resources", "ISS030-E-102170_dc.wcs"))
@@ -51,7 +59,6 @@ def main():
         wcs, fits.get_shifted_spacecraft_position(header)[:3],
         fits.get_shifted_photo_time(header), altitude=110.0)
     h, w = params.height, params.width
-    mpix = h * w / 1e6
 
     from PIL import Image
     img = np.asarray(Image.open(
@@ -62,15 +69,28 @@ def main():
     assert (grid.n_lat, grid.n_lon) == (3599, 7199)
 
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
-    step = make_grid_sharded_mosaic_step(mesh, grid, h, w, channels=3,
-                                         dtype=jnp.float32,
-                                         bin_method="pallas")
-    # stack() returns HOST numpy (right for streaming fresh params);
-    # this loop reuses ONE dyn -> pin it on device or every call
-    # re-uploads it through the relay
     dyn = jax.device_put(DynGeorefParams.stack([params] * B,
                                                dtype=jnp.float32))
     imgs = jax.device_put(np.broadcast_to(img[None], (B, h, w, 3)).copy())
+    return dict(params=params, h=h, w=w, grid=grid, mesh=mesh, dyn=dyn,
+                imgs=imgs)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from auromat_tpu.parallel import make_grid_sharded_mosaic_step
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    wl = load_workload(B)
+    h, w, grid = wl["h"], wl["w"], wl["grid"]
+    dyn, imgs = wl["dyn"], wl["imgs"]
+    mpix = h * w / 1e6
+
+    step = make_grid_sharded_mosaic_step(wl["mesh"], grid, h, w, channels=3,
+                                         dtype=jnp.float32,
+                                         bin_method="pallas")
 
     print(f"backend: {jax.default_backend()}, B={B} frames x {mpix:.2f} MPix,"
           f" grid {grid.n_lat}x{grid.n_lon}", file=sys.stderr)
