@@ -387,48 +387,49 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     # passes. Anchoring slab k at rows [base0 + k*slab_rows, ...) — base0
     # a traced scalar at the hull start — fits a typical hull in ONE slab
     # (measured: config-5 binning 8.9 -> ~6.5 ms/frame). Slabs outside
-    # the hull are skipped at runtime (lax.cond -> zero fill in the final
-    # layout). The concatenated slab stack C holds grid row base0 + j at
-    # C[j]; one jnp.roll by base0 (a pure permutation — bit-exactness
-    # preserved) places it: rows i < base0 read C[H - base0 + i], which
-    # is provably zero (samples satisfy iy - base0 <= n_lat_pad-1-base0
-    # < H - base0). Conservative for multi-band sample sets (any slab
+    # the hull are skipped at runtime (lax.cond), costing NOTHING: each
+    # occupied slab dynamic-update-slices its rows into a zeros-init
+    # output INSIDE the cond (the skipped branch passes the carried
+    # buffers through), so the only full-grid HBM traffic is the single
+    # zeros init — the earlier concat-the-slab-stack + jnp.roll(base0)
+    # placement paid a ~0.5 GB per-slab fill + concat + a ~1 GB roll at
+    # config-5 scale. The output is over-allocated by one slab
+    # (n_lat_pad + slab_rows rows) so the update of the LAST occupied
+    # slab (lo <= max_iy <= n_lat_pad - 1) never hits the
+    # dynamic_update_slice start-index clamp, which would misalign the
+    # write window. Conservative for multi-band sample sets (any slab
     # inside the hull runs even if locally empty).
     min_iy = jnp.min(jnp.where(iyp >= 0, iyp, jnp.int32(2**30)))
     max_iy = jnp.max(iyp)
     # empty input: min_iy = 2^30 clamps to n_lat_pad-1 >= 0 > max_iy = -1,
-    # so every slab cond is False and the roll permutes an all-zero stack
+    # so every slab cond is False and the zeros init passes through
     base0 = jnp.minimum(min_iy, jnp.int32(n_lat_pad - 1))
     rows = slab_rows
     n_win_r = rows // win_r
     acc_rows = n_win_r * n_win_c * win_r
-    counts, sums_l = [], []
+    count = jnp.zeros((n_lat_pad + slab_rows, grid.n_lon), jnp.float32)
+    sums = jnp.zeros((n_lat_pad + slab_rows, grid.n_lon, 4), jnp.float32)
     for k in range(-(-n_lat_pad // slab_rows)):
         lo = base0 + jnp.int32(k * slab_rows)
         hi = lo + jnp.int32(slab_rows)
 
-        def run(lo=lo, hi=hi):
+        def run(count, sums, lo=lo, hi=hi):
             iy_rel = jnp.where((iyp >= lo) & (iyp < hi),
                                iyp - lo, jnp.int32(-1))
-            return post(slab_call(iy_rel, n_win_r, acc_rows),
-                        rows, n_win_r)
+            cnt_s, sums_s = post(slab_call(iy_rel, n_win_r, acc_rows),
+                                 rows, n_win_r)
+            z = jnp.int32(0)  # match lo's int32 under enabled x64
+            return (jax.lax.dynamic_update_slice(count, cnt_s, (lo, z)),
+                    jax.lax.dynamic_update_slice(sums, sums_s, (lo, z, z)))
 
         # under hull anchoring only `max_iy >= lo` decides skipping
         # (min_iy == base0 <= lo for non-empty input, and empty input
         # already fails max_iy >= lo); the `min_iy < hi` conjunct is kept
         # so the predicate stays correct for ANY slab base, not just the
         # anchored one
-        cnt_s, sums_s = jax.lax.cond(
-            (max_iy >= lo) & (min_iy < hi), run,
-            lambda: (jnp.zeros((rows, grid.n_lon), jnp.float32),
-                     jnp.zeros((rows, grid.n_lon, 4), jnp.float32)))
-        counts.append(cnt_s)
-        sums_l.append(sums_s)
-    count = jnp.concatenate(counts, axis=0) if len(counts) > 1 else counts[0]
-    sums = jnp.concatenate(sums_l, axis=0) if len(sums_l) > 1 else sums_l[0]
-    count = jnp.roll(count, base0, axis=0)[: grid.n_lat]
-    sums = jnp.roll(sums, base0, axis=0)[: grid.n_lat]
-    return count, sums
+        count, sums = jax.lax.cond((max_iy >= lo) & (min_iy < hi), run,
+                                   lambda c, s: (c, s), count, sums)
+    return count[: grid.n_lat], sums[: grid.n_lat]
 
 
 def split_bin_indices(grid, flat, valid):
