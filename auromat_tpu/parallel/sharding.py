@@ -219,19 +219,22 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
         def per_frame(d, img):
             out = georef_latlon_dyn(d, px, py, dtype=dtype,
                                     with_elevation=with_elevation)
-            data = img
-            if with_elevation:
-                data = jnp.concatenate([img, out["elevation"][..., None]],
-                                       axis=-1)
-            return out["lat"], out["lon"], data
+            # img and elevation ride SEPARATELY: the pallas branch consumes
+            # them as distinct kernel operands, and concatenating into one
+            # (h, w, C+1) tensor only to slice the channels apart again
+            # costs a full extra HBM pass at config-5 scale (the sorted
+            # branch concatenates below, where the payload really is one
+            # (samples, n_ch) array)
+            elev = out["elevation"] if with_elevation else None
+            return out["lat"], out["lon"], img, elev
 
-        lat, lon, data = jax.vmap(per_frame)(dyn_local, imgs_local)
+        lat, lon, img_b, elev_b = jax.vmap(per_frame)(dyn_local, imgs_local)
         flat_idx, valid = bin_indices(grid, jnp.ravel(lat), jnp.ravel(lon))
         if min_elevation is not None:
             # pre-binning sample mask (Mapping.maskedByElevation-before-
             # resample semantics); NaN elevation compares False -> stays
             # invalid
-            valid = valid & (jnp.ravel(data[..., -1]) >= min_elevation)
+            valid = valid & (jnp.ravel(elev_b) >= min_elevation)
         iy = (flat_idx // n_lon).astype(jnp.int32)
         ix = (flat_idx % n_lon).astype(jnp.int32)
 
@@ -251,8 +254,8 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             iy2 = iy2.reshape(-1, width)
             ix2 = ix2.reshape(-1, width)
             img2 = jnp.transpose(
-                data[..., :3].reshape(-1, width, 3), (2, 0, 1))
-            elev2 = data[..., 3].reshape(-1, width)
+                img_b.reshape(-1, width, 3), (2, 0, 1))
+            elev2 = elev_b.reshape(-1, width)
             # bin straight into the band-padded accumulator (indices come
             # from the REAL grid above, so rows >= n_lat never receive a
             # sample; the extra rows land in a runtime-skipped slab): a
@@ -304,6 +307,9 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
 
         band_id = iy // band
         rib = iy - band_id * band  # row inside the destination band
+        data = img_b
+        if with_elevation:
+            data = jnp.concatenate([img_b, elev_b[..., None]], axis=-1)
         data2d = jnp.reshape(data, (-1, n_ch)).astype(dtype)
         data2d = jnp.where(valid[:, None], data2d, 0.0)
         # NaN data at VALID coords (NaN-masked imagery) must be zeroed: a
