@@ -265,7 +265,8 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
     pixels carry iy_rel == -1 and fall into no window) — the same bounded-
     VMEM strategy as regrid_pallas.bin_partial_pallas, with this kernel.
     Slab positions are anchored at the samples' occupied lat range (a
-    traced hull base; results placed by a bit-exact jnp.roll), and slabs
+    traced hull base; each slab's rows placed by dynamic_update_slice
+    into a zeros-init output), and slabs
     outside the hull are skipped at runtime (lax.cond on the iy min/max),
     so the per-frame cost on a global-scale grid tracks the occupied
     band, not the grid height — and a typical frame pays ONE kernel pass
@@ -418,9 +419,8 @@ def bin_rgbelev_from_indices(grid: GridSpec, iy, ix, img_chw, elev,
                                iyp - lo, jnp.int32(-1))
             cnt_s, sums_s = post(slab_call(iy_rel, n_win_r, acc_rows),
                                  rows, n_win_r)
-            z = jnp.int32(0)  # match lo's int32 under enabled x64
-            return (jax.lax.dynamic_update_slice(count, cnt_s, (lo, z)),
-                    jax.lax.dynamic_update_slice(sums, sums_s, (lo, z, z)))
+            return (jax.lax.dynamic_update_slice_in_dim(count, cnt_s, lo, 0),
+                    jax.lax.dynamic_update_slice_in_dim(sums, sums_s, lo, 0))
 
         # under hull anchoring only `max_iy >= lo` decides skipping
         # (min_iy == base0 <= lo for non-empty input, and empty input

@@ -152,7 +152,8 @@ def test_oversized_grid_slabs_bit_identically(setup):
 
 class TestHullAlignedSlabs:
     """Edge cases of the hull-aligned virtual slab bases (multi-slab path):
-    the traced base0 + jnp.roll placement must hold at the grid boundaries
+    the traced base0 + dynamic-update-slice placement must hold at the
+    grid boundaries
     and for empty input — synthetic indices, tiny grid, interpret mode
     (the real-frame multi-slab gate is test_oversized_grid_slabs_bit_
     identically)."""
@@ -184,7 +185,7 @@ class TestHullAlignedSlabs:
         iy = np.full((self.H, self.W), -1, np.int32)
         count, sums, _ = self._bin(iy, iy, self.TINY)
         assert count.sum() == 0 and np.all(count == 0)
-        assert np.all(sums == 0)  # zero fills, no NaN from the roll
+        assert np.all(sums == 0)  # untouched zeros init, no NaN
 
     @pytest.mark.parametrize("row", [0, -1])  # first / LAST grid row
     def test_single_boundary_row(self, row):
@@ -196,7 +197,7 @@ class TestHullAlignedSlabs:
         iy[:, :7] = -1  # a few invalid samples too
         count, sums, img = self._bin(iy, ix, self.TINY)
         assert np.array_equal(count, self._oracle_count(iy, ix))
-        # rows the roll wrapped past must be exactly zero
+        # rows no slab ever wrote must be exactly zero
         other = np.ones(self.GRID.n_lat, bool)
         other[row] = False
         assert np.all(count[other] == 0) and np.all(sums[other] == 0)
