@@ -1006,6 +1006,39 @@ def bin_take_best(grid: GridSpec, lats, lons, priority, data):
     return jnp.stack(planes, axis=-1), best
 
 
+@jax.tree_util.register_pytree_node_class
+class TakeBestPlan:
+    """:func:`plan_take_best` result. Registered as a pytree whose
+    ``n_samples`` rides in the STATIC treedef (not as a leaf), so the
+    sample-count validation in :func:`apply_take_best` stays alive even
+    when the plan is passed through a ``jax.jit`` boundary — a plain
+    tuple leaf would turn into a tracer there and silently disable the
+    check (jax's clamped gather would then composite wrong samples
+    without error). Unpacks like the historical 4-tuple."""
+
+    def __init__(self, winner, occupied, best_priority, n_samples):
+        self.winner = winner
+        self.occupied = occupied
+        self.best_priority = best_priority
+        self.n_samples = int(n_samples)
+
+    def __iter__(self):
+        return iter((self.winner, self.occupied, self.best_priority,
+                     self.n_samples))
+
+    def __getitem__(self, i):
+        return (self.winner, self.occupied, self.best_priority,
+                self.n_samples)[i]
+
+    def tree_flatten(self):
+        return ((self.winner, self.occupied, self.best_priority),
+                self.n_samples)
+
+    @classmethod
+    def tree_unflatten(cls, n_samples, children):
+        return cls(*children, n_samples)
+
+
 def plan_take_best(grid: GridSpec, lats, lons, priority):
     """Precompute the per-cell winning SAMPLE for a static geometry.
 
@@ -1019,10 +1052,11 @@ def plan_take_best(grid: GridSpec, lats, lons, priority):
     gather. Output is bit-identical to bin_take_best (same stable
     two-key sort decides the winner).
 
-    :returns: (winner (n_lat*n_lon,) int32, occupied (n_lat, n_lon) bool,
-               best_priority (n_lat, n_lon) — +inf where empty,
-               n_samples int32 scalar — the planned sample count;
-               :func:`apply_take_best` validates exposures against it)
+    :returns: :class:`TakeBestPlan` (winner (n_lat*n_lon,) int32,
+               occupied (n_lat, n_lon) bool, best_priority (n_lat, n_lon)
+               — +inf where empty, n_samples python int — the planned
+               sample count, static so :func:`apply_take_best` validates
+               exposures against it even under jit)
     """
     f32 = jnp.float32
     flat_lats = jnp.ravel(lats).astype(f32)
@@ -1044,7 +1078,7 @@ def plan_take_best(grid: GridSpec, lats, lons, priority):
     winner = ssidx[at]
     best = jnp.where(occupied, spri[at].reshape(grid.n_lat, grid.n_lon),
                      jnp.inf)
-    return winner, occupied, best, jnp.int32(key.shape[0])
+    return TakeBestPlan(winner, occupied, best, key.shape[0])
 
 
 def apply_take_best(plan, data):
@@ -1058,11 +1092,10 @@ def apply_take_best(plan, data):
     winner, occupied, _, n_samples = plan
     n_ch = data.shape[-1]
     flat = jnp.reshape(data, (-1, n_ch)).astype(jnp.float32)
-    # n_samples is a (possibly traced) scalar whose VALUE is the planner's
-    # static sample count; flat.shape[0] is static. Validate whenever the
-    # plan is concrete (the normal case: plans are built once per
-    # geometry); under an outer jit the leaf is a tracer and the check is
-    # skipped at that call site.
+    # TakeBestPlan carries n_samples statically, so this check is live
+    # even when the plan crosses a jit boundary. Legacy 4-tuple plans
+    # with an ARRAY count degrade to a skipped check only if that leaf
+    # was traced.
     expected = (None if isinstance(n_samples, jax.core.Tracer)
                 else int(n_samples))
     if expected is not None and flat.shape[0] != expected:

@@ -8,6 +8,7 @@ the reference's host-process parallelism (auromat/mapping/spacecraft.py:
 308-377) and the scale path for mission-scale mosaics (BASELINE configs 4-5).
 """
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -262,9 +263,7 @@ def make_grid_sharded_mosaic_step(mesh: Mesh, grid: GridSpec, height, width,
             # natural-grid accumulator would need a row jnp.pad below —
             # a full copy of the ~0.5 GB tensor pair per step at config-5
             # scale
-            import dataclasses as _dc
-
-            grid_pad = _dc.replace(grid, n_lat=band * n_dev)
+            grid_pad = dataclasses.replace(grid, n_lat=band * n_dev)
             cnt_nat, sums_nat = bin_rgbelev_from_indices(
                 grid_pad, iy2, ix2, img2, elev2, interpret=interpret,
                 slab_budget_bytes=slab_budget_bytes)

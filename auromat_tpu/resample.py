@@ -216,6 +216,33 @@ def _rotate_pole_deg(la_deg, lo_deg, angle, altitude):
     return np.rad2deg(np.asarray(la2)), np.rad2deg(np.asarray(lo2))
 
 
+def _min_lon_interval_deg(lons):
+    """Smallest directional [west, east] longitude interval covering a
+    POINT set on the circle: the complement of the largest gap between
+    consecutive sorted longitudes. Wrap-aware, unlike vertex min/max,
+    which returns the complement interval for a footprint straddling
+    +-180 (the same defect class as the reference's np.unwrap bbox merge,
+    reference mapping.py:250-275). NaNs ignored."""
+    x0 = np.asarray(lons, dtype=np.float64).ravel()
+    x0 = x0[np.isfinite(x0)]
+    if x0.size == 0:
+        raise ValueError("no finite longitudes")
+    key = np.mod(x0, 360.0)
+    order = np.argsort(key, kind="stable")
+    key_s, orig_s = key[order], x0[order]
+    gaps = np.diff(np.concatenate((key_s, key_s[:1] + 360.0)))
+    i = int(np.argmax(gaps))
+    # return the ORIGINAL endpoint values (no mod round-trip): for a
+    # compact set away from +-180 this is exactly [min(lons), max(lons)],
+    # keeping the single-frame pole path bit-identical to vertex min/max
+
+    def _w(v):
+        v = float(v)
+        return v if -180.0 <= v <= 180.0 else float(_wrap_lon_np(v))
+
+    return _w(orig_s[(i + 1) % x0.size]), _w(orig_s[i])
+
+
 def _finalize_int_image(img_r, img_dtype):
     """Float resampled image -> the source integer dtype.
 
@@ -296,7 +323,7 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
 
     lats_l, lons_l, data_l = [], [], []
     img_dtype = None
-    ext = None
+    rot_boxes = []
     for m in mappings:
         img = m.img
         img3 = img if img.ndim == 3 else img[:, :, None]
@@ -315,10 +342,25 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
         if contains_pole:
             la, lo = _rot(la, lo, 90.0)
             ola, olo = _rot(m.outline[:, 0], m.outline[:, 1], 90.0)
-            e = (ola.min(), ola.max(), olo.min(), olo.max())
-            ext = e if ext is None else (
-                min(ext[0], e[0]), max(ext[1], e[1]),
-                min(ext[2], e[2]), max(ext[3], e[3]))
+            # per-member extent must be wrap-aware IN THE ROTATED FRAME:
+            # a member that does not itself contain a geographic pole can
+            # still straddle the rotated antimeridian (vertex min/max
+            # would then return the complement interval and its samples
+            # would silently fall outside the grid), or even surround a
+            # rotated pole (no single lon interval covers it — refuse).
+            # The per-frame pole path needs none of this: one frame
+            # containing the geographic pole rotates to a compact
+            # equatorial blob.
+            if geodesic.contains_or_crosses_pole(
+                    np.stack([ola, olo], axis=1)):
+                raise ValueError(
+                    f"{m.identifier}: footprint covers the rotated-frame "
+                    "pole — the collection spans too much of the sphere "
+                    "to compose in one rotated plate-carree frame; "
+                    "mosaic such members separately")
+            w, e = _min_lon_interval_deg(olo)
+            rot_boxes.append(BoundingBox(float(ola.min()), w,
+                                         float(ola.max()), e))
         elif shift:
             lo = _wrap_lon_np(lo + 180.0)
         el = np.asarray(m.elevation.filled(np.nan)).ravel()
@@ -330,8 +372,23 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     lons = np.concatenate(lons_l)
     data = np.concatenate(data_l, axis=0)
 
+    rot_shift = False
     if contains_pole:
-        lat_min, lat_max, lon_min, lon_max = ext
+        rot_bbox = BoundingBox.mergedBoundingBoxes(rot_boxes)
+        lat_min, lat_max = rot_bbox.latSouth, rot_bbox.latNorth
+        lon_min, lon_max = rot_bbox.lonWest, rot_bbox.lonEast
+        # merged interval crosses +-180 in the rotated frame: compose in
+        # the +180-shifted rotated frame (the same convention as the
+        # non-pole discontinuity path; unshifted before unrotation below)
+        rot_shift = lon_min > lon_max
+        if rot_shift:
+            lons = _wrap_lon_np(lons + 180.0)
+            lon_min = _wrap_lon_np(lon_min + 180.0)
+            lon_max = _wrap_lon_np(lon_max + 180.0)
+            if lon_min > lon_max:
+                # near-full-circle coverage: no shift can unwrap it —
+                # grid the whole circle rather than mis-clip
+                lon_min, lon_max = -180.0, 180.0
     else:
         lat_min, lat_max = bbox.latSouth, bbox.latNorth
         lon_min, lon_max = ((bbox.lonWest, bbox.lonEast) if not shift else
@@ -355,6 +412,9 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
         # per-frame pole path (reference resample.py:195-201)
         lat_grid, lon_grid = grid.corner_grids()
         lat_grid_c, lon_grid_c = grid.center_grids()
+        if rot_shift:
+            lon_grid = _wrap_lon_np(lon_grid + 180.0)
+            lon_grid_c = _wrap_lon_np(lon_grid_c + 180.0)
         shp, shpc = lat_grid.shape, lat_grid_c.shape
         lat_grid, lon_grid = (a.reshape(shp) for a in _rot(
             lat_grid.ravel(), lon_grid.ravel(), -90.0))

@@ -397,6 +397,19 @@ class TestBinTakeBest:
         # fast — jax's clamped gather would composite garbage silently
         with pytest.raises(ValueError, match="re-plan"):
             apply_take_best(plan, np.zeros((n - 3, 3), np.float32))
+        # ... including through a jit boundary (the production pattern:
+        # bench.py jits apply_take_best with the plan as an argument).
+        # TakeBestPlan keeps n_samples in the static treedef so the
+        # check cannot be traced away.
+        import jax
+
+        jitted = jax.jit(apply_take_best)
+        good = np.asarray(jitted(plan, data))
+        m = ~np.isnan(good)
+        ref = np.asarray(apply_take_best(plan, data))
+        assert np.array_equal(good[m], ref[m])
+        with pytest.raises(ValueError, match="re-plan"):
+            jitted(plan, np.zeros((n - 3, 3), np.float32))
 
     def test_nan_payload_survives(self):
         """A winning sample's NaN payload channel stays NaN (matches the

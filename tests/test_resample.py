@@ -462,6 +462,95 @@ class TestMosaic:
         assert np.array_equal(np.isnan(np.asarray(m.elevation.filled(np.nan))),
                               np.isnan(np.asarray(r.elevation.filled(np.nan))))
 
+    @staticmethod
+    def _rotated_frame_station(rla_off, rlo_off, elev_value, img_value):
+        """A station whose footprint is a disk in the MOSAIC's rotated
+        frame (+90 deg about the x axis at the emission altitude):
+        geographic coords are the inverse rotation of the rotated-frame
+        disk, so after mosaic() rotates the collection the footprint sits
+        exactly at (rla_off+5, rlo_off+5) in the rotated frame."""
+        lats, lats_c = _test_coords(rla_off)
+        lats, lats_c = lats.T, lats_c.T
+        lons, lons_c = _test_coords(rlo_off)
+        lons = np.asarray(wrap_longitude(lons))
+        lons_c = np.asarray(wrap_longitude(lons_c))
+
+        def inv(la, lo):
+            la2, lo2 = rotate_pole(np.deg2rad(la.ravel()),
+                                   np.deg2rad(lo.ravel()), 110.0,
+                                   angle_deg=-90.0, axis=(1, 0, 0))
+            return (np.rad2deg(np.asarray(la2)).reshape(la.shape),
+                    np.rad2deg(np.asarray(lo2)).reshape(lo.shape))
+
+        lats, lons = inv(lats, lons)
+        lats_c, lons_c = inv(lats_c, lons_c)
+        n = lats.shape[0] - 1
+        img = np.full((n, n, 3), img_value, np.uint8)
+        elevation = np.full((n, n), float(elev_value))
+        return Mapping(
+            lats, lons, lats_c, lons_c, elevation, 110.0, img,
+            np.array([0.0, 0.0, 0.0]),
+            datetime.datetime(2012, 1, 25, 9, 26, 55), f"rfs{img_value}",
+        )
+
+    def test_pole_mosaic_rotated_antimeridian_member(self):
+        """A member that does not itself contain a pole can straddle the
+        ROTATED frame's antimeridian; vertex min/max extent would grid
+        (nearly) the whole circle and clip the seam sliver — the
+        wrap-aware extent composes in the +180-shifted rotated frame and
+        keeps the grid compact with every member present."""
+        from auromat_tpu.mapping.mapping import MappingCollection
+        from auromat_tpu.resample import mosaic
+
+        a = self._pole_station(-5, -5, 20.0, 10)
+        s = self._rotated_frame_station(-10, 176.0, 60.0, 77)
+        assert a.containsPole and not s.containsPole
+        # the straddle is the point of the fixture: the member's rotated
+        # outline must cross +-180
+        from auromat_tpu.resample import _min_lon_interval_deg, _rotate_pole_deg
+        _, olo = _rotate_pole_deg(s.outline[:, 0], s.outline[:, 1], 90.0,
+                                  110.0)
+        w, e = _min_lon_interval_deg(olo)
+        assert w > 0 > e, (w, e)
+        m = mosaic(MappingCollection([a, s], "seam", mayOverlap=True),
+                   px_per_deg=1)
+        m.checkGuarantees()
+        # the pole-containing member survives (its unrotated cells reach
+        # the pole; .containsPole itself keys off the single-contour
+        # outline, which a DISCONNECTED two-blob footprint defeats)
+        la = np.asarray(m.lats.filled(np.nan))
+        assert min(abs(np.nanmin(la)), abs(np.nanmax(la))) >= 0 and \
+            max(abs(np.nanmin(la)), abs(np.nanmax(la))) > 89.0
+        img = np.asarray(m.img.filled(0))
+        assert (img[..., 0] == 10).any() and (img[..., 0] == 77).any()
+        # compact rotated-frame grid: the two footprints span ~100 deg of
+        # rotated longitude, not the whole circle the complement interval
+        # would produce
+        assert img.shape[1] < 300
+
+    def test_pole_mosaic_refuses_rotated_pole_member(self):
+        """A member whose footprint surrounds the ROTATED frame's pole has
+        no covering lon interval in that frame — mosaic() must refuse
+        loudly instead of silently dropping its samples."""
+        from auromat_tpu.mapping.mapping import MappingCollection
+        from auromat_tpu.resample import mosaic
+
+        a = self._pole_station(-5, -5, 20.0, 10)
+        # geographic preimage of the rotated-frame pole lies on the
+        # equator at lon +-90; probe which sign this rotation convention
+        # uses and centre a disk there
+        for lon0 in (90.0, -90.0):
+            la2, _ = rotate_pole(np.deg2rad(np.array([0.0])),
+                                 np.deg2rad(np.array([lon0])), 110.0,
+                                 angle_deg=90.0, axis=(1, 0, 0))
+            if abs(float(np.rad2deg(np.asarray(la2))[0])) > 89.0:
+                break
+        c = self._station(-5, lon0 - 5, 30.0, 99)
+        assert not c.containsPole
+        with pytest.raises(ValueError, match="rotated-frame pole"):
+            mosaic(MappingCollection([a, c], "bad", mayOverlap=True),
+                   px_per_deg=1)
+
     def test_discontinuity(self):
         from auromat_tpu.mapping.mapping import MappingCollection
         from auromat_tpu.resample import mosaic
