@@ -281,7 +281,12 @@ def mosaic(collection, px_per_deg=25, arcsec_per_px=None):
     for THEMIS.
 
     All mappings must carry elevation and share the emission altitude and
-    image channel count. Returns a single :class:`Mapping` (camera_pos is
+    image channel count. Note a collection whose members do not overlap
+    produces a DISCONNECTED footprint: ``outline``/``boundingBox``/
+    ``containsPole`` of the result follow the largest connected component
+    only (the reference's single-contour outline semantics,
+    auromat/utils.py:76-151) — keep the MappingCollection and merge
+    per-member boxes when the full extent matters. Returns a single :class:`Mapping` (camera_pos is
     NaN — a mosaic has no single camera; photoTime/identifier come from
     the collection). Pole-containing collections compose in the rotated
     frame (the per-frame rotate-pole machinery) and return an
